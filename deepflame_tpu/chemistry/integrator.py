@@ -1,0 +1,102 @@
+"""Batched stiff ODE integration for chemistry: vmapped adaptive Rosenbrock.
+
+Role parity: replaces per-cell Cantera/CVODE integration
+(/root/reference/src/dfChemistryModel/dfChemistryModel.C:738-780 `solveSingle`:
+one `ReactorNet::advance` per cell, with MPI dynamic load balancing to paper
+over the wildly varying per-cell cost) and the batched GPU ODE backend
+(`opencc_ode_all`, /root/reference/applications/solvers/dfLowMachFoam/YEqn.H:42-75).
+
+TPU-first design: every cell advances through the SAME program — an adaptive
+Rosenbrock(2)3 step (Shampine's ode23s scheme: L-stable, one Jacobian + one LU
+factorization + three solves per step) inside `lax.while_loop`, `vmap`ped over
+cells. Per-cell step-size adaptivity is preserved (each lane carries its own
+dt and error controller); lanes that finish early idle via masking until the
+batch drains. Cost balance across a batch is therefore set by the stiffest
+cell — callers mitigate by temperature-binning batches (see `solve_chemistry`),
+which replaces the reference's MPI cell-migration load balancer
+(/root/reference/src/dfChemistryModel/loadBalancing/) with a data layout.
+
+The Jacobian is exact via forward-mode AD of the RHS; the (ns+1)x(ns+1) linear
+solves are batched LU — XLA maps these small dense solves well.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["RosenbrockOptions", "rosenbrock_integrate"]
+
+# ode23s constants: d = 1/(2 + sqrt(2)), e32 = 6 + sqrt(2)
+_ROS_D = 1.0 / (2.0 + 2.0**0.5)
+_ROS_E32 = 6.0 + 2.0**0.5
+
+
+class RosenbrockOptions(NamedTuple):
+    rtol: float = 1e-6
+    atol: float = 1e-12
+    dt_init: float = 1e-8
+    dt_min: float = 1e-14
+    max_steps: int = 10_000
+    safety: float = 0.9
+    grow: float = 5.0
+    shrink: float = 0.2
+
+
+def _step(rhs: Callable, y, dt, jac):
+    """One ode23s Rosenbrock step (autonomous system).
+
+    Returns (y_new, err_vec). One LU factorization, three solves."""
+    n = y.shape[-1]
+    eye = jnp.eye(n, dtype=y.dtype)
+    W = eye - (dt * _ROS_D) * jac
+    lu, piv = jax.scipy.linalg.lu_factor(W)
+    solve = lambda b: jax.scipy.linalg.lu_solve((lu, piv), b)
+
+    f0 = rhs(y)
+    k1 = solve(f0)
+    f1 = rhs(y + 0.5 * dt * k1)
+    k2 = solve(f1 - k1) + k1
+    y_new = y + dt * k2
+    f2 = rhs(y_new)
+    k3 = solve(f2 - _ROS_E32 * (k2 - f1) - 2.0 * (k1 - f0))
+    err = (dt / 6.0) * (k1 - 2.0 * k2 + k3)
+    return y_new, err
+
+
+def rosenbrock_integrate(rhs: Callable, y0: jax.Array, t_end: jax.Array,
+                         opts: RosenbrockOptions = RosenbrockOptions()) -> jax.Array:
+    """Integrate dy/dt = rhs(y) from 0 to t_end for ONE cell (vmap for a batch).
+
+    y0: (n,) state; t_end: scalar. Adaptive step control with PI-style scaling
+    on the embedded 3rd-order error estimate.
+    """
+    dtype = y0.dtype
+    jac_fn = jax.jacfwd(rhs)
+
+    def cond(carry):
+        y, t, dt, nstep = carry
+        return jnp.logical_and(t < t_end * (1.0 - 1e-12), nstep < opts.max_steps)
+
+    def body(carry):
+        y, t, dt, nstep = carry
+        dt = jnp.minimum(dt, t_end - t)
+        jac = jac_fn(y)
+        y_new, err = _step(rhs, y, dt, jac)
+        scale = opts.atol + opts.rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+        # rms error norm
+        enorm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+        enorm = jnp.maximum(enorm, 1e-30)
+        accept = jnp.logical_and(enorm <= 1.0, jnp.all(jnp.isfinite(y_new)))
+        factor = jnp.clip(opts.safety * enorm ** (-1.0 / 3.0), opts.shrink, opts.grow)
+        dt_next = jnp.maximum(dt * factor, jnp.asarray(opts.dt_min, dtype))
+        y = jnp.where(accept, y_new, y)
+        t = jnp.where(accept, t + dt, t)
+        return (y, t, dt_next, nstep + 1)
+
+    t0 = jnp.zeros((), dtype)
+    dt0 = jnp.minimum(jnp.asarray(opts.dt_init, dtype), t_end)
+    y_f, t_f, _, n_f = jax.lax.while_loop(cond, body, (y0, t0, dt0, 0))
+    return y_f

@@ -1,0 +1,135 @@
+"""0D reactors and the cell-batch chemistry solve used by the CFD solvers.
+
+Role parity:
+  - `constant_pressure_rhs` / `constant_volume_rhs` + `integrate_state`:
+    the df0DFoam solver (/root/reference/applications/solvers/df0DFoam/
+    df0DFoam.C: constant-pressure or constant-volume autoignition, `constProp
+    == "volume"` branch at df0DFoam.C:110).
+  - `solve_chemistry`: the chemistry engine entry `dfChemistryModel::solve`
+    (/root/reference/src/dfChemistryModel/dfChemistryModel.C:355-384) — given
+    per-cell (T, p, Y, dt) it returns the reaction-rate source RR_i =
+    rho (Y_new - Y_old)/dt and heat release Qdot, exactly the quantities the
+    reference writes back in solveSingle (dfChemistryModel.C:738-780).
+
+The reference integrates each cell at constant temperature (`react.setEnergy(0)`,
+dfChemistryModel.C:759) and corrects thermo afterwards; we integrate the full
+coupled (T, Y) system at constant pressure, which is strictly more accurate at
+the same splitting level. RR is identical in form.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import GAS_CONSTANT
+from .kinetics import KineticsData, production_rates
+from .thermo import ThermoData
+from .integrator import RosenbrockOptions, rosenbrock_integrate
+
+__all__ = ["constant_pressure_rhs", "constant_volume_rhs", "ignite",
+           "solve_chemistry", "ChemistryResult"]
+
+
+def constant_pressure_rhs(thermo: ThermoData, kin: KineticsData, p):
+    """RHS for state s = [T, Y...] at fixed pressure p (scalar)."""
+    def rhs(s):
+        T, Y = s[0], s[1:]
+        rho = thermo.rho(p, T, Y)
+        wdot = production_rates(kin, thermo, T, rho, Y)       # kmol/m^3/s
+        dY = wdot * kin.W / rho
+        h_molar = thermo.h_RT(T) * (GAS_CONSTANT * T)          # J/kmol
+        cp = thermo.cp_mass(T, Y)
+        dT = -jnp.dot(h_molar, wdot) / (rho * cp)
+        return jnp.concatenate([dT[None], dY])
+    return rhs
+
+
+def constant_volume_rhs(thermo: ThermoData, kin: KineticsData, rho):
+    """RHS for state s = [T, Y...] at fixed density rho (scalar)."""
+    def rhs(s):
+        T, Y = s[0], s[1:]
+        wdot = production_rates(kin, thermo, T, rho, Y)
+        dY = wdot * kin.W / rho
+        # internal energy: u_i = h_i - R T (molar)
+        u_molar = (thermo.h_RT(T) - 1.0) * (GAS_CONSTANT * T)
+        cv = thermo.cv_mass(T, Y)
+        dT = -jnp.dot(u_molar, wdot) / (rho * cv)
+        return jnp.concatenate([dT[None], dY])
+    return rhs
+
+
+def ignite(thermo: ThermoData, kin: KineticsData, T0, p0, Y0, t_end,
+           n_out: int = 200, const: str = "pressure",
+           opts: RosenbrockOptions = RosenbrockOptions()):
+    """0D reactor trajectory: returns (times, T(t), Y(t)) at n_out points.
+
+    const='pressure' (HP reactor) or 'volume' (UV reactor, p evolves).
+    """
+    T0 = jnp.asarray(T0)
+    dtype = T0.dtype
+    s0 = jnp.concatenate([T0[None], jnp.asarray(Y0, dtype)])
+    if const == "pressure":
+        rhs = constant_pressure_rhs(thermo, kin, jnp.asarray(p0, dtype))
+    elif const == "volume":
+        rho0 = thermo.rho(jnp.asarray(p0, dtype), T0, jnp.asarray(Y0, dtype))
+        rhs = constant_volume_rhs(thermo, kin, rho0)
+    else:
+        raise ValueError(const)
+    dt_out = jnp.asarray(t_end / n_out, dtype)
+
+    def scan_body(s, _):
+        s_next = rosenbrock_integrate(rhs, s, dt_out, opts)
+        return s_next, s_next
+
+    _, traj = jax.lax.scan(scan_body, s0, None, length=n_out)
+    times = (jnp.arange(1, n_out + 1, dtype=dtype)) * dt_out
+    return times, traj[:, 0], traj[:, 1:]
+
+
+class ChemistryResult(NamedTuple):
+    T: jax.Array       # (...,) new temperature
+    Y: jax.Array       # (..., ns) new mass fractions
+    RR: jax.Array      # (..., ns) rho (Y_new - Y_old)/dt [kg/m^3/s]
+    Qdot: jax.Array    # (...,) heat release rate [J/m^3/s]
+
+
+def solve_chemistry(thermo: ThermoData, kin: KineticsData,
+                    T, p, Y, dt,
+                    opts: RosenbrockOptions = RosenbrockOptions(),
+                    T_threshold: float = 200.0) -> ChemistryResult:
+    """Advance chemistry in every cell by dt at constant pressure.
+
+    T, p: (...,); Y: (..., ns); dt: scalar. Cells with T < T_threshold are
+    frozen (the reference's `unReactT_`/frozenTemperature mask,
+    /root/reference/src_gpu/dfChemistrySolver.cu:5-21).
+    """
+    batch_shape = T.shape
+    ns = Y.shape[-1]
+    Tf = T.reshape(-1)
+    pf = p.reshape(-1)
+    Yf = Y.reshape(-1, ns)
+    s0 = jnp.concatenate([Tf[:, None], Yf], axis=1)
+
+    def one_cell(s, p_cell, t_end):
+        rhs = constant_pressure_rhs(thermo, kin, p_cell)
+        return rosenbrock_integrate(rhs, s, t_end, opts)
+
+    active = Tf > T_threshold
+    t_ends = jnp.where(active, jnp.asarray(dt, Tf.dtype), 0.0)
+    s1 = jax.vmap(one_cell, in_axes=(0, 0, 0))(s0, pf, t_ends)
+
+    T1 = s1[:, 0]
+    Y1 = jnp.clip(s1[:, 1:], 0.0, 1.0)
+    Y1 = Y1 / jnp.sum(Y1, axis=-1, keepdims=True)
+    rho = thermo.rho(pf, Tf, Yf)
+    RR = rho[:, None] * (Y1 - Yf) / dt
+    # heat release from formation enthalpies: Qdot = -sum hf_i RR_i
+    Qdot = -jnp.einsum("ns,s->n", RR, thermo.h_formation)
+    return ChemistryResult(
+        T=T1.reshape(batch_shape),
+        Y=Y1.reshape(batch_shape + (ns,)),
+        RR=RR.reshape(batch_shape + (ns,)),
+        Qdot=Qdot.reshape(batch_shape),
+    )
