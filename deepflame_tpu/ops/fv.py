@@ -1,0 +1,358 @@
+"""Finite-volume operators, matrix-free, on structured blocks.
+
+Role parity: the discrete-operator contract of the reference's GPU FVM library
+(/root/reference/src_gpu/dfMatrixOpBase.H:84-343 — fvm_ddt/fvm_div/
+fvm_laplacian, fvc_grad/fvc_div/fvc_laplacian/fvc_interpolate/fvc_flux, upwind
+and limited face weights, boundary-coefficient handling) and of OpenFOAM's
+fvm/fvc used by the CPU solvers.
+
+TPU-first design, three ideas:
+
+1. Stencils are shifts. On a structured block every face value is a slice of a
+   ghost-padded array; divergence/laplacian are differences of slices. No LDU
+   addressing, no gather/scatter, no CSR assembly (the reference's
+   ldu_to_csr + AmgX path, dfMatrixOpBase.H:117-125, disappears).
+
+2. Implicit equations are matrix-free linear operators. An FvMatrix is
+   A(x) = sum of stencil terms applied with *homogeneous* ghost padding, and
+   b = explicit source minus the terms applied to the *inhomogeneous* ghost
+   part. This is the exact analogue of OpenFOAM's internalCoeffs/
+   boundaryCoeffs split, but as functions XLA can fuse.
+
+3. Exact diagonals by graph coloring. Jacobi/rAU need diag(A); for 7-point
+   stencils cells of the same (i%2, j%2, k%2) color are never neighbors, so 8
+   masked matvecs recover the exact diagonal of ANY composed operator —
+   including all BC contributions — with no per-scheme bookkeeping.
+   (PIMPLE's rAU = 1/A and H(U) come straight from this, cf. dfUEqn.cu:713
+   fvMtx_A / fvMtx_H.)
+
+Convection schemes: 'upwind' (implicit), 'linear' (implicit central),
+'limitedLinear'/'vanLeer' (implicit upwind + explicit deferred limited
+anti-diffusion, the standard TVD linearization).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh.structured import BC, FieldBCs, StructuredMesh, pad_field
+
+__all__ = [
+    "FvMatrix", "face_pair", "interpolate", "grad", "div_flux", "flux_of",
+    "laplacian_explicit", "div_explicit", "fvm_ddt", "fvm_div", "fvm_laplacian",
+    "fvm_source_implicit", "limited_face_values", "snGrad_boundary",
+]
+
+Axis = int
+
+
+def _trim(f: jax.Array, axis: Axis) -> jax.Array:
+    """Trim ghost layers on the two axes other than `axis`."""
+    sl = [slice(1, -1)] * 3
+    sl[axis] = slice(None)
+    return f[tuple(sl)]
+
+
+def face_pair(P: jax.Array, axis: Axis) -> tuple[jax.Array, jax.Array]:
+    """Owner/neighbour cell values for all faces along `axis`.
+
+    P: padded field (n+2 on every axis). Returns two arrays of shape
+    (n_axis + 1) on `axis`, interior extent on the others.
+    """
+    t = _trim(P, axis)
+    n = t.shape[axis]
+    own = jax.lax.slice_in_dim(t, 0, n - 1, axis=axis)
+    nei = jax.lax.slice_in_dim(t, 1, n, axis=axis)
+    return own, nei
+
+
+def _face_diff(F: jax.Array, axis: Axis) -> jax.Array:
+    """(F_hi - F_lo) per cell along axis: input has n+1 faces, output n cells."""
+    n = F.shape[axis]
+    return (jax.lax.slice_in_dim(F, 1, n, axis=axis)
+            - jax.lax.slice_in_dim(F, 0, n - 1, axis=axis))
+
+
+# ---------------------------------------------------------------- explicit ops
+
+def interpolate(P: jax.Array, axis: Axis) -> jax.Array:
+    """Linear face interpolation along axis from a padded field."""
+    own, nei = face_pair(P, axis)
+    return 0.5 * (own + nei)
+
+
+def grad(f: jax.Array, bcs: FieldBCs, mesh: StructuredMesh) -> jax.Array:
+    """Gauss-linear cell gradient: (3, nx, ny, nz)."""
+    P = pad_field(f, bcs, mesh)
+    comps = []
+    for ax, h in enumerate(mesh.spacing):
+        fv = interpolate(P, ax)
+        comps.append(_face_diff(fv, ax) / h)
+    return jnp.stack(comps)
+
+
+def flux_of(rho_u: Sequence[jax.Array], bcs_u, mesh: StructuredMesh,
+            ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Face-normal flux density [field·m/s] per axis from a cell vector field.
+
+    rho_u: (3, nx, ny, nz) (e.g. rho*U). Returns per-axis face arrays
+    (nx+1, ny, nz), (nx, ny+1, nz), (nx, ny, nz+1).
+    """
+    out = []
+    for ax in range(3):
+        P = pad_field(rho_u[ax], bcs_u[ax], mesh)
+        out.append(interpolate(P, ax))
+    return tuple(out)
+
+
+def div_flux(phi: Sequence[jax.Array], mesh: StructuredMesh) -> jax.Array:
+    """Cell divergence of face fluxes: sum_ax (phi_hi - phi_lo)/h."""
+    out = 0.0
+    for ax, h in enumerate(mesh.spacing):
+        out = out + _face_diff(phi[ax], ax) / h
+    return out
+
+
+def div_explicit(phi, psi: jax.Array, bcs: FieldBCs, mesh: StructuredMesh,
+                 scheme: str = "linear", limiter_k: float = 1.0) -> jax.Array:
+    """fvc::div(phi, psi): explicit convection divergence."""
+    P = pad_field(psi, bcs, mesh)
+    out = 0.0
+    for ax, h in enumerate(mesh.spacing):
+        fv = limited_face_values(P, phi[ax], ax, scheme, limiter_k)
+        out = out + _face_diff(phi[ax] * fv, ax) / h
+    return out
+
+
+def _gamma_ax(gamma_f, ax: Axis):
+    """Per-axis diffusivity: accept a scalar or a per-axis tuple of face arrays."""
+    if isinstance(gamma_f, (tuple, list)):
+        return gamma_f[ax]
+    return gamma_f
+
+
+def laplacian_explicit(gamma_f, f: jax.Array, bcs: FieldBCs,
+                       mesh: StructuredMesh) -> jax.Array:
+    """fvc::laplacian(gamma, f). gamma_f: per-axis face arrays (or a scalar)."""
+    P = pad_field(f, bcs, mesh)
+    out = 0.0
+    for ax, h in enumerate(mesh.spacing):
+        own, nei = face_pair(P, ax)
+        out = out + _face_diff(_gamma_ax(gamma_f, ax) * (nei - own) / h, ax) / h
+    return out
+
+
+def snGrad_boundary(f, bcs, mesh):
+    """Surface-normal gradients on the 6 boundary patches (for diagnostics)."""
+    P = pad_field(f, bcs, mesh)
+    grads = {}
+    for ax, h in enumerate(mesh.spacing):
+        own, nei = face_pair(P, ax)
+        g = (nei - own) / h
+        n = g.shape[ax]
+        grads[(ax, 0)] = jax.lax.slice_in_dim(g, 0, 1, axis=ax)
+        grads[(ax, 1)] = jax.lax.slice_in_dim(g, n - 1, n, axis=ax)
+    return grads
+
+
+# ------------------------------------------------------------ face-value schemes
+
+def limited_face_values(P: jax.Array, phi_ax: jax.Array, axis: Axis,
+                        scheme: str, k: float = 1.0) -> jax.Array:
+    """Face values of psi for convection along `axis` given face flux sign.
+
+    upwind:        psi_f = upwind cell
+    linear:        psi_f = central average
+    limitedLinear: upwind + limiter * (central - upwind)   [Sweby-limited]
+    vanLeer:       upwind + vanLeer(r) * (central - upwind)
+    """
+    own, nei = face_pair(P, axis)
+    up = jnp.where(phi_ax >= 0, own, nei)
+    if scheme == "upwind":
+        return up
+    central = 0.5 * (own + nei)
+    if scheme == "linear":
+        return central
+    # limiter needs the far-upwind value: pad P once more along axis (ghost of
+    # ghost = replicate) to form the upwind-side difference
+    n = P.shape[axis]
+    Pm = jnp.concatenate([jax.lax.slice_in_dim(P, 0, 1, axis=axis), P], axis=axis)
+    Pp = jnp.concatenate([P, jax.lax.slice_in_dim(P, n - 1, n, axis=axis)], axis=axis)
+    t = _trim(Pm, axis)  # indices shifted by +1 relative to P's trim
+    nfull = t.shape[axis]
+    far_own = jax.lax.slice_in_dim(t, 0, nfull - 2, axis=axis)   # own - 1
+    tp = _trim(Pp, axis)
+    far_nei = jax.lax.slice_in_dim(tp, 2, nfull, axis=axis)      # nei + 1
+    d = nei - own
+    eps = jnp.asarray(jnp.finfo(P.dtype).eps, P.dtype)
+    safe_d = jnp.where(jnp.abs(d) > eps, d, eps)
+    r_pos = (own - far_own) / safe_d          # upwind gradient ratio, flux > 0
+    r_neg = (nei - far_nei) / (-safe_d)
+    r = jnp.where(phi_ax >= 0, r_pos, r_neg)
+    if scheme == "limitedLinear":
+        # OpenFOAM limitedLinear k: psi = max(min(2r/k, 1), 0) blended to linear
+        lim = jnp.clip(2.0 * r / k, 0.0, 1.0)
+    elif scheme == "vanLeer":
+        lim = (r + jnp.abs(r)) / (1.0 + jnp.abs(r))
+    else:
+        raise ValueError(f"unknown convection scheme {scheme}")
+    return up + lim * (central - up)
+
+
+# ------------------------------------------------------------------ FvMatrix
+
+@dataclasses.dataclass
+class FvMatrix:
+    """Matrix-free implicit FV equation  A(x) = b  over one cell field.
+
+    terms: list of L(P_padded)->cell functions (linear in the padded field).
+    source: explicit RHS (cell field).
+    """
+    mesh: StructuredMesh
+    bcs: FieldBCs
+    terms: list
+    source: jax.Array
+
+    def __add__(self, other: "FvMatrix") -> "FvMatrix":
+        assert self.bcs is other.bcs or self.bcs == other.bcs
+        return FvMatrix(self.mesh, self.bcs, self.terms + other.terms,
+                        self.source + other.source)
+
+    def __sub__(self, other: "FvMatrix") -> "FvMatrix":
+        neg = [(lambda P, L=L: -L(P)) for L in other.terms]
+        return FvMatrix(self.mesh, self.bcs, self.terms + neg,
+                        self.source - other.source)
+
+    def with_source(self, s: jax.Array) -> "FvMatrix":
+        return FvMatrix(self.mesh, self.bcs, self.terms, self.source + s)
+
+    # A(x)
+    def apply(self, x: jax.Array) -> jax.Array:
+        P = pad_field(x, self.bcs, self.mesh, homogeneous=True)
+        out = 0.0
+        for L in self.terms:
+            out = out + L(P)
+        return out
+
+    # b
+    def rhs(self) -> jax.Array:
+        Pb = pad_field(jnp.zeros(self.mesh.shape, self.source.dtype), self.bcs,
+                       self.mesh, bc_only=True)
+        out = self.source
+        for L in self.terms:
+            out = out - L(Pb)
+        return out
+
+    def diag(self) -> jax.Array:
+        """Exact diagonal via coloring probes.
+
+        For a 7-point stencil, cells with the same color index along every
+        axis are never neighbors, so masked matvecs recover diag(A) exactly.
+        Non-cyclic axes need period 2; a cyclic axis wraps, so an odd length
+        needs period 3 (or, for lengths not divisible by 2 or 3, one color
+        per cell along that axis — rare, tiny axes only)."""
+        shape = self.mesh.shape
+        periods = []
+        for ax in range(3):
+            n = shape[ax]
+            is_cyc = self.bcs[ax][0].kind == "cyclic"
+            if not is_cyc or n % 2 == 0 or n == 1:
+                periods.append(2 if n > 1 else 1)
+            elif n % 3 == 0:
+                periods.append(3)
+            else:
+                periods.append(n)
+        iotas = [jax.lax.broadcasted_iota(jnp.int32, shape, ax) for ax in range(3)]
+        d = jnp.zeros(shape, self.source.dtype)
+        for ci in range(periods[0]):
+            for cj in range(periods[1]):
+                for ck in range(periods[2]):
+                    mask = ((iotas[0] % periods[0] == ci)
+                            & (iotas[1] % periods[1] == cj)
+                            & (iotas[2] % periods[2] == ck))
+                    chi = mask.astype(self.source.dtype)
+                    d = d + self.apply(chi) * chi
+        return d
+
+    def H(self, x: jax.Array) -> jax.Array:
+        """OpenFOAM H operator: b - (A(x) - diag*x)."""
+        return self.rhs() - (self.apply(x) - self.diag() * x)
+
+    def residual(self, x: jax.Array) -> jax.Array:
+        return self.rhs() - self.apply(x)
+
+
+# ----------------------------------------------------------------- fvm builders
+
+def fvm_ddt(coeff, x_old, dt, mesh: StructuredMesh, bcs: FieldBCs,
+            coeff_old=None) -> FvMatrix:
+    """fvm::ddt(coeff, psi): (coeff psi - coeff_old psi_old)/dt.
+
+    coeff may be a field (e.g. rho) or 1.0. Contributes coeff/dt to the
+    diagonal and coeff_old psi_old/dt to the source.
+    """
+    if coeff_old is None:
+        coeff_old = coeff
+    c = coeff
+
+    def L(P):
+        return c * P[1:-1, 1:-1, 1:-1] / dt
+
+    src = coeff_old * x_old / dt
+    return FvMatrix(mesh, bcs, [L], src)
+
+
+def fvm_div(phi, psi_now: jax.Array, mesh: StructuredMesh, bcs: FieldBCs,
+            scheme: str = "upwind", limiter_k: float = 1.0) -> FvMatrix:
+    """fvm::div(phi, psi). For TVD schemes the limited anti-diffusive part is
+    deferred-corrected explicitly using the current iterate psi_now."""
+    implicit_scheme = "linear" if scheme == "linear" else "upwind"
+
+    def L(P):
+        out = 0.0
+        for ax, h in enumerate(mesh.spacing):
+            fv = limited_face_values(P, phi[ax], ax, implicit_scheme)
+            out = out + _face_diff(phi[ax] * fv, ax) / h
+        return out
+
+    src = jnp.zeros(mesh.shape, psi_now.dtype)
+    if scheme in ("limitedLinear", "vanLeer"):
+        Pn = pad_field(psi_now, bcs, mesh)
+        corr = 0.0
+        for ax, h in enumerate(mesh.spacing):
+            hi = limited_face_values(Pn, phi[ax], ax, scheme, limiter_k)
+            lo = limited_face_values(Pn, phi[ax], ax, "upwind")
+            corr = corr + _face_diff(phi[ax] * (hi - lo), ax) / h
+        src = src - corr
+    elif scheme not in ("upwind", "linear"):
+        raise ValueError(f"unknown scheme {scheme}")
+    return FvMatrix(mesh, bcs, [L], src)
+
+
+def fvm_laplacian(gamma_f, mesh: StructuredMesh, bcs: FieldBCs,
+                  dtype=jnp.float64, sign: float = 1.0) -> FvMatrix:
+    """fvm::laplacian(gamma, psi). gamma_f: per-axis face arrays or scalar.
+    Use sign=-1 for '- fvm::laplacian(...)' to keep it implicit."""
+
+    def L(P):
+        out = 0.0
+        for ax, h in enumerate(mesh.spacing):
+            own, nei = face_pair(P, ax)
+            out = out + _face_diff(_gamma_ax(gamma_f, ax) * (nei - own) / h, ax) / h
+        return sign * out
+
+    return FvMatrix(mesh, bcs, [L], jnp.zeros(mesh.shape, dtype))
+
+
+def fvm_source_implicit(coeff, mesh: StructuredMesh, bcs: FieldBCs,
+                        dtype=jnp.float64) -> FvMatrix:
+    """fvm::Sp(coeff, psi): implicit source coeff*psi (diagonal only)."""
+
+    def L(P):
+        return coeff * P[1:-1, 1:-1, 1:-1]
+
+    return FvMatrix(mesh, bcs, [L], jnp.zeros(mesh.shape, dtype))
