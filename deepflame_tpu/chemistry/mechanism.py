@@ -339,9 +339,12 @@ def load_mechanism(path: str, phase: str | None = None) -> Mechanism:
 
     nr = len(rows)
 
-    def stack(key, shape=()):
+    _empty_shapes = {"nu_f": (ns,), "nu_r": (ns,), "order": (ns,),
+                     "eff": (ns,), "troe": (4,)}
+
+    def stack(key):
         if nr == 0:
-            return np.zeros((0,) + shape)
+            return np.zeros((0,) + _empty_shapes.get(key, ()))
         return np.stack([np.asarray(row[key], dtype=np.float64) for row in rows])
 
     return Mechanism(

@@ -1,0 +1,57 @@
+"""Combustion model layer: base API + laminar (no-TCI) model.
+
+Role parity: /root/reference/src/dfCombustionModels/ — the runtime-selectable
+`CombustionModel` hierarchy. `laminar.correct()` calls the chemistry engine
+and `R(Yi)` exposes the reaction source (laminar.C:106,146-156). EDC/PaSR
+subclasses scale the source by a reacting fraction kappa (EDC.C / PaSR.C:401);
+they live in edc.py / pasr.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..chemistry.kinetics import KineticsData
+from ..chemistry.thermo import ThermoData
+from ..chemistry.reactor import solve_chemistry, ChemistryResult
+from ..chemistry.integrator import RosenbrockOptions
+
+__all__ = ["CombustionModel", "Laminar", "NoCombustion"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CombustionModel:
+    """Base: owns the chemistry engine handles (thermo + kinetics)."""
+    thermo: ThermoData
+    kinetics: KineticsData
+    ode_opts: RosenbrockOptions = RosenbrockOptions(rtol=1e-6, atol=1e-12)
+    T_threshold: float = 280.0
+
+    def correct(self, T, p, Y, dt, turb=None) -> ChemistryResult:
+        raise NotImplementedError
+
+    def kappa(self, turb) -> Any:
+        """Reacting fraction applied to R(Yi); 1 for laminar."""
+        return 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Laminar(CombustionModel):
+    """No turbulence-chemistry interaction: RR straight from the integrator."""
+
+    def correct(self, T, p, Y, dt, turb=None) -> ChemistryResult:
+        return solve_chemistry(self.thermo, self.kinetics, T, p, Y, dt,
+                               opts=self.ode_opts,
+                               T_threshold=self.T_threshold)
+
+
+@dataclasses.dataclass(frozen=True)
+class NoCombustion(CombustionModel):
+    """Chemistry disabled (the reference's noCombustion stub)."""
+
+    def correct(self, T, p, Y, dt, turb=None) -> ChemistryResult:
+        zeros = jnp.zeros_like(Y)
+        return ChemistryResult(T=T, Y=Y, RR=zeros, Qdot=jnp.zeros_like(T))

@@ -1,0 +1,320 @@
+"""Low-Mach pressure-based PIMPLE reacting-flow solver (the flagship).
+
+Role parity: dfLowMachFoam (/root/reference/applications/solvers/dfLowMachFoam/
+dfLowMachFoam.C:123-512) — the reference's flagship solver and the target of
+its full-loop GPU port (src_gpu/). The PIMPLE loop structure follows the
+reference exactly (SURVEY.md §3.1):
+
+    while PIMPLE outer:                       dfLowMachFoam.C:288
+        rhoEqn                                rhoEqn.H:34-48
+        UEqn (implicit momentum)              UEqn.H:4-30
+        YEqn: chemistry RR + species transport YEqn.H:1-130
+        EEqn: absolute-enthalpy energy        EEqn.H:1-57
+        correctThermo                         dfChemistryModel.C:419
+        while pressure correctors:            dfLowMachFoam.C:484
+            pEqn (compressible Poisson)       pEqn.H:1-120
+
+TPU-first: the whole step is one jitted pure function over a pytree state —
+no per-equation host round trips (the reference needs a 10k-line CUDA port,
+src_gpu/, to achieve device residency; here it is the default). Implicit
+solves are matrix-free Krylov; chemistry is the vmapped Rosenbrock batch;
+sharding the state arrays over a device mesh distributes the solver with no
+further code (GSPMD inserts the halo exchanges and reductions that the
+reference implements by hand via MPI+NCCL+AmgX consolidation).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..chemistry.thermo import ThermoData
+from ..chemistry.transport import TransportData
+from ..combustion.basic import CombustionModel
+from ..mesh.structured import StructuredMesh, pad_field
+from ..ops.fv import (FvMatrix, face_pair, fvm_ddt, fvm_div, fvm_laplacian,
+                      grad, div_flux, interpolate, _face_diff)
+from ..ops.linsolve import solve_fvmatrix
+
+__all__ = ["LowMachConfig", "LowMachState", "LowMachSolver"]
+
+
+class LowMachState(NamedTuple):
+    """Conserved/primitive fields. Vectors are (3, nx, ny, nz); species are
+    (ns, nx, ny, nz); phi is a per-axis tuple of face mass-flux densities
+    rho*u_f [kg/m^2/s]."""
+    rho: jax.Array
+    U: jax.Array
+    p: jax.Array
+    ha: jax.Array            # absolute (chemical + sensible) enthalpy [J/kg]
+    Y: jax.Array
+    T: jax.Array
+    phi: tuple
+    dpdt: jax.Array
+    time: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LowMachConfig:
+    n_outer: int = 2          # PIMPLE outer correctors (dfLowMachFoam nOuterCorrectors)
+    n_corr: int = 2           # pressure correctors (nCorrectors)
+    div_scheme: str = "limitedLinear"
+    u_tol: float = 1e-7
+    p_tol: float = 1e-8
+    p_rel_tol: float = 1e-3
+    h_tol: float = 1e-8
+    y_tol: float = 1e-9
+    max_iter_u: int = 100
+    max_iter_p: int = 500
+    unity_lewis: bool = False
+    chemistry: bool = True
+    inert_index: int | None = None   # species closed as 1 - sum(others)
+
+
+@dataclasses.dataclass(frozen=True)
+class LowMachSolver:
+    mesh: StructuredMesh
+    thermo: ThermoData
+    transport: TransportData
+    combustion: CombustionModel
+    bcs_U: tuple          # per-component FieldBCs (3,)
+    bcs_p: Any
+    bcs_h: Any
+    bcs_Y: Any            # single FieldBCs shared by species (or tuple per sp.)
+    bcs_rho: Any
+    config: LowMachConfig = LowMachConfig()
+
+    # -------------------------------------------------------------- helpers
+    def _species_bcs(self, i: int):
+        b = self.bcs_Y
+        return b[i] if isinstance(b, list) else b
+
+    def _face_flux(self, rho, U):
+        """phi = (rho U)_f per axis from cell fields."""
+        out = []
+        for ax in range(3):
+            P = pad_field(rho * U[ax], self.bcs_U[ax], self.mesh)
+            out.append(interpolate(P, ax))
+        return tuple(out)
+
+    def _mixture_update(self, p, T, Y):
+        """Transport + thermo coefficient fields from the current state
+        (the coefficient part of correctThermo, dfChemistryModel.C:419-735)."""
+        Yt = jnp.moveaxis(Y, 0, -1)                     # (..., ns)
+        X = self.thermo.mole_fractions(Yt)
+        mu = self.transport.mu_mix(T, X)
+        kappa = self.transport.lambda_mix(T, X)
+        cp = self.thermo.cp_mass(T, Yt)
+        alpha = kappa / cp                              # [kg/m/s] thermal diff.
+        if self.config.unity_lewis:
+            rhoD = jnp.broadcast_to(alpha, Y.shape)
+        else:
+            Dm = self.transport.mix_diff_coeffs(T, p, X, Yt)  # (..., ns)
+            rho = self.thermo.rho(p, T, Yt)
+            rhoD = jnp.moveaxis(rho[..., None] * Dm, -1, 0)
+        return mu, alpha, rhoD
+
+    def initial_state(self, p, T, Y, U=None, time=0.0) -> LowMachState:
+        dtype = T.dtype
+        sh = self.mesh.shape
+        if U is None:
+            U = jnp.zeros((3,) + sh, dtype)
+        Yt = jnp.moveaxis(Y, 0, -1)
+        rho = self.thermo.rho(p, T, Yt)
+        ha = self.thermo.h_mass(T, Yt)
+        phi = self._face_flux(rho, U)
+        return LowMachState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
+                            dpdt=jnp.zeros(sh, dtype),
+                            time=jnp.asarray(time, dtype))
+
+    # ----------------------------------------------------------------- step
+    def step(self, s: LowMachState, dt) -> tuple[LowMachState, dict]:
+        cfg = self.config
+        mesh = self.mesh
+        dtype = s.T.dtype
+        ns = s.Y.shape[0]
+
+        rho_old, U_old, p_old, ha_old, Y_old = s.rho, s.U, s.p, s.ha, s.Y
+        phi = s.phi
+        rho, U, p, ha, Y, T = s.rho, s.U, s.p, s.ha, s.Y, s.T
+        dpdt = s.dpdt
+        diag = {}
+
+        # ===== chemistry (operator split, once per step like the reference
+        # laminar model: combustion->correct() inside the first outer corr.)
+        if cfg.chemistry:
+            Yt = jnp.moveaxis(Y, 0, -1)
+            chem = self.combustion.correct(T, p, Yt, dt)
+            RR = jnp.moveaxis(chem.RR, -1, 0)          # (ns, ...)
+            diag["Qdot_max"] = jnp.max(chem.Qdot)
+        else:
+            RR = jnp.zeros_like(Y)
+
+        for outer in range(cfg.n_outer):
+            # ===== rhoEqn (explicit continuity, rhoEqn.H:34-48)
+            rho = rho_old - dt * div_flux(phi, mesh)
+
+            # ===== coefficient fields
+            mu, alpha, rhoD = self._mixture_update(p, T, Y)
+
+            # ===== UEqn (UEqn.H:4-30)
+            gp = grad(p, self.bcs_p, mesh)
+            mu_f = tuple(interpolate(pad_field(mu, self.bcs_p, mesh), ax)
+                         for ax in range(3))
+            # explicit part of div(mu dev2(grad U)^T): transpose + dilatation
+            divU = 0.0
+            gU = []
+            for c in range(3):
+                gUc = grad(U[c], self.bcs_U[c], mesh)
+                gU.append(gUc)
+                divU = divU + gUc[c]
+            U_new = []
+            u_diags = None
+            HbyA = []
+            for c in range(3):
+                # dev2 correction: d/dxj [ mu (dUj/dxi - 2/3 delta_ij divU) ]
+                corr = (grad(mu * gU[0][c], self.bcs_p, mesh)[0]
+                        + grad(mu * gU[1][c], self.bcs_p, mesh)[1]
+                        + grad(mu * gU[2][c], self.bcs_p, mesh)[2]
+                        - grad(mu * divU, self.bcs_p, mesh)[c] * (2.0 / 3.0))
+                eqn = (fvm_ddt(rho, U_old[c], dt, mesh, self.bcs_U[c],
+                               coeff_old=rho_old)
+                       + fvm_div(phi, U[c], mesh, self.bcs_U[c], cfg.div_scheme)
+                       + fvm_laplacian(mu_f, mesh, self.bcs_U[c], dtype=dtype,
+                                       sign=-1.0))
+                eqn = eqn.with_source(-gp[c] + corr)
+                res = solve_fvmatrix(eqn, U[c], tol=cfg.u_tol,
+                                     max_iter=cfg.max_iter_u)
+                U_new.append(res.x)
+                if u_diags is None:
+                    u_diags = eqn.diag()                # same for all comps
+                HbyA.append(eqn.H(res.x) / u_diags)
+            U = jnp.stack(U_new)
+            rAU = 1.0 / u_diags
+
+            # ===== YEqn (YEqn.H:1-130)
+            if ns > 1:
+                # species-flux correction: phiUc from sumYDiffError
+                sumYDiff = 0.0
+                gY = []
+                for i in range(ns):
+                    gYi = grad(Y[i], self._species_bcs(i), mesh)
+                    gY.append(gYi)
+                    sumYDiff = sumYDiff + rhoD[i] * gYi
+                phiUc = tuple(
+                    interpolate(pad_field(sumYDiff[ax], self.bcs_p, mesh), ax)
+                    for ax in range(3))
+                Y_new = []
+                for i in range(ns):
+                    if cfg.inert_index is not None and i == cfg.inert_index:
+                        Y_new.append(Y[i])
+                        continue
+                    bcs_i = self._species_bcs(i)
+                    D_f = tuple(interpolate(pad_field(rhoD[i], self.bcs_p,
+                                                      mesh), ax)
+                                for ax in range(3))
+                    eqn = (fvm_ddt(rho, Y_old[i], dt, mesh, bcs_i,
+                                   coeff_old=rho_old)
+                           + fvm_div(phi, Y[i], mesh, bcs_i, cfg.div_scheme)
+                           + fvm_div(phiUc, Y[i], mesh, bcs_i, "upwind")
+                           + fvm_laplacian(D_f, mesh, bcs_i, dtype=dtype,
+                                           sign=-1.0))
+                    eqn = eqn.with_source(RR[i])
+                    res = solve_fvmatrix(eqn, Y[i], tol=cfg.y_tol,
+                                         max_iter=cfg.max_iter_u)
+                    Y_new.append(jnp.clip(res.x, 0.0, 1.0))
+                Y = jnp.stack(Y_new)
+                if cfg.inert_index is not None:
+                    others = jnp.sum(Y, axis=0) - Y[cfg.inert_index]
+                    Y = Y.at[cfg.inert_index].set(jnp.clip(1.0 - others, 0.0, 1.0))
+                else:
+                    Y = Y / jnp.sum(Y, axis=0, keepdims=True)
+
+            # ===== EEqn (EEqn.H:1-57), absolute enthalpy form
+            alpha_f = tuple(interpolate(pad_field(alpha, self.bcs_p, mesh), ax)
+                            for ax in range(3))
+            K = 0.5 * jnp.sum(U * U, axis=0)
+            K_old = 0.5 * jnp.sum(U_old * U_old, axis=0)
+            dKdt = (rho * K - rho_old * K_old) / dt + div_flux(
+                tuple(phi[ax] * interpolate(pad_field(K, self.bcs_p, mesh), ax)
+                      for ax in range(3)), mesh)
+            # enthalpy-diffusion correction: div( sum_i h_i (rhoD_i - alpha) grad Y_i )
+            hcorr_div = 0.0
+            if ns > 1:
+                h_sp = self.thermo.h_species(T)         # (..., ns)
+                hcorr = 0.0
+                for i in range(ns):
+                    hcorr = hcorr + h_sp[..., i] * (rhoD[i] - alpha) * gY[i]
+                hcorr_f = tuple(
+                    interpolate(pad_field(hcorr[ax], self.bcs_p, mesh), ax)
+                    for ax in range(3))
+                hcorr_div = div_flux(hcorr_f, mesh)
+            eqn_h = (fvm_ddt(rho, ha_old, dt, mesh, self.bcs_h,
+                             coeff_old=rho_old)
+                     + fvm_div(phi, ha, mesh, self.bcs_h, cfg.div_scheme)
+                     + fvm_laplacian(alpha_f, mesh, self.bcs_h, dtype=dtype,
+                                     sign=-1.0))
+            eqn_h = eqn_h.with_source(dpdt - dKdt + hcorr_div)
+            res_h = solve_fvmatrix(eqn_h, ha, tol=cfg.h_tol,
+                                   max_iter=cfg.max_iter_u)
+            ha = res_h.x
+
+            # ===== correctThermo (dfChemistryModel.C:419): T from (ha, Y)
+            Yt = jnp.moveaxis(Y, 0, -1)
+            T = self.thermo.T_from_h(ha, Yt, T)
+            psi = self.thermo.psi(T, Yt)
+
+            # ===== pEqn correctors (pEqn.H:1-120)
+            for corr_i in range(cfg.n_corr):
+                rho = self.thermo.rho(p, T, Yt)
+                rho_f = tuple(interpolate(pad_field(rho, self.bcs_rho, mesh), ax)
+                              for ax in range(3))
+                rAU_f = tuple(interpolate(pad_field(rAU, self.bcs_p, mesh), ax)
+                              for ax in range(3))
+                phiHbyA = tuple(
+                    rho_f[ax] * interpolate(
+                        pad_field(HbyA[ax], self.bcs_U[ax], mesh), ax)
+                    for ax in range(3))
+                rhorAUf = tuple(rho_f[ax] * rAU_f[ax] for ax in range(3))
+                eqn_p = (fvm_ddt(psi, p_old, dt, mesh, self.bcs_p)
+                         + fvm_laplacian(rhorAUf, mesh, self.bcs_p,
+                                         dtype=dtype, sign=-1.0))
+                eqn_p = eqn_p.with_source(-div_flux(phiHbyA, mesh))
+                res_p = solve_fvmatrix(eqn_p, p, symmetric=True,
+                                       tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
+                                       max_iter=cfg.max_iter_p)
+                p = res_p.x
+                diag[f"p_res_{outer}_{corr_i}"] = res_p.initial_residual
+                # flux reconstruction: phi = phiHbyA - rhorAUf * snGrad(p)
+                Pp = pad_field(p, self.bcs_p, mesh)
+                phi = tuple(
+                    phiHbyA[ax] - rhorAUf[ax] * _sngrad(Pp, ax, mesh.spacing[ax])
+                    for ax in range(3))
+                # velocity correction
+                gp = grad(p, self.bcs_p, mesh)
+                U = jnp.stack([HbyA[c] - rAU * gp[c] for c in range(3)])
+                dpdt = (p - p_old) / dt
+            rho = self.thermo.rho(p, T, Yt)
+
+        # continuity diagnostic
+        cont_err = rho - (rho_old - dt * div_flux(phi, mesh))
+        diag["continuity_err"] = jnp.max(jnp.abs(cont_err)) / jnp.mean(rho)
+        diag["T_min"] = jnp.min(T)
+        diag["T_max"] = jnp.max(T)
+
+        return LowMachState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
+                            dpdt=dpdt, time=s.time + dt), diag
+
+    def courant(self, s: LowMachState, dt) -> jax.Array:
+        """Max Courant number (compressibleCourantNo.H parity)."""
+        co = 0.0
+        for ax, h in enumerate(self.mesh.spacing):
+            co = jnp.maximum(co, jnp.max(jnp.abs(s.U[ax])) * dt / h)
+        return co
+
+
+def _sngrad(P_padded, axis, h):
+    own, nei = face_pair(P_padded, axis)
+    return (nei - own) / h
