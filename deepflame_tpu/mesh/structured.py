@@ -177,6 +177,27 @@ def pad_field(f: jax.Array, bcs: FieldBCs, mesh: StructuredMesh,
     return out
 
 
+def extend_padded(P: jax.Array, axis: int, bcs: FieldBCs):
+    """Second ghost layer for wide (TVD/MUSCL) stencils.
+
+    P is a once-padded field (n+2 along axis). Returns (Pm, Pp), each n+3:
+    Pm prepends the far-low ghost, Pp appends the far-high ghost. Cyclic axes
+    wrap exactly (required for flux consistency at the periodic seam — the two
+    duplicate wrap faces must see identical stencils); other BCs replicate the
+    ghost (first-order at physical boundaries, standard practice)."""
+    n = P.shape[axis]
+    if bcs[axis][0].kind == "cyclic":
+        # padded indices: [ghost=c_{n-1}, c_0..c_{n-1}, ghost=c_0]
+        far_lo = jax.lax.slice_in_dim(P, n - 3, n - 2, axis=axis)  # c_{n-2}
+        far_hi = jax.lax.slice_in_dim(P, 2, 3, axis=axis)          # c_1
+    else:
+        far_lo = jax.lax.slice_in_dim(P, 0, 1, axis=axis)
+        far_hi = jax.lax.slice_in_dim(P, n - 1, n, axis=axis)
+    Pm = jnp.concatenate([far_lo, P], axis=axis)
+    Pp = jnp.concatenate([P, far_hi], axis=axis)
+    return Pm, Pp
+
+
 def _pad_axis_wrap(f: jax.Array, axis: int) -> jax.Array:
     lo = jax.lax.slice_in_dim(f, f.shape[axis] - 1, f.shape[axis], axis=axis)
     hi = jax.lax.slice_in_dim(f, 0, 1, axis=axis)

@@ -39,7 +39,8 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..mesh.structured import BC, FieldBCs, StructuredMesh, pad_field
+from ..mesh.structured import (BC, FieldBCs, StructuredMesh, extend_padded,
+                               pad_field)
 
 __all__ = [
     "FvMatrix", "face_pair", "interpolate", "grad", "div_flux", "flux_of",
@@ -123,7 +124,7 @@ def div_explicit(phi, psi: jax.Array, bcs: FieldBCs, mesh: StructuredMesh,
     P = pad_field(psi, bcs, mesh)
     out = 0.0
     for ax, h in enumerate(mesh.spacing):
-        fv = limited_face_values(P, phi[ax], ax, scheme, limiter_k)
+        fv = limited_face_values(P, phi[ax], ax, scheme, limiter_k, bcs)
         out = out + _face_diff(phi[ax] * fv, ax) / h
     return out
 
@@ -162,7 +163,8 @@ def snGrad_boundary(f, bcs, mesh):
 # ------------------------------------------------------------ face-value schemes
 
 def limited_face_values(P: jax.Array, phi_ax: jax.Array, axis: Axis,
-                        scheme: str, k: float = 1.0) -> jax.Array:
+                        scheme: str, k: float = 1.0,
+                        bcs: FieldBCs | None = None) -> jax.Array:
     """Face values of psi for convection along `axis` given face flux sign.
 
     upwind:        psi_f = upwind cell
@@ -177,11 +179,14 @@ def limited_face_values(P: jax.Array, phi_ax: jax.Array, axis: Axis,
     central = 0.5 * (own + nei)
     if scheme == "linear":
         return central
-    # limiter needs the far-upwind value: pad P once more along axis (ghost of
-    # ghost = replicate) to form the upwind-side difference
-    n = P.shape[axis]
-    Pm = jnp.concatenate([jax.lax.slice_in_dim(P, 0, 1, axis=axis), P], axis=axis)
-    Pp = jnp.concatenate([P, jax.lax.slice_in_dim(P, n - 1, n, axis=axis)], axis=axis)
+    # limiter needs the far-upwind value: extend with a second ghost layer
+    # (cyclic-exact when bcs provided — keeps the periodic seam conservative)
+    if bcs is not None:
+        Pm, Pp = extend_padded(P, axis, bcs)
+    else:
+        n = P.shape[axis]
+        Pm = jnp.concatenate([jax.lax.slice_in_dim(P, 0, 1, axis=axis), P], axis=axis)
+        Pp = jnp.concatenate([P, jax.lax.slice_in_dim(P, n - 1, n, axis=axis)], axis=axis)
     t = _trim(Pm, axis)  # indices shifted by +1 relative to P's trim
     nfull = t.shape[axis]
     far_own = jax.lax.slice_in_dim(t, 0, nfull - 2, axis=axis)   # own - 1
@@ -324,7 +329,7 @@ def fvm_div(phi, psi_now: jax.Array, mesh: StructuredMesh, bcs: FieldBCs,
         Pn = pad_field(psi_now, bcs, mesh)
         corr = 0.0
         for ax, h in enumerate(mesh.spacing):
-            hi = limited_face_values(Pn, phi[ax], ax, scheme, limiter_k)
+            hi = limited_face_values(Pn, phi[ax], ax, scheme, limiter_k, bcs)
             lo = limited_face_values(Pn, phi[ax], ax, "upwind")
             corr = corr + _face_diff(phi[ax] * (hi - lo), ax) / h
         src = src - corr

@@ -85,6 +85,7 @@ class LowMachSolver:
     bcs_Y: Any            # single FieldBCs shared by species (or tuple per sp.)
     bcs_rho: Any
     config: LowMachConfig = LowMachConfig()
+    turbulence: Any = None     # LESModel (turbulence/les.py) or None (laminar)
 
     # -------------------------------------------------------------- helpers
     def _species_bcs(self, i: int):
@@ -156,8 +157,14 @@ class LowMachSolver:
             # ===== rhoEqn (explicit continuity, rhoEqn.H:34-48)
             rho = rho_old - dt * div_flux(phi, mesh)
 
-            # ===== coefficient fields
+            # ===== coefficient fields (molecular + SGS effective, the
+            # reference's turbulence->muEff()/alphaEff() pattern)
             mu, alpha, rhoD = self._mixture_update(p, T, Y)
+            if self.turbulence is not None:
+                mu_t = self.turbulence.mu_t(rho, U, self.bcs_U, mesh)
+                mu = mu + mu_t
+                alpha = alpha + mu_t / self.turbulence.Pr_t
+                rhoD = rhoD + mu_t[None] / self.turbulence.Sc_t
 
             # ===== UEqn (UEqn.H:4-30)
             gp = grad(p, self.bcs_p, mesh)
