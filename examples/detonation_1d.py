@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--dtype", default="f64")
     ap.add_argument("--flux", default="HLLC")
     ap.add_argument("--cfl", type=float, default=0.3)
+    ap.add_argument("--driver-frac", type=float, default=0.05)
+    ap.add_argument("--driver-pratio", type=float, default=50.0)
+    ap.add_argument("--driver-T", type=float, default=3000.0)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -79,10 +82,10 @@ def main():
     Yv = moles * W / (moles * W).sum()
     X, _, _ = mesh.cell_centers(dtype)
     p0, T0 = 6670.0, 298.0
-    # hot driver: first 4% of the domain at 10x pressure, 2000 K
-    driver = X < 0.04 * Lx
-    T = jnp.where(driver, 2000.0, T0).astype(dtype)
-    p = jnp.where(driver, 30.0 * p0, p0).astype(dtype)
+    # hot high-pressure driver for direct initiation
+    driver = X < args.driver_frac * Lx
+    T = jnp.where(driver, args.driver_T, T0).astype(dtype)
+    p = jnp.where(driver, args.driver_pratio * p0, p0).astype(dtype)
     Y = jnp.asarray(np.tile(Yv[:, None, None, None], (1,) + mesh.shape), dtype)
     s = solver.initial_state(p, T, Y)
 
