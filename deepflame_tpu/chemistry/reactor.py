@@ -101,9 +101,10 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
                     T_threshold: float = 200.0) -> ChemistryResult:
     """Advance chemistry in every cell by dt at constant pressure.
 
-    T, p: (...,); Y: (..., ns); dt: scalar. Cells with T < T_threshold are
-    frozen (the reference's `unReactT_`/frozenTemperature mask,
-    /root/reference/src_gpu/dfChemistrySolver.cu:5-21).
+    T, p: (...,); Y: (..., ns); dt: scalar or per-cell array (EDC integrates
+    over the fine-structure residence time tau*, per cell). Cells with
+    T < T_threshold are frozen (the reference's `unReactT_`/frozenTemperature
+    mask, /root/reference/src_gpu/dfChemistrySolver.cu:5-21).
     """
     batch_shape = T.shape
     ns = Y.shape[-1]
@@ -111,20 +112,21 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
     pf = p.reshape(-1)
     Yf = Y.reshape(-1, ns)
     s0 = jnp.concatenate([Tf[:, None], Yf], axis=1)
+    dt_f = jnp.broadcast_to(jnp.asarray(dt, Tf.dtype), batch_shape).reshape(-1)
 
     def one_cell(s, p_cell, t_end):
         rhs = constant_pressure_rhs(thermo, kin, p_cell)
         return rosenbrock_integrate(rhs, s, t_end, opts)
 
     active = Tf > T_threshold
-    t_ends = jnp.where(active, jnp.asarray(dt, Tf.dtype), 0.0)
+    t_ends = jnp.where(active, dt_f, 0.0)
     s1 = jax.vmap(one_cell, in_axes=(0, 0, 0))(s0, pf, t_ends)
 
     T1 = s1[:, 0]
     Y1 = jnp.clip(s1[:, 1:], 0.0, 1.0)
     Y1 = Y1 / jnp.sum(Y1, axis=-1, keepdims=True)
     rho = thermo.rho(pf, Tf, Yf)
-    RR = rho[:, None] * (Y1 - Yf) / dt
+    RR = rho[:, None] * (Y1 - Yf) / jnp.maximum(dt_f, 1e-30)[:, None]
     # heat release from formation enthalpies: Qdot = -sum hf_i RR_i
     Qdot = -jnp.einsum("ns,s->n", RR, thermo.h_formation)
     return ChemistryResult(

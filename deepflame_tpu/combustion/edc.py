@@ -1,0 +1,74 @@
+"""Eddy Dissipation Concept turbulence-chemistry interaction model.
+
+Role parity: /root/reference/src/dfCombustionModels/EDC/EDC.C — versions
+v1981/v1996/v2005/v2016 (EDC.H:35-53). Formulas (EDC.C correct()):
+  gammaL = Cgamma (nu eps / k^2)^(1/4)      fine-structure fraction
+  tau*   = Ctau  sqrt(nu / eps)             fine-structure residence time
+  kappa  = min(gammaL^exp1 / (1 - gammaL^exp2), 1), kappa = 1 if gammaL >= 1
+  v2005: exp1=2, exp2=2; v1981: 3,3; v1996: 2,3; v2016 computes per-cell
+  CtauI = min(C1/(Da sqrt(ReT+1)), 2.1377) and
+  CgammaI = clamp(C2 sqrt(Da (ReT+1)), 0.4082, 5), with Da = tmix/tc,
+  ReT = k^2/(nu eps). Chemistry is integrated over tau* (EDC.C:170
+  `chemistryPtr_->solve(tauStar)`) and R(Yi) = kappa * RR_i (:178).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from .basic import CombustionModel
+from ..chemistry.reactor import solve_chemistry, ChemistryResult
+
+__all__ = ["EDC"]
+
+_EXPONENTS = {"v1981": (3, 3), "v1996": (2, 3), "v2005": (2, 2),
+              "v2016": (2, 2)}
+
+
+@dataclasses.dataclass(frozen=True)
+class EDC(CombustionModel):
+    version: str = "v2005"
+    Cgamma: float = 2.1377
+    Ctau: float = 0.4083
+    C1: float = 0.05774      # v2016
+    C2: float = 0.5          # v2016
+
+    def correct(self, T, p, Y, dt, turb=None) -> ChemistryResult:
+        if turb is None:
+            raise ValueError("EDC requires turbulence quantities (k, epsilon, nu)")
+        k = turb["k"]
+        eps = jnp.maximum(turb["epsilon"], 1e-30)
+        nu = turb["nu"]
+        exp1, exp2 = _EXPONENTS[self.version]
+
+        small = 1e-30
+        if self.version == "v2016":
+            ReT = k * k / jnp.maximum(nu * eps, small)
+            tmix = k / eps
+            # chemistry time from formation rates (below, after solve) is
+            # circular; use the reference's Da with tc from a cheap proxy:
+            # tc ~ tau* of the previous iterate is not available, so use the
+            # kolmogorov time as in the standard v2016 bootstrap
+            tc = jnp.sqrt(nu / eps)
+            Da = jnp.clip(tmix / jnp.maximum(tc, small), 1e-10, 10.0)
+            Ctau_f = jnp.minimum(self.C1 / (Da * jnp.sqrt(ReT + 1.0)), 2.1377)
+            Cgamma_f = jnp.clip(self.C2 * jnp.sqrt(Da * (ReT + 1.0)),
+                                0.4082, 5.0)
+        else:
+            Ctau_f = self.Ctau
+            Cgamma_f = self.Cgamma
+
+        gammaL = Cgamma_f * (nu * eps / jnp.maximum(k * k, small)) ** 0.25
+        tau_star = Ctau_f * jnp.sqrt(nu / eps)
+        kappa = jnp.where(
+            gammaL >= 1.0, 1.0,
+            jnp.clip(gammaL**exp1 / jnp.maximum(1.0 - gammaL**exp2, small),
+                     0.0, 1.0))
+
+        # integrate chemistry over the fine-structure residence time
+        tau_star = jnp.clip(tau_star, 1e-10, 0.1)
+        res = solve_chemistry(self.thermo, self.kinetics, T, p, Y, tau_star,
+                              opts=self.ode_opts, T_threshold=self.T_threshold)
+        return res._replace(RR=res.RR * kappa[..., None],
+                            Qdot=res.Qdot * kappa)

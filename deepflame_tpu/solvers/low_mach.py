@@ -147,7 +147,13 @@ class LowMachSolver:
         # laminar model: combustion->correct() inside the first outer corr.)
         if cfg.chemistry:
             Yt = jnp.moveaxis(Y, 0, -1)
-            chem = self.combustion.correct(T, p, Yt, dt)
+            turb_q = None
+            if self.turbulence is not None:
+                mu0, _, _ = self._mixture_update(p, T, Y)
+                mu_t0 = self.turbulence.mu_t(rho, U, self.bcs_U, mesh)
+                k_sgs, eps_sgs = self.turbulence.sgs_k_epsilon(mu_t0, rho, mesh)
+                turb_q = dict(k=k_sgs, epsilon=eps_sgs, nu=mu0 / rho)
+            chem = self.combustion.correct(T, p, Yt, dt, turb_q)
             RR = jnp.moveaxis(chem.RR, -1, 0)          # (ns, ...)
             diag["Qdot_max"] = jnp.max(chem.Qdot)
         else:

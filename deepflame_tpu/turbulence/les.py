@@ -40,6 +40,18 @@ class LESModel:
     Sc_t: float = 0.7
     mu_t_max_ratio: float = 1e5
 
+    def sgs_k_epsilon(self, mu_t, rho, mesh: StructuredMesh):
+        """SGS kinetic energy and dissipation from equilibrium scaling
+        (k = (nu_t/(Ck delta))^2, eps = Ce k^1.5/delta; Ck=0.094, Ce=1.048 —
+        the OpenFOAM LES eddyViscosity convention the reference's EDC/PaSR
+        consume via turbulence().k()/epsilon())."""
+        delta = (mesh.dx * mesh.dy * mesh.dz) ** (1.0 / 3.0)
+        Ck, Ce = 0.094, 1.048
+        nu_t = mu_t / rho
+        k = (nu_t / (Ck * delta)) ** 2
+        eps = Ce * k ** 1.5 / delta
+        return k, eps
+
     def mu_t(self, rho, U, bcs_U, mesh: StructuredMesh):
         delta = (mesh.dx * mesh.dy * mesh.dz) ** (1.0 / 3.0)
         g = _grad_U(U, bcs_U, mesh)            # (3, 3, nx, ny, nz): g[i][j] = dU_i/dx_j
