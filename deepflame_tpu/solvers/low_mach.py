@@ -173,39 +173,8 @@ class LowMachSolver:
                 rhoD = rhoD + mu_t[None] / self.turbulence.Sc_t
 
             # ===== UEqn (UEqn.H:4-30)
-            gp = grad(p, self.bcs_p, mesh)
-            mu_f = tuple(interpolate(pad_field(mu, self.bcs_p, mesh), ax)
-                         for ax in range(3))
-            # explicit part of div(mu dev2(grad U)^T): transpose + dilatation
-            divU = 0.0
-            gU = []
-            for c in range(3):
-                gUc = grad(U[c], self.bcs_U[c], mesh)
-                gU.append(gUc)
-                divU = divU + gUc[c]
-            U_new = []
-            u_diags = None
-            HbyA = []
-            for c in range(3):
-                # dev2 correction: d/dxj [ mu (dUj/dxi - 2/3 delta_ij divU) ]
-                corr = (grad(mu * gU[0][c], self.bcs_p, mesh)[0]
-                        + grad(mu * gU[1][c], self.bcs_p, mesh)[1]
-                        + grad(mu * gU[2][c], self.bcs_p, mesh)[2]
-                        - grad(mu * divU, self.bcs_p, mesh)[c] * (2.0 / 3.0))
-                eqn = (fvm_ddt(rho, U_old[c], dt, mesh, self.bcs_U[c],
-                               coeff_old=rho_old)
-                       + fvm_div(phi, U[c], mesh, self.bcs_U[c], cfg.div_scheme)
-                       + fvm_laplacian(mu_f, mesh, self.bcs_U[c], dtype=dtype,
-                                       sign=-1.0))
-                eqn = eqn.with_source(-gp[c] + corr)
-                res = solve_fvmatrix(eqn, U[c], tol=cfg.u_tol,
-                                     max_iter=cfg.max_iter_u)
-                U_new.append(res.x)
-                if u_diags is None:
-                    u_diags = eqn.diag()                # same for all comps
-                HbyA.append(eqn.H(res.x) / u_diags)
-            U = jnp.stack(U_new)
-            rAU = 1.0 / u_diags
+            U, HbyA, rAU = self._momentum(rho, rho_old, U, U_old, phi, p, mu,
+                                          dt)
 
             # ===== YEqn (YEqn.H:1-130)
             if ns > 1:
@@ -280,36 +249,10 @@ class LowMachSolver:
             psi = self.thermo.psi(T, Yt)
 
             # ===== pEqn correctors (pEqn.H:1-120)
-            for corr_i in range(cfg.n_corr):
-                rho = self.thermo.rho(p, T, Yt)
-                rho_f = tuple(interpolate(pad_field(rho, self.bcs_rho, mesh), ax)
-                              for ax in range(3))
-                rAU_f = tuple(interpolate(pad_field(rAU, self.bcs_p, mesh), ax)
-                              for ax in range(3))
-                phiHbyA = tuple(
-                    rho_f[ax] * interpolate(
-                        pad_field(HbyA[ax], self.bcs_U[ax], mesh), ax)
-                    for ax in range(3))
-                rhorAUf = tuple(rho_f[ax] * rAU_f[ax] for ax in range(3))
-                eqn_p = (fvm_ddt(psi, p_old, dt, mesh, self.bcs_p)
-                         + fvm_laplacian(rhorAUf, mesh, self.bcs_p,
-                                         dtype=dtype, sign=-1.0))
-                eqn_p = eqn_p.with_source(-div_flux(phiHbyA, mesh))
-                res_p = solve_fvmatrix(eqn_p, p, symmetric=True,
-                                       tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
-                                       max_iter=cfg.max_iter_p)
-                p = res_p.x
-                diag[f"p_res_{outer}_{corr_i}"] = res_p.initial_residual
-                # flux reconstruction: phi = phiHbyA - rhorAUf * snGrad(p)
-                Pp = pad_field(p, self.bcs_p, mesh)
-                phi = tuple(
-                    phiHbyA[ax] - rhorAUf[ax] * _sngrad(Pp, ax, mesh.spacing[ax])
-                    for ax in range(3))
-                # velocity correction
-                gp = grad(p, self.bcs_p, mesh)
-                U = jnp.stack([HbyA[c] - rAU * gp[c] for c in range(3)])
-                dpdt = (p - p_old) / dt
-            rho = self.thermo.rho(p, T, Yt)
+            rho_fn = lambda pp: self.thermo.rho(pp, T, Yt)
+            p, phi, U, dpdt, rho, p_res = self._pressure_loop(
+                p, p_old, psi, rho_fn, HbyA, rAU, dt)
+            diag[f"p_res_{outer}"] = p_res
 
         # continuity diagnostic
         cont_err = rho - (rho_old - dt * div_flux(phi, mesh))
@@ -326,6 +269,85 @@ class LowMachSolver:
         for ax, h in enumerate(self.mesh.spacing):
             co = jnp.maximum(co, jnp.max(jnp.abs(s.U[ax])) * dt / h)
         return co
+
+    # ---------------------------------------------- shared PIMPLE blocks
+    def _momentum(self, rho, rho_old, U, U_old, phi, p, mu, dt):
+        """Implicit momentum predictor (UEqn.H:4-30): returns (U, HbyA, rAU).
+        Shared by the species solver and the FGM solver."""
+        mesh = self.mesh
+        cfg = self.config
+        dtype = p.dtype
+        gp = grad(p, self.bcs_p, mesh)
+        mu_f = tuple(interpolate(pad_field(mu, self.bcs_p, mesh), ax)
+                     for ax in range(3))
+        # explicit part of div(mu dev2(grad U)^T): transpose + dilatation
+        divU = 0.0
+        gU = []
+        for c in range(3):
+            gUc = grad(U[c], self.bcs_U[c], mesh)
+            gU.append(gUc)
+            divU = divU + gUc[c]
+        U_new = []
+        u_diags = None
+        HbyA = []
+        for c in range(3):
+            # dev2 correction: d/dxj [ mu (dUj/dxi - 2/3 delta_ij divU) ]
+            corr = (grad(mu * gU[0][c], self.bcs_p, mesh)[0]
+                    + grad(mu * gU[1][c], self.bcs_p, mesh)[1]
+                    + grad(mu * gU[2][c], self.bcs_p, mesh)[2]
+                    - grad(mu * divU, self.bcs_p, mesh)[c] * (2.0 / 3.0))
+            eqn = (fvm_ddt(rho, U_old[c], dt, mesh, self.bcs_U[c],
+                           coeff_old=rho_old)
+                   + fvm_div(phi, U[c], mesh, self.bcs_U[c], cfg.div_scheme)
+                   + fvm_laplacian(mu_f, mesh, self.bcs_U[c], dtype=dtype,
+                                   sign=-1.0))
+            eqn = eqn.with_source(-gp[c] + corr)
+            res = solve_fvmatrix(eqn, U[c], tol=cfg.u_tol,
+                                 max_iter=cfg.max_iter_u)
+            U_new.append(res.x)
+            if u_diags is None:
+                u_diags = eqn.diag()                # same for all comps
+            HbyA.append(eqn.H(res.x) / u_diags)
+        return jnp.stack(U_new), HbyA, 1.0 / u_diags
+
+    def _pressure_loop(self, p, p_old, psi, rho_fn, HbyA, rAU, dt):
+        """Compressible pressure correctors (pEqn.H:1-120): returns
+        (p, phi, U, dpdt, rho, last initial residual)."""
+        mesh = self.mesh
+        cfg = self.config
+        dtype = p.dtype
+        p_res = jnp.zeros((), dtype)
+        for _ in range(cfg.n_corr):
+            rho = rho_fn(p)
+            rho_f = tuple(interpolate(pad_field(rho, self.bcs_rho, mesh), ax)
+                          for ax in range(3))
+            rAU_f = tuple(interpolate(pad_field(rAU, self.bcs_p, mesh), ax)
+                          for ax in range(3))
+            phiHbyA = tuple(
+                rho_f[ax] * interpolate(
+                    pad_field(HbyA[ax], self.bcs_U[ax], mesh), ax)
+                for ax in range(3))
+            rhorAUf = tuple(rho_f[ax] * rAU_f[ax] for ax in range(3))
+            eqn_p = (fvm_ddt(psi, p_old, dt, mesh, self.bcs_p)
+                     + fvm_laplacian(rhorAUf, mesh, self.bcs_p,
+                                     dtype=dtype, sign=-1.0))
+            eqn_p = eqn_p.with_source(-div_flux(phiHbyA, mesh))
+            res_p = solve_fvmatrix(eqn_p, p, symmetric=True,
+                                   tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
+                                   max_iter=cfg.max_iter_p)
+            p = res_p.x
+            p_res = res_p.initial_residual
+            # flux reconstruction: phi = phiHbyA - rhorAUf * snGrad(p)
+            Pp = pad_field(p, self.bcs_p, mesh)
+            phi = tuple(
+                phiHbyA[ax] - rhorAUf[ax] * _sngrad(Pp, ax, mesh.spacing[ax])
+                for ax in range(3))
+            # velocity correction
+            gp = grad(p, self.bcs_p, mesh)
+            U = jnp.stack([HbyA[c] - rAU * gp[c] for c in range(3)])
+            dpdt = (p - p_old) / dt
+        rho = rho_fn(p)
+        return p, phi, U, dpdt, rho, p_res
 
 
 def _sngrad(P_padded, axis, h):

@@ -108,8 +108,14 @@ def main():
             t_now = float(s.time)
             front_t.append(t_now)
             front_x.append(xs[ix])
+            rho_n, U_n, _, _, Y_n = solver.primitives(s)
+            # burned-zone diagnostic: fuel leftover well behind the front
+            behind = xs < (xs[ix] - 0.02)
+            h2_left = float(np.asarray(Y_n[iH2]).squeeze()[behind].max()) \
+                if behind.sum() > 2 else float("nan")
             print(f"t={t_now*1e6:8.2f} us  front={xs[ix]*1000:7.2f} mm  "
-                  f"p_max={p_now.max()/1e3:8.1f} kPa  T_max={T_now.max():7.1f} K",
+                  f"p_max={p_now.max()/1e3:8.1f} kPa  T_max={T_now.max():7.1f} K  "
+                  f"Y_H2_behind={h2_left:.4f}/{Yv[iH2]:.4f}",
                   flush=True)
             if not np.isfinite(p_now.max()):
                 print("DIVERGED")
