@@ -90,12 +90,9 @@ def read_flare_table(path: str, dtype=jnp.float32) -> FlameletTable:
         NH, NZ, NC, NGZ, NGC, NZC, NS, NYomega, NY, NZL = (
             int(t) for t in tok_header[:10])
         scaled_pv = (NS == 8 + NYomega)
-        omega_species = tuple(f.readline().split()[:NYomega]) if NYomega else ()
-        if NYomega == 0:
-            pass
-        species = tuple(f.readline().split()[:NY]) if NY else ()
-        if NY == 0:
-            pass
+        # name lines are always present (possibly empty), tableSolver.C:87-104
+        omega_species = tuple(f.readline().split()[:NYomega])
+        species = tuple(f.readline().split()[:NY])
 
         def read_n(n):
             vals = []

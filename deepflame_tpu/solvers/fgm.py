@@ -1,0 +1,182 @@
+"""Flamelet-generated-manifold low-Mach solver (flareFGM parity).
+
+Role parity: dfLowMachFoam + the FGM combustion-model family —
+`baseFGM` scalar transport (/root/reference/src/dfCombustionModels/FGM/
+baseFGM/baseFGM.C:478-700: Z, Zvar, c, cvar (+ Zcvar) equations with
+mut/Sct + mu/Sc diffusivity, gradient production 2 mut/Sct |grad Z|^2 and
+dissipation 2 rho chi) and `flareFGM` table lookups (/root/reference/src/
+dfCombustionModels/FGM/flareFGM/flareFGM.C:239-345: normalized variances
+gz = Zvar/(Z(1-Z)), gc = cvar/(c(1-c)), correlation gzc, then 6-D lookups of
+omega_c, T, mwt, cp, nu, ...).
+
+Instead of transporting ns species + energy + stiff chemistry, the solver
+transports 5 control scalars and reads the thermochemistry from the table —
+the manifold replaces both the chemistry engine and correctThermo. Momentum
+and pressure blocks are shared with LowMachSolver (SURVEY.md §3.1 loop).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import GAS_CONSTANT
+from ..mesh.structured import StructuredMesh, pad_field
+from ..ops.fv import (fvm_ddt, fvm_div, fvm_laplacian, grad, div_flux,
+                      interpolate)
+from ..ops.linsolve import solve_fvmatrix
+from .low_mach import LowMachSolver, LowMachConfig, _sngrad
+from ..combustion.fgm.table import FlameletTable, lookup
+
+__all__ = ["FGMState", "FGMConfig", "FGMSolver"]
+
+
+class FGMState(NamedTuple):
+    rho: jax.Array
+    U: jax.Array
+    p: jax.Array
+    Z: jax.Array        # mixture fraction
+    Zvar: jax.Array
+    c: jax.Array        # (scaled) progress variable
+    cvar: jax.Array
+    T: jax.Array
+    phi: tuple
+    dpdt: jax.Array
+    time: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class FGMConfig(LowMachConfig):
+    Sc: float = 0.7           # laminar Schmidt (baseFGM Sc_)
+    Sc_t: float = 0.7         # turbulent Schmidt (Sct_)
+    Cd: float = 2.0           # scalar dissipation constant: chi = Cd eps/k var
+    solve_cvar: bool = True
+    combustion_on: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class FGMSolver(LowMachSolver):
+    """Reuses LowMachSolver's momentum/pressure blocks; `combustion`,
+    `bcs_Y`, `bcs_h` fields are unused; `table` drives thermochemistry."""
+    table: FlameletTable = None
+    bcs_Z: Any = None
+
+    def fgm_initial_state(self, p, Z, c, U=None, time=0.0) -> FGMState:
+        dtype = p.dtype
+        sh = self.mesh.shape
+        if U is None:
+            U = jnp.zeros((3,) + sh, dtype)
+        zeros = jnp.zeros(sh, dtype)
+        T, W, cp, nu, _ = self._lookup_state(Z, zeros, c, zeros)
+        rho = p * W / (GAS_CONSTANT * T)
+        phi = self._face_flux(rho, U)
+        return FGMState(rho=rho, U=U, p=p, Z=Z, Zvar=zeros, c=c, cvar=zeros,
+                        T=T, phi=phi, dpdt=zeros,
+                        time=jnp.asarray(time, dtype))
+
+    def _lookup_state(self, Z, Zvar, c, cvar):
+        """Table thermochemistry at the current control-variable state
+        (flareFGM.C:239-345)."""
+        small = 1e-6
+        gz = Zvar / jnp.maximum(Z * (1.0 - Z), small)
+        gc = cvar / jnp.maximum(c * (1.0 - c), small)
+        coords = (None, Z, c, gz, gc, None)
+        tb = self.table
+        T = lookup(tb, "Tf", coords)
+        W = lookup(tb, "mwt", coords)
+        cp = lookup(tb, "cp", coords)
+        nu = lookup(tb, "nu", coords)
+        omgc = lookup(tb, "omgc", coords)
+        return T, W, cp, nu, omgc
+
+    def step(self, s: FGMState, dt):
+        cfg = self.config
+        mesh = self.mesh
+        dtype = s.p.dtype
+
+        rho_old, U_old, p_old = s.rho, s.U, s.p
+        Z_old, Zvar_old, c_old, cvar_old = s.Z, s.Zvar, s.c, s.cvar
+        rho, U, p, phi, dpdt, T = s.rho, s.U, s.p, s.phi, s.dpdt, s.T
+        Z, Zvar, c, cvar = s.Z, s.Zvar, s.c, s.cvar
+        diag = {}
+        bz = self.bcs_Z
+
+        for outer in range(cfg.n_outer):
+            # rhoEqn
+            rho = rho_old - dt * div_flux(phi, mesh)
+
+            # table thermo-transport coefficients
+            T_tab, W_tab, cp_tab, nu_tab, omgc = self._lookup_state(
+                Z, Zvar, c, cvar)
+            mu = rho * nu_tab
+            mu_t = jnp.zeros_like(mu)
+            if self.turbulence is not None:
+                mu_t = self.turbulence.mu_t(rho, U, self.bcs_U, mesh)
+                k_sgs, eps_sgs = self.turbulence.sgs_k_epsilon(mu_t, rho, mesh)
+            else:
+                k_sgs = jnp.zeros_like(mu)
+                eps_sgs = jnp.ones_like(mu)
+            mu_eff = mu + mu_t
+
+            # momentum (shared block)
+            U, HbyA, rAU = self._momentum(rho, rho_old, U, U_old, phi, p,
+                                          mu_eff, dt)
+
+            # ===== FGM scalar transport (baseFGM.C:478-700)
+            D_scalar = mu_t / cfg.Sc_t + mu / cfg.Sc
+            D_f = tuple(interpolate(pad_field(D_scalar, self.bcs_p, mesh), ax)
+                        for ax in range(3))
+
+            def transport(q, q_old, source, q_min=0.0, q_max=1.0):
+                eqn = (fvm_ddt(rho, q_old, dt, mesh, bz, coeff_old=rho_old)
+                       + fvm_div(phi, q, mesh, bz, cfg.div_scheme)
+                       + fvm_laplacian(D_f, mesh, bz, dtype=dtype, sign=-1.0))
+                eqn = eqn.with_source(source)
+                r = solve_fvmatrix(eqn, q, tol=cfg.y_tol,
+                                   max_iter=cfg.max_iter_u)
+                return jnp.clip(r.x, q_min, q_max)
+
+            zeros = jnp.zeros(mesh.shape, dtype)
+            Z = transport(Z, Z_old, zeros)
+            gZ = grad(Z, bz, mesh)
+            magsq_gZ = sum(gZ[ax] ** 2 for ax in range(3))
+            chi_Z = cfg.Cd * (eps_sgs / jnp.maximum(k_sgs, 1e-10)) * Zvar * 0.5
+            Zvar = transport(Zvar, Zvar_old,
+                             2.0 * (mu_t / cfg.Sc_t) * magsq_gZ
+                             - 2.0 * rho * chi_Z, 0.0, 0.25)
+            if cfg.combustion_on:
+                omega_c = rho * omgc
+                c = transport(c, c_old, omega_c)
+                if cfg.solve_cvar:
+                    gC = grad(c, bz, mesh)
+                    magsq_gC = sum(gC[ax] ** 2 for ax in range(3))
+                    chi_c = cfg.Cd * (eps_sgs / jnp.maximum(k_sgs, 1e-10)) \
+                        * cvar * 0.5
+                    # production + dissipation + chemistry correlation term
+                    cOc = lookup(self.table, "cOc",
+                                 (None, Z, c,
+                                  Zvar / jnp.maximum(Z * (1 - Z), 1e-6),
+                                  cvar / jnp.maximum(c * (1 - c), 1e-6), None))
+                    cvar = transport(cvar, cvar_old,
+                                     2.0 * (mu_t / cfg.Sc_t) * magsq_gC
+                                     - 2.0 * rho * chi_c
+                                     + 2.0 * rho * (cOc - c * omgc), 0.0, 0.25)
+
+            # ===== table thermo update (flareFGM correctThermo analogue)
+            T, W_tab, cp_tab, nu_tab, omgc = self._lookup_state(Z, Zvar, c,
+                                                                cvar)
+            psi = W_tab / (GAS_CONSTANT * T)
+
+            # ===== pressure correctors (shared block)
+            rho_fn = lambda pp: pp * psi
+            p, phi, U, dpdt, rho, p_res = self._pressure_loop(
+                p, p_old, psi, rho_fn, HbyA, rAU, dt)
+            diag[f"p_res_{outer}"] = p_res
+
+        diag["T_min"] = jnp.min(T)
+        diag["T_max"] = jnp.max(T)
+        diag["c_max"] = jnp.max(c)
+        return FGMState(rho=rho, U=U, p=p, Z=Z, Zvar=Zvar, c=c, cvar=cvar,
+                        T=T, phi=phi, dpdt=dpdt, time=s.time + dt), diag

@@ -1,12 +1,16 @@
-"""1D H2-O2-Ar detonation (dfHighSpeedFoam oneD_detonationH2 parity).
+"""1D H2-air detonation (dfHighSpeedFoam oneD_detonationH2 parity).
 
 Reference anchor: detonation propagation speed 1979.33 m/s +- 1% (vs
 Chapman-Jouguet theory), measured as the slope of the max-pressure front
 position over time (/root/reference/test/corrtest.cpp:47-49, fed by the
 fieldMinMax function object).
 
-Case setup mirrors the reference test: 2 H2 + O2 + 7 Ar at p0 = 6670 Pa,
-T0 = 298 K, ignited by a hot high-pressure driver region at the left wall.
+Case setup mirrors the reference test exactly (test/oneD_detonationH2):
+stoichiometric H2-air (Y_H2=0.02851, Y_O2=0.226, Y_N2=0.745) at 1 atm /
+300 K in a 5 m tube with 625 cells (blockMeshDict), ignited by a 90 atm /
+2000 K driver at the left wall (setFieldsDict), mechanism H2_Li. The CJ
+speed of this mixture computed from this repo's own thermochemistry
+(deepflame_tpu.utils.cj) is 1977 m/s.
 
 Usage: python examples/detonation_1d.py [--cells 1200] [--length 0.3]
        [--t-end 1e-4] [--dtype f64|f32] [--flux HLLC]
@@ -24,15 +28,15 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cells", type=int, default=1200)
-    ap.add_argument("--length", type=float, default=0.3)
-    ap.add_argument("--t-end", type=float, default=1.2e-4)
+    ap.add_argument("--cells", type=int, default=625)
+    ap.add_argument("--length", type=float, default=5.0)
+    ap.add_argument("--t-end", type=float, default=2.2e-3)
     ap.add_argument("--dtype", default="f64")
     ap.add_argument("--flux", default="HLLC")
     ap.add_argument("--cfl", type=float, default=0.3)
-    ap.add_argument("--driver-frac", type=float, default=0.05)
-    ap.add_argument("--driver-pratio", type=float, default=50.0)
-    ap.add_argument("--driver-T", type=float, default=3000.0)
+    ap.add_argument("--driver-frac", type=float, default=0.002)
+    ap.add_argument("--driver-pratio", type=float, default=90.0)
+    ap.add_argument("--driver-T", type=float, default=2000.0)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -51,7 +55,7 @@ def main():
     from deepflame_tpu.solvers.high_speed import (HighSpeedConfig,
                                                   HighSpeedSolver)
 
-    mech = load_mechanism("/root/reference/mechanisms/H2/H2_AR.yaml")
+    mech = load_mechanism("/root/reference/mechanisms/H2/H2_Li.yaml")
     th = make_thermo(mech, dtype)
     kin = make_kinetics(mech, dtype)
     n = args.cells
@@ -74,16 +78,16 @@ def main():
                              bcs_p=b_scalar, bcs_Y=b_scalar, config=cfg)
 
     ns = mech.n_species
-    W = mech.molecular_weights
-    iH2, iO2, iAR = (mech.species_index(s) for s in ("H2", "O2", "AR"))
-    # 2 H2 + O2 + 7 AR molar
-    moles = np.zeros(ns)
-    moles[iH2], moles[iO2], moles[iAR] = 2.0, 1.0, 7.0
-    Yv = moles * W / (moles * W).sum()
+    iH2, iO2, iN2 = (mech.species_index(s) for s in ("H2", "O2", "N2"))
+    # stoichiometric H2-air (test/oneD_detonationH2/0_orig)
+    Yv = np.zeros(ns)
+    Yv[iH2], Yv[iO2], Yv[iN2] = 0.02851, 0.226, 0.745
+    Yv /= Yv.sum()
     X, _, _ = mesh.cell_centers(dtype)
-    p0, T0 = 6670.0, 298.0
-    # hot high-pressure driver for direct initiation
-    driver = X < args.driver_frac * Lx
+    p0, T0 = 101325.0, 300.0
+    # hot high-pressure driver for direct initiation (>= 1 cell)
+    drv_len = max(args.driver_frac * Lx, 1.5 * mesh.dx)
+    driver = X < drv_len
     T = jnp.where(driver, args.driver_T, T0).astype(dtype)
     p = jnp.where(driver, args.driver_pratio * p0, p0).astype(dtype)
     Y = jnp.asarray(np.tile(Yv[:, None, None, None], (1,) + mesh.shape), dtype)
