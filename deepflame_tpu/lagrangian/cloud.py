@@ -1,0 +1,269 @@
+"""Lagrangian spray cloud: fixed-capacity SoA parcels under jit.
+
+Role parity: /root/reference/src/lagrangian/{intermediate,spray} — the
+KinematicCloud->ThermoCloud->ReactingCloud->SprayCloud template stack with
+injection, drag, evaporation (LiquidEvaporation/Boil/Spalding), Ranz-Marshall
+heat transfer, and the Euler coupling sources Srho/SU/Sh/SYi consumed by the
+solvers (dfSprayFoam/createClouds.H:2-9; rhoEqn.H:38, UEqn.H:9, EEqn.H:5-12,
+YEqn.H:109-111).
+
+TPU-first design:
+  - Parcels are fixed-capacity structure-of-arrays with an `active` mask —
+    no dynamic allocation under jit (SURVEY.md §7 stage 9). Dead/escaped
+    parcels are masked; injection reuses a static number of slots per step
+    with per-parcel multiplicity (nParticle) scaled to match the mass rate,
+    so shapes never change.
+  - Cell location on the structured mesh is a floor-divide (no cell hash);
+    gas->parcel sampling is nearest-cell gather; parcel->gas sources are
+    scatter-adds (jnp .at[].add) — both single XLA ops over all parcels.
+  - Drag and heat transfer use the analytically-implicit update (stable for
+    tau_p << dt); evaporation follows the Spalding-number formulation
+    (dm/dt = pi d Sh rho_g D ln(1+B_M), the reference's new
+    LiquidEvaporationSpalding model, README.md:30) with the classic
+    D^2-law/boiling limits as special cases.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh.structured import StructuredMesh
+from .liquids import Liquid
+
+__all__ = ["CloudState", "ConeInjector", "SprayCloud", "CloudSources"]
+
+
+class CloudState(NamedTuple):
+    pos: jax.Array        # (3, N)
+    vel: jax.Array        # (3, N)
+    d: jax.Array          # (N,) droplet diameter [m]
+    T: jax.Array          # (N,) droplet temperature
+    n_part: jax.Array     # (N,) droplets per parcel
+    active: jax.Array     # (N,) 0/1
+    inject_ptr: jax.Array # scalar: next slot to fill
+    m_injected: jax.Array # total injected mass
+    key: jax.Array        # PRNG key for injection sampling
+
+
+class CloudSources(NamedTuple):
+    Srho: jax.Array       # (nx, ny, nz) mass [kg/m^3/s]
+    SU: jax.Array         # (3, nx, ny, nz) momentum
+    Sh: jax.Array         # (nx, ny, nz) energy [J/m^3/s]
+    SY: jax.Array         # (nx, ny, nz) fuel-vapor species mass
+
+
+@dataclasses.dataclass(frozen=True)
+class ConeInjector:
+    """Cone-nozzle injection (aachenBomb unitInjector parity): constant mass
+    flow over [t0, t1] from a point, direction +axis with cone angle,
+    Rosin-Rammler-ish diameter sampling."""
+    position: tuple       # (x, y, z)
+    direction: tuple = (0.0, -1.0, 0.0)
+    cone_angle_deg: float = 10.0
+    u_mag: float = 200.0          # injection velocity magnitude
+    mdot: float = 1e-3            # kg/s
+    t_start: float = 0.0
+    t_end: float = 1.25e-3
+    d_mean: float = 8e-5          # mean droplet diameter
+    d_spread: float = 0.3         # relative spread
+    parcels_per_step: int = 8
+    T_inject: float = 320.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SprayCloud:
+    mesh: StructuredMesh
+    liquid: Liquid
+    injector: ConeInjector
+    max_parcels: int = 8192
+    evaporation: str = "Spalding"   # Spalding | D2law | none
+    Sc_gas: float = 0.7
+    Pr_gas: float = 0.7
+
+    def init(self, key, dtype=jnp.float64) -> CloudState:
+        N = self.max_parcels
+        z = jnp.zeros((N,), dtype)
+        return CloudState(pos=jnp.zeros((3, N), dtype),
+                          vel=jnp.zeros((3, N), dtype),
+                          d=z + 1e-6, T=z + 300.0, n_part=z, active=z,
+                          inject_ptr=jnp.asarray(0, jnp.int32),
+                          m_injected=jnp.zeros((), dtype),
+                          key=key)
+
+    # ------------------------------------------------------------ helpers
+    def _cell_index(self, pos):
+        m = self.mesh
+        i = jnp.clip(((pos[0] - m.x0) / m.dx).astype(jnp.int32), 0, m.nx - 1)
+        j = jnp.clip(((pos[1] - m.y0) / m.dy).astype(jnp.int32), 0, m.ny - 1)
+        k = jnp.clip(((pos[2] - m.z0) / m.dz).astype(jnp.int32), 0, m.nz - 1)
+        return i, j, k
+
+    def _in_domain(self, pos):
+        m = self.mesh
+        return ((pos[0] >= m.x0) & (pos[0] <= m.x0 + m.nx * m.dx)
+                & (pos[1] >= m.y0) & (pos[1] <= m.y0 + m.ny * m.dy)
+                & (pos[2] >= m.z0) & (pos[2] <= m.z0 + m.nz * m.dz))
+
+    # ------------------------------------------------------------- evolve
+    def evolve(self, c: CloudState, gas: dict, dt,
+               time) -> tuple[CloudState, CloudSources]:
+        """One Lagrangian substep (parcels.evolve() parity).
+
+        gas: dict of cell fields rho, U (3,...), T, mu, p, (optionally Yv
+        fuel vapor mass fraction for the Spalding driving force).
+        """
+        inj = self.injector
+        liq = self.liquid
+        dtype = c.d.dtype
+        N = self.max_parcels
+
+        # ==== injection: K static slots per step, multiplicity matches mdot
+        key, k1, k2, k3 = jax.random.split(c.key, 4)
+        K = inj.parcels_per_step
+        injecting = jnp.logical_and(time >= inj.t_start, time < inj.t_end)
+        slots = (c.inject_ptr + jnp.arange(K, dtype=jnp.int32)) % N
+        # diameters: lognormal-ish around d_mean
+        dm = inj.d_mean * jnp.exp(inj.d_spread
+                                  * jax.random.normal(k1, (K,), dtype))
+        dm = jnp.clip(dm, 0.2 * inj.d_mean, 4.0 * inj.d_mean)
+        # cone directions
+        half = jnp.deg2rad(inj.cone_angle_deg / 2.0)
+        axis = jnp.asarray(inj.direction, dtype)
+        axis = axis / jnp.linalg.norm(axis)
+        # random unit vectors within the cone around axis
+        phi = jax.random.uniform(k2, (K,), dtype, 0.0, 2.0 * jnp.pi)
+        cos_t = 1.0 - jax.random.uniform(k3, (K,), dtype) * (1.0 - jnp.cos(half))
+        sin_t = jnp.sqrt(1.0 - cos_t**2)
+        # build orthonormal frame (a1, a2, axis)
+        ref = jnp.where(jnp.abs(axis[0]) < 0.9,
+                        jnp.asarray([1.0, 0.0, 0.0], dtype),
+                        jnp.asarray([0.0, 1.0, 0.0], dtype))
+        a1 = jnp.cross(axis, ref)
+        a1 = a1 / jnp.linalg.norm(a1)
+        a2 = jnp.cross(axis, a1)
+        dirs = (axis[:, None] * cos_t[None, :]
+                + a1[:, None] * (sin_t * jnp.cos(phi))[None, :]
+                + a2[:, None] * (sin_t * jnp.sin(phi))[None, :])
+        m_drop = liq.rho(inj.T_inject) * jnp.pi / 6.0 * dm**3
+        mass_step = inj.mdot * dt
+        n_per = jnp.where(injecting, mass_step / K / m_drop, 0.0)
+
+        def set_slots(arr, vals):
+            return arr.at[..., slots].set(jnp.where(injecting, vals,
+                                                    arr[..., slots]))
+
+        pos = set_slots(c.pos, jnp.asarray(inj.position, dtype)[:, None]
+                        + 0.0 * dirs)
+        vel = set_slots(c.vel, inj.u_mag * dirs)
+        d = set_slots(c.d, dm)
+        Tp = set_slots(c.T, jnp.full((K,), inj.T_inject, dtype))
+        n_part = set_slots(c.n_part, n_per)
+        active = set_slots(c.active, jnp.where(injecting,
+                                               jnp.ones((K,), dtype), 0.0))
+        ptr = jnp.where(injecting, (c.inject_ptr + K) % N, c.inject_ptr)
+        m_injected = c.m_injected + jnp.where(injecting, mass_step, 0.0)
+
+        # ==== gas state at parcels (nearest cell)
+        ii, jj, kk = self._cell_index(pos)
+        g = lambda f: f[ii, jj, kk]
+        rho_g = g(gas["rho"])
+        T_g = g(gas["T"])
+        mu_g = g(gas["mu"])
+        p_g = g(gas["p"])
+        u_g = jnp.stack([g(gas["U"][a]) for a in range(3)])
+        Yv_g = g(gas["Yv"]) if "Yv" in gas else jnp.zeros_like(rho_g)
+
+        # ==== drag (Schiller-Naumann, analytically implicit)
+        rho_l = liq.rho(Tp)
+        rel = u_g - vel
+        rel_mag = jnp.sqrt(jnp.sum(rel**2, axis=0) + 1e-30)
+        Re = rho_g * rel_mag * d / jnp.maximum(mu_g, 1e-12)
+        Cd_Re24 = 1.0 + 0.15 * Re**0.687          # = Cd*Re/24
+        tau_p = rho_l * d**2 / (18.0 * jnp.maximum(mu_g, 1e-12) * Cd_Re24)
+        f_rel = dt / jnp.maximum(tau_p, 1e-12)
+        vel_new = vel + rel * (1.0 - jnp.exp(-f_rel))
+        dmom = (vel_new - vel)                     # per droplet velocity change
+
+        # ==== evaporation
+        m_d = rho_l * jnp.pi / 6.0 * d**3          # droplet mass
+        D_v = mu_g / (rho_g * self.Sc_gas)          # vapor diffusivity estimate
+        Sh = 2.0 + 0.6 * jnp.sqrt(jnp.maximum(Re, 0.0)) * self.Sc_gas**(1/3)
+        Nu = 2.0 + 0.6 * jnp.sqrt(jnp.maximum(Re, 0.0)) * self.Pr_gas**(1/3)
+        if self.evaporation == "none":
+            dm_dt = jnp.zeros_like(d)
+        else:
+            p_sat = liq.p_sat(Tp)
+            x_s = jnp.clip(p_sat / jnp.maximum(p_g, 1.0), 0.0, 0.999)
+            W_g = 28.9
+            Y_s = x_s * liq.W / (x_s * liq.W + (1.0 - x_s) * W_g)
+            B_M = jnp.clip((Y_s - Yv_g) / jnp.maximum(1.0 - Y_s, 1e-3),
+                           0.0, 20.0)
+            if self.evaporation == "Spalding":
+                dm_dt = jnp.pi * d * Sh * rho_g * D_v * jnp.log1p(B_M)
+            else:  # classic D2-law (dilute limit)
+                dm_dt = jnp.pi * d * Sh * rho_g * D_v * B_M
+            # boiling (LiquidEvaporationBoil parity): once T_p reaches T_boil
+            # the rate becomes heat-transfer limited:
+            # dm/dt = pi d Nu kappa_g (T_g - T_p) / L
+            kappa_g_b = mu_g * 1005.0 / self.Pr_gas
+            dm_dt_boil = (jnp.pi * d * Nu * kappa_g_b
+                          * jnp.maximum(T_g - Tp, 0.0)
+                          / liq.latent_heat(Tp))
+            dm_dt = jnp.where(Tp > liq.T_boil,
+                              jnp.maximum(dm_dt, dm_dt_boil), dm_dt)
+        dm = jnp.clip(dm_dt * dt, 0.0, 0.95 * m_d)
+        m_new = m_d - dm
+
+        # ==== heat transfer (Ranz-Marshall, implicit relaxation) + latent sink
+        kappa_g = mu_g * 1005.0 / self.Pr_gas       # lambda ~ mu cp / Pr
+        h_conv = Nu * kappa_g / jnp.maximum(d, 1e-9)
+        area = jnp.pi * d**2
+        cp_l = liq.cp(Tp)
+        tau_T = m_d * cp_l / jnp.maximum(h_conv * area, 1e-20)
+        L = liq.latent_heat(Tp)
+        T_new = T_g + (Tp - T_g) * jnp.exp(-dt / jnp.maximum(tau_T, 1e-12))
+        T_new = T_new - dm * L / jnp.maximum(m_d * cp_l, 1e-20)
+        T_new = jnp.clip(T_new, 250.0, liq.T_crit - 1.0)
+        # diameter from conserved parcel mass at the NEW temperature's liquid
+        # density (thermal expansion; keeps mass accounting exact)
+        d_new = (6.0 * m_new / (jnp.pi * liq.rho(T_new))) ** (1.0 / 3.0)
+
+        # ==== move + deactivate escaped / fully evaporated
+        pos_new = pos + vel_new * dt
+        alive = (active > 0) & self._in_domain(pos_new) & (d_new > 1e-7)
+        mask = alive.astype(dtype)
+
+        # ==== Euler sources (per unit volume): scatter-add
+        V = self.mesh.volume
+        w = n_part * mask / (V * dt)                # parcels -> per-vol-per-s
+        dm_tot = dm * w                             # evaporated mass rate
+        shape = self.mesh.shape
+        Srho = jnp.zeros(shape, dtype).at[ii, jj, kk].add(dm_tot)
+        SY = Srho
+        # momentum: drag reaction - momentum carried by evaporated mass
+        SU = jnp.zeros((3,) + shape, dtype)
+        mom = (-m_d * dmom / dt + dm / dt * vel_new) * (n_part * mask / V)
+        for a in range(3):
+            SU = SU.at[a, ii, jj, kk].add(mom[a])
+        # energy: evaporated vapor enthalpy (sensible at T_p) minus latent
+        # drawn from gas + convective exchange handled via T relaxation
+        q_conv = -h_conv * area * (T_g - Tp) * (n_part * mask / V)
+        h_vap = -dm_tot * L
+        Sh_src = jnp.zeros(shape, dtype).at[ii, jj, kk].add(q_conv + h_vap)
+
+        c_new = CloudState(pos=pos_new, vel=vel_new, d=d_new, T=T_new,
+                           n_part=n_part, active=mask, inject_ptr=ptr,
+                           m_injected=m_injected, key=key)
+        return c_new, CloudSources(Srho=Srho, SU=SU, Sh=Sh_src, SY=SY)
+
+    def stats(self, c: CloudState):
+        m = (self.liquid.rho(c.T) * jnp.pi / 6.0 * c.d**3 * c.n_part
+             * c.active)
+        return dict(n_active=jnp.sum(c.active),
+                    liquid_mass=jnp.sum(m),
+                    d32=jnp.sum(c.d**3 * c.n_part * c.active)
+                    / jnp.maximum(jnp.sum(c.d**2 * c.n_part * c.active),
+                                  1e-30))

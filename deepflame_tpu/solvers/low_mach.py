@@ -131,7 +131,11 @@ class LowMachSolver:
                             time=jnp.asarray(time, dtype))
 
     # ----------------------------------------------------------------- step
-    def step(self, s: LowMachState, dt) -> tuple[LowMachState, dict]:
+    def step(self, s: LowMachState, dt, sources=None) -> tuple[LowMachState, dict]:
+        """sources: optional spray coupling dict with keys Srho, SU (3,...),
+        Sh, SY, SY_index (static fuel species index) — the reference's
+        parcels.Srho/SU/Sh/SYi terms (rhoEqn.H:38, UEqn.H:9, EEqn.H:5-12,
+        YEqn.H:109-111)."""
         cfg = self.config
         mesh = self.mesh
         dtype = s.T.dtype
@@ -159,9 +163,10 @@ class LowMachSolver:
         else:
             RR = jnp.zeros_like(Y)
 
+        src_rho = sources["Srho"] if sources else 0.0
         for outer in range(cfg.n_outer):
             # ===== rhoEqn (explicit continuity, rhoEqn.H:34-48)
-            rho = rho_old - dt * div_flux(phi, mesh)
+            rho = rho_old - dt * div_flux(phi, mesh) + dt * src_rho
 
             # ===== coefficient fields (molecular + SGS effective, the
             # reference's turbulence->muEff()/alphaEff() pattern)
@@ -174,7 +179,8 @@ class LowMachSolver:
 
             # ===== UEqn (UEqn.H:4-30)
             U, HbyA, rAU = self._momentum(rho, rho_old, U, U_old, phi, p, mu,
-                                          dt)
+                                          dt,
+                                          SU=sources["SU"] if sources else None)
 
             # ===== YEqn (YEqn.H:1-130)
             if ns > 1:
@@ -203,7 +209,10 @@ class LowMachSolver:
                            + fvm_div(phiUc, Y[i], mesh, bcs_i, "upwind")
                            + fvm_laplacian(D_f, mesh, bcs_i, dtype=dtype,
                                            sign=-1.0))
-                    eqn = eqn.with_source(RR[i])
+                    src_i = RR[i]
+                    if sources is not None and i == sources.get("SY_index"):
+                        src_i = src_i + sources["SY"]
+                    eqn = eqn.with_source(src_i)
                     res = solve_fvmatrix(eqn, Y[i], tol=cfg.y_tol,
                                          max_iter=cfg.max_iter_u)
                     Y_new.append(jnp.clip(res.x, 0.0, 1.0))
@@ -238,7 +247,8 @@ class LowMachSolver:
                      + fvm_div(phi, ha, mesh, self.bcs_h, cfg.div_scheme)
                      + fvm_laplacian(alpha_f, mesh, self.bcs_h, dtype=dtype,
                                      sign=-1.0))
-            eqn_h = eqn_h.with_source(dpdt - dKdt + hcorr_div)
+            src_h = sources["Sh"] if sources else 0.0
+            eqn_h = eqn_h.with_source(dpdt - dKdt + hcorr_div + src_h)
             res_h = solve_fvmatrix(eqn_h, ha, tol=cfg.h_tol,
                                    max_iter=cfg.max_iter_u)
             ha = res_h.x
@@ -271,7 +281,7 @@ class LowMachSolver:
         return co
 
     # ---------------------------------------------- shared PIMPLE blocks
-    def _momentum(self, rho, rho_old, U, U_old, phi, p, mu, dt):
+    def _momentum(self, rho, rho_old, U, U_old, phi, p, mu, dt, SU=None):
         """Implicit momentum predictor (UEqn.H:4-30): returns (U, HbyA, rAU).
         Shared by the species solver and the FGM solver."""
         mesh = self.mesh
@@ -301,7 +311,8 @@ class LowMachSolver:
                    + fvm_div(phi, U[c], mesh, self.bcs_U[c], cfg.div_scheme)
                    + fvm_laplacian(mu_f, mesh, self.bcs_U[c], dtype=dtype,
                                    sign=-1.0))
-            eqn = eqn.with_source(-gp[c] + corr)
+            eqn = eqn.with_source(-gp[c] + corr
+                                  + (SU[c] if SU is not None else 0.0))
             res = solve_fvmatrix(eqn, U[c], tol=cfg.u_tol,
                                  max_iter=cfg.max_iter_u)
             U_new.append(res.x)

@@ -1,0 +1,144 @@
+"""Lagrangian spray validation (SURVEY.md §7 stage 9, aachenBomb family).
+
+Physics invariants: injected mass accounting, drag relaxation toward gas
+velocity, evaporation shrinking droplets and sourcing vapor mass into the
+gas, energy sink from latent heat, coupled E2E stability.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepflame_tpu.lagrangian.cloud import ConeInjector, SprayCloud
+from deepflame_tpu.lagrangian.liquids import n_heptane
+from deepflame_tpu.mesh import StructuredMesh, zero_gradient, empty
+
+
+def make_cloud(mdot=1e-3, u_mag=50.0, evap="Spalding", d_mean=5e-5):
+    mesh = StructuredMesh.box([0.02, 0.1, 0.02], [8, 24, 8],
+                              origin=(-0.01, -0.1, -0.01))
+    inj = ConeInjector(position=(0.0, -0.001, 0.0), direction=(0, -1, 0),
+                       u_mag=u_mag, mdot=mdot, t_start=0.0, t_end=1e-3,
+                       d_mean=d_mean, parcels_per_step=16)
+    cloud = SprayCloud(mesh=mesh, liquid=n_heptane(), injector=inj,
+                       max_parcels=2048, evaporation=evap)
+    return mesh, cloud
+
+
+def gas_fields(mesh, T=800.0, dtype=jnp.float64):
+    sh = mesh.shape
+    return dict(rho=jnp.full(sh, 6.0, dtype), U=jnp.zeros((3,) + sh, dtype),
+                T=jnp.full(sh, T, dtype), mu=jnp.full(sh, 2.5e-5, dtype),
+                p=jnp.full(sh, 5e6, dtype), Yv=jnp.zeros(sh, dtype))
+
+
+def test_injection_mass_accounting():
+    mesh, cloud = make_cloud(evap="none")
+    c = cloud.init(jax.random.PRNGKey(0))
+    g = gas_fields(mesh, T=400.0)
+    dt = 1e-5
+    step = jax.jit(lambda c, t: cloud.evolve(c, g, dt, t))
+    t = jnp.asarray(0.0)
+    for i in range(10):
+        c, src = step(c, t)
+        t = t + dt
+    stats = cloud.stats(c)
+    m_inj = float(c.m_injected)
+    m_liquid = float(stats["liquid_mass"])
+    np.testing.assert_allclose(m_inj, 1e-3 * 10 * dt, rtol=1e-10)
+    # all parcels still in domain, no evaporation -> mass conserved
+    np.testing.assert_allclose(m_liquid, m_inj, rtol=1e-6)
+    assert float(stats["n_active"]) == 160
+
+
+def test_drag_relaxes_to_gas():
+    """Single parcel batch (injection only in step 1) in still gas:
+    velocity decays by drag."""
+    mesh, cloud = make_cloud(u_mag=30.0, evap="none", d_mean=2e-5)
+    # inject only during the first step
+    cloud = type(cloud)(**{**cloud.__dict__,
+                           "injector": type(cloud.injector)(
+                               **{**cloud.injector.__dict__,
+                                  "t_end": 1.5e-5})})
+    c = cloud.init(jax.random.PRNGKey(1))
+    g = gas_fields(mesh, T=400.0)
+    dt = 2e-5
+    step = jax.jit(lambda c, t: cloud.evolve(c, g, dt, t))
+    t = jnp.asarray(0.0)
+    c, _ = step(c, t)
+    v0 = float(jnp.max(jnp.abs(c.vel) * c.active))
+    for i in range(15):
+        c, _ = step(c, t + (i + 1) * dt)
+    v1 = float(jnp.max(jnp.abs(c.vel) * c.active))
+    assert v1 < 0.7 * v0, (v0, v1)
+
+
+def test_evaporation_sources():
+    """Hot gas: droplets shrink, Srho > 0 where parcels are, Sh < 0 (latent
+    sink + gas cooling), SY == Srho."""
+    mesh, cloud = make_cloud(evap="Spalding", d_mean=3e-5)
+    c = cloud.init(jax.random.PRNGKey(2))
+    g = gas_fields(mesh, T=900.0)
+    dt = 2e-5
+    step = jax.jit(lambda c, t: cloud.evolve(c, g, dt, t))
+    c, _ = step(c, jnp.asarray(0.0))
+    d0 = float(jnp.sum(c.d * c.active) / jnp.maximum(jnp.sum(c.active), 1))
+    total_evap = 0.0
+    for i in range(10):
+        c, src = step(c, jnp.asarray((i + 1) * dt))
+        total_evap += float(jnp.sum(src.Srho)) * mesh.volume * dt
+        np.testing.assert_allclose(np.asarray(src.SY), np.asarray(src.Srho))
+    d1 = float(jnp.sum(c.d * c.active) / jnp.maximum(jnp.sum(c.active), 1))
+    assert d1 < d0, "droplets did not shrink"
+    assert total_evap > 0.0
+    # mass balance: injected = liquid + evaporated (no escapes yet)
+    m_balance = float(c.m_injected) - float(cloud.stats(c)["liquid_mass"]) \
+        - total_evap
+    assert abs(m_balance) / float(c.m_injected) < 0.05
+    # latent heat sink: energy source negative where droplets evaporate
+    assert float(jnp.sum(src.Sh)) < 0.0
+
+
+def test_coupled_spray_solver():
+    """E2E: spray into hot quiescent N2/O2 gas with the full PIMPLE solver —
+    gas gains fuel vapor, stays finite, cools near the spray."""
+    from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
+                                         make_kinetics, make_transport)
+    from deepflame_tpu.combustion import NoCombustion
+    from deepflame_tpu.mesh import zero_gradient
+    from deepflame_tpu.solvers.low_mach import LowMachSolver, LowMachConfig
+    from deepflame_tpu.solvers.spray import SpraySolver
+
+    mech = load_mechanism("/root/reference/mechanisms/C7H16/C7_oneStep.yaml")
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    mesh = StructuredMesh.box([0.02, 0.05, 0.02 / 6], [6, 12, 1],
+                              origin=(-0.01, -0.05, 0.0))
+    b = ((zero_gradient(), zero_gradient()),) * 3
+    gas_solver = LowMachSolver(
+        mesh=mesh, thermo=th, transport=tr, combustion=NoCombustion(th, kin),
+        bcs_U=(b, b, b), bcs_p=b, bcs_h=b, bcs_Y=b, bcs_rho=b,
+        config=LowMachConfig(chemistry=False))
+    iFuel = mech.species_index("C7H16")
+    inj = ConeInjector(position=(0.0, -0.002, 0.00166), direction=(0, -1, 0),
+                       u_mag=30.0, mdot=5e-4, t_end=1e-3, d_mean=4e-5,
+                       parcels_per_step=8)
+    cloud = SprayCloud(mesh=mesh, liquid=n_heptane(), injector=inj,
+                       max_parcels=512)
+    solver = SpraySolver(gas_solver=gas_solver, cloud=cloud, fuel_index=iFuel)
+    ns = mech.n_species
+    Y = np.zeros((ns,) + mesh.shape)
+    Y[mech.species_index("O2")] = 0.23
+    Y[mech.species_index("N2")] = 0.77
+    s = solver.initial_state(jnp.full(mesh.shape, 2e6),
+                             jnp.full(mesh.shape, 900.0), jnp.asarray(Y))
+    dt = 1e-5
+    step = jax.jit(lambda st: solver.step(st, dt))
+    for _ in range(6):
+        s, diag = step(s)
+    assert np.all(np.isfinite(np.asarray(s.gas.T)))
+    assert np.all(np.isfinite(np.asarray(s.gas.U)))
+    # fuel vapor appeared in the gas phase
+    assert float(s.gas.Y[iFuel].max()) > 1e-6
+    # evaporative cooling: minimum T dropped
+    assert float(s.gas.T.min()) < 900.0
+    assert float(diag["cloud_n_active"]) > 0
