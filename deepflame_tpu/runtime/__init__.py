@@ -1,0 +1,13 @@
+from .config import (CaseConfig, ChemistryProperties, CombustionProperties,
+                     TurbulenceProperties, ControlDict, Schemes,
+                     SolutionControl, load_case)
+from .checkpoint import save_state, load_state, latest_time
+from .function_objects import (FieldMinMax, Probes, LineSample, FieldAverage,
+                               FunctionObjectSet)
+from .timers import PhaseTimers, trace
+
+__all__ = ["CaseConfig", "ChemistryProperties", "CombustionProperties",
+           "TurbulenceProperties", "ControlDict", "Schemes", "SolutionControl",
+           "load_case", "save_state", "load_state", "latest_time",
+           "FieldMinMax", "Probes", "LineSample", "FieldAverage",
+           "FunctionObjectSet", "PhaseTimers", "trace"]

@@ -1,0 +1,112 @@
+"""Runtime layer: config loading, checkpoint round trip, function objects,
+flame diagnostics (SURVEY.md §5 auxiliary-subsystem parity)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepflame_tpu.mesh import StructuredMesh
+from deepflame_tpu.runtime import (CaseConfig, load_case, save_state,
+                                   load_state, latest_time, FieldMinMax,
+                                   Probes, LineSample, FunctionObjectSet,
+                                   PhaseTimers)
+from deepflame_tpu.utils.flame_speed import (flame_position, flame_thickness,
+                                             flame_speed)
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    p = tmp_path / "case.yaml"
+    p.write_text("""
+chemistry:
+  mechanism_file: /root/reference/mechanisms/H2/H2_Li.yaml
+  ode_rtol: 1.0e-8
+  inert_specie: N2
+combustion:
+  model: EDC
+  edc_version: v2016
+control:
+  end_time: 5.0e-4
+  delta_t: 2.0e-7
+schemes:
+  flux_scheme: HLLCP
+""")
+    cfg = load_case(str(p))
+    assert cfg.chemistry.ode_rtol == 1e-8
+    assert cfg.combustion.model == "EDC"
+    assert cfg.schemes.flux_scheme == "HLLCP"
+    assert cfg.solution.n_correctors == 2      # default preserved
+    # typo safety
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("chemistry:\n  mechanizm_file: x\n")
+    with pytest.raises(ValueError, match="unknown keys"):
+        load_case(str(bad))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from deepflame_tpu.solvers.low_mach import LowMachState
+    rng = np.random.default_rng(0)
+    sh = (4, 4, 1)
+    state = LowMachState(
+        rho=jnp.asarray(rng.random(sh)), U=jnp.asarray(rng.random((3,) + sh)),
+        p=jnp.asarray(rng.random(sh)), ha=jnp.asarray(rng.random(sh)),
+        Y=jnp.asarray(rng.random((3,) + sh)), T=jnp.asarray(rng.random(sh)),
+        phi=(jnp.asarray(rng.random((5, 4, 1))),
+             jnp.asarray(rng.random((4, 5, 1))),
+             jnp.asarray(rng.random((4, 4, 2)))),
+        dpdt=jnp.asarray(rng.random(sh)), time=jnp.asarray(1.5e-4))
+    d = str(tmp_path / "ckpt")
+    save_state(d, state, 1.5e-4)
+    save_state(d, state, 3.0e-4)
+    assert latest_time(d) == pytest.approx(3.0e-4)
+    restored = load_state(d, state, "latest")
+    for a, b in zip(jax.tree.flatten(state)[0], jax.tree.flatten(restored)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+import jax  # noqa: E402
+
+
+def test_function_objects(tmp_path):
+    mesh = StructuredMesh.box([1.0, 1.0, 0.1], [8, 8, 1])
+    X, Y, _ = mesh.cell_centers()
+    T = 300.0 + 100.0 * np.asarray(X)
+    fmm = FieldMinMax(mesh, ["T"], out_dir=str(tmp_path / "fmm"))
+    prb = Probes(mesh, [(0.5, 0.5, 0.05)], ["T"],
+                 out_dir=str(tmp_path / "probes"))
+    line = LineSample(mesh, 0, (0.0, 0.5, 0.05), ["T"],
+                      out_dir=str(tmp_path / "sample"))
+    fos = FunctionObjectSet([fmm, prb, line])
+    fos(0.0, {"T": T})
+    fos(1e-4, {"T": T + 1.0})
+    fos.write()
+    data = np.loadtxt(str(tmp_path / "fmm" / "fieldMinMax.dat"))
+    assert data.shape[0] == 2
+    # max(T) at the largest x
+    np.testing.assert_allclose(data[0, 5], np.max(T))
+    assert data[0, 6] > 0.9   # x of max near the right edge
+    pr = np.loadtxt(str(tmp_path / "probes" / "probes.dat"))
+    np.testing.assert_allclose(pr[0, 1], T[4, 4, 0])
+
+
+def test_flame_diagnostics():
+    x = np.linspace(0, 0.01, 200)
+    x_f = 0.004
+    delta = 3e-4
+    T = 300 + 1700 * 0.5 * (1 + np.tanh((x - x_f) / delta))
+    assert abs(flame_position(x, T) - x_f) < 1e-4
+    # tanh thermal thickness = (Tmax-Tmin)/max grad = 2*delta
+    assert abs(flame_thickness(x, T) - 2 * delta) / (2 * delta) < 0.05
+    times = np.linspace(0, 1e-3, 10)
+    pos = 0.004 + 2.5 * times
+    assert abs(flame_speed(times, pos) - 2.5) < 1e-9
+
+
+def test_phase_timers():
+    t = PhaseTimers(sync=False)
+    with t.phase("a"):
+        sum(range(1000))
+    with t.phase("a"):
+        pass
+    rep = t.report()
+    assert "a" in rep and t.counts["a"] == 2
