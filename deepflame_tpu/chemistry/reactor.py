@@ -98,13 +98,21 @@ class ChemistryResult(NamedTuple):
 def solve_chemistry(thermo: ThermoData, kin: KineticsData,
                     T, p, Y, dt,
                     opts: RosenbrockOptions = RosenbrockOptions(),
-                    T_threshold: float = 200.0) -> ChemistryResult:
+                    T_threshold: float = 200.0,
+                    n_bins: int = 16) -> ChemistryResult:
     """Advance chemistry in every cell by dt at constant pressure.
 
     T, p: (...,); Y: (..., ns); dt: scalar or per-cell array (EDC integrates
     over the fine-structure residence time tau*, per cell). Cells with
     T < T_threshold are frozen (the reference's `unReactT_`/frozenTemperature
     mask, /root/reference/src_gpu/dfChemistrySolver.cu:5-21).
+
+    Load balancing (n_bins > 1): cells are sorted by temperature and the batch
+    is split into n_bins sequential chunks (lax.map). Each chunk's adaptive
+    while_loop terminates at its OWN stiffest lane instead of the global
+    worst case, so cold/frozen chunks cost ~nothing — the data-layout
+    replacement for the reference's MPI cell-migration balancer
+    (/root/reference/src/dfChemistryModel/loadBalancing/, SURVEY.md §2.11.2).
     """
     batch_shape = T.shape
     ns = Y.shape[-1]
@@ -120,7 +128,30 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
 
     active = Tf > T_threshold
     t_ends = jnp.where(active, dt_f, 0.0)
-    s1 = jax.vmap(one_cell, in_axes=(0, 0, 0))(s0, pf, t_ends)
+
+    n = Tf.shape[0]
+    if n_bins > 1 and n >= 2 * n_bins:
+        chunk = -(-n // n_bins)                      # ceil
+        pad = chunk * n_bins - n
+        # sort by temperature: similar stiffness -> same chunk; padding goes
+        # to the cold end with t_end = 0 (no-op lanes)
+        order = jnp.argsort(Tf)
+        s0_s = jnp.concatenate([jnp.zeros((pad, ns + 1), s0.dtype)
+                                .at[:, 0].set(300.0), s0[order]])
+        pf_s = jnp.concatenate([jnp.full((pad,), 101325.0, pf.dtype),
+                                pf[order]])
+        te_s = jnp.concatenate([jnp.zeros((pad,), t_ends.dtype),
+                                t_ends[order]])
+        out = jax.lax.map(
+            lambda args: jax.vmap(one_cell)(*args),
+            (s0_s.reshape(n_bins, chunk, ns + 1),
+             pf_s.reshape(n_bins, chunk),
+             te_s.reshape(n_bins, chunk)))
+        s1_sorted = out.reshape(n_bins * chunk, ns + 1)[pad:]
+        inv = jnp.argsort(order)
+        s1 = s1_sorted[inv]
+    else:
+        s1 = jax.vmap(one_cell, in_axes=(0, 0, 0))(s0, pf, t_ends)
 
     T1 = s1[:, 0]
     Y1 = jnp.clip(s1[:, 1:], 0.0, 1.0)

@@ -128,7 +128,7 @@ def main():
     # third: ignition transient)
     ft = np.asarray(front_t)
     fx = np.asarray(front_x)
-    sel = (fx > 0.25 * Lx) & (fx < 0.95 * Lx)
+    sel = (fx > 0.3 * Lx) & (fx < 0.95 * Lx)
     if sel.sum() >= 4:
         v = np.polyfit(ft[sel], fx[sel], 1)[0]
         print(f"\nDetonation speed: {v:.1f} m/s  (CJ anchor 1979.33 +- 1%)")
