@@ -83,8 +83,35 @@ def lookup(table: FlameletTable, name: str, coords: Sequence) -> jax.Array:
     return out.reshape(shape)
 
 
-def read_flare_table(path: str, dtype=jnp.float32) -> FlameletTable:
-    """Parse the FlaRe .tbl text format (tableSolver.C:52-200)."""
+def read_flare_table(path: str, dtype=jnp.float32,
+                     use_native: bool = True) -> FlameletTable:
+    """Parse the FlaRe .tbl text format (tableSolver.C:52-200).
+
+    Uses the C++ loader (csrc/flare_table.cpp via ctypes) when built —
+    ~50x faster than the numpy text path on production-size tables."""
+    if use_native:
+        from ...native import native_available, flare_table_native
+        if native_available():
+            (dims, (omega_species, species), axes, (hfu, hox), lam_rows,
+             flat) = flare_table_native(path)
+            NH, NZ, NC, NGZ, NGC, NZC, NS, NYomega, NY, NZL = dims
+            scaled_pv = (NS == 8 + NYomega)
+            names = list(BASE_TABLES)
+            if not scaled_pv:
+                names.append("Ycmax")
+            names += [f"omega_{s}" for s in omega_species]
+            names += list(species)
+            size = NH * NZ * NC * NGZ * NGC * NZC
+            tables = {name: jnp.asarray(
+                flat[k * size:(k + 1) * size].reshape(NH, NZ, NC, NGZ, NGC,
+                                                      NZC), dtype)
+                for k, name in enumerate(names)}
+            lam = {key: lam_rows[:, :, i]
+                   for i, key in enumerate(("z", "sl", "th", "tau", "kctau"))}
+            return FlameletTable(axes=axes, tables=tables,
+                                 scaled_pv=scaled_pv, H_fuel=hfu, H_ox=hox,
+                                 omega_species=omega_species, species=species,
+                                 laminar=lam)
     with open(path) as f:
         tok_header = f.readline().split()
         NH, NZ, NC, NGZ, NGC, NZC, NS, NYomega, NY, NZL = (
