@@ -172,7 +172,7 @@ class FGMSolver(LowMachSolver):
             # ===== pressure correctors (shared block)
             rho_fn = lambda pp: pp * psi
             p, phi, U, dpdt, rho, p_res = self._pressure_loop(
-                p, p_old, psi, rho_fn, HbyA, rAU, dt)
+                p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old=rho_old)
             diag[f"p_res_{outer}"] = p_res
 
         diag["T_min"] = jnp.min(T)

@@ -35,7 +35,8 @@ from ..chemistry.transport import TransportData
 from ..combustion.basic import CombustionModel
 from ..mesh.structured import StructuredMesh, pad_field
 from ..ops.fv import (FvMatrix, face_pair, fvm_ddt, fvm_div, fvm_laplacian,
-                      grad, div_flux, interpolate, _face_diff)
+                      fvm_source_implicit, grad, div_flux, interpolate,
+                      _face_diff)
 from ..ops.linsolve import solve_fvmatrix
 
 __all__ = ["LowMachConfig", "LowMachState", "LowMachSolver"]
@@ -70,6 +71,7 @@ class LowMachConfig:
     max_iter_p: int = 500
     unity_lewis: bool = False
     chemistry: bool = True
+    chemistry_dt_scale: float = 1.0  # 2.0 for splittingStrategy chem steps
     inert_index: int | None = None   # species closed as 1 - sum(others)
 
 
@@ -157,8 +159,11 @@ class LowMachSolver:
                 mu_t0 = self.turbulence.mu_t(rho, U, self.bcs_U, mesh)
                 k_sgs, eps_sgs = self.turbulence.sgs_k_epsilon(mu_t0, rho, mesh)
                 turb_q = dict(k=k_sgs, epsilon=eps_sgs, nu=mu0 / rho)
-            chem = self.combustion.correct(T, p, Yt, dt, turb_q)
-            RR = jnp.moveaxis(chem.RR, -1, 0)          # (ns, ...)
+            chem = self.combustion.correct(T, p, Yt,
+                                           dt * cfg.chemistry_dt_scale, turb_q)
+            # splittingStrategy (YEqn_RR.H): the 2x-dt fractional chemistry
+            # step applies its full change within this transport step
+            RR = jnp.moveaxis(chem.RR, -1, 0) * cfg.chemistry_dt_scale
             diag["Qdot_max"] = jnp.max(chem.Qdot)
         else:
             RR = jnp.zeros_like(Y)
@@ -261,7 +266,7 @@ class LowMachSolver:
             # ===== pEqn correctors (pEqn.H:1-120)
             rho_fn = lambda pp: self.thermo.rho(pp, T, Yt)
             p, phi, U, dpdt, rho, p_res = self._pressure_loop(
-                p, p_old, psi, rho_fn, HbyA, rAU, dt)
+                p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old=rho_old)
             diag[f"p_res_{outer}"] = p_res
 
         # continuity diagnostic
@@ -321,9 +326,16 @@ class LowMachSolver:
             HbyA.append(eqn.H(res.x) / u_diags)
         return jnp.stack(U_new), HbyA, 1.0 / u_diags
 
-    def _pressure_loop(self, p, p_old, psi, rho_fn, HbyA, rAU, dt):
+    def _pressure_loop(self, p, p_old, psi, rho_fn, HbyA, rAU, dt,
+                       rho_old=None):
         """Compressible pressure correctors (pEqn.H:1-120): returns
-        (p, phi, U, dpdt, rho, last initial residual)."""
+        (p, phi, U, dpdt, rho, last initial residual).
+
+        The density time derivative is discretized (psi p - rho_old)/dt —
+        implicit in p with the OLD-time density, so thermal expansion
+        (psi dropping as the gas heats) correctly drives dilatational flow
+        (the reference's fvc::ddt(rho) + psi*correction(fvm::ddt(p)) split).
+        """
         mesh = self.mesh
         cfg = self.config
         dtype = p.dtype
@@ -339,10 +351,12 @@ class LowMachSolver:
                     pad_field(HbyA[ax], self.bcs_U[ax], mesh), ax)
                 for ax in range(3))
             rhorAUf = tuple(rho_f[ax] * rAU_f[ax] for ax in range(3))
-            eqn_p = (fvm_ddt(psi, p_old, dt, mesh, self.bcs_p)
+            rho_prev = rho_old if rho_old is not None else psi * p_old
+            eqn_p = (fvm_source_implicit(psi / dt, mesh, self.bcs_p,
+                                         dtype=dtype)
                      + fvm_laplacian(rhorAUf, mesh, self.bcs_p,
                                      dtype=dtype, sign=-1.0))
-            eqn_p = eqn_p.with_source(-div_flux(phiHbyA, mesh))
+            eqn_p = eqn_p.with_source(rho_prev / dt - div_flux(phiHbyA, mesh))
             res_p = solve_fvmatrix(eqn_p, p, symmetric=True,
                                    tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
                                    max_iter=cfg.max_iter_p)

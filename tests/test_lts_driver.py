@@ -1,0 +1,81 @@
+"""LTS rDeltaT field, splitting strategy, and the case driver."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepflame_tpu.mesh import StructuredMesh, cyclic, empty
+from deepflame_tpu.ops.lts import set_r_delta_t, smooth_field
+
+
+def test_r_delta_t():
+    n = 32
+    mesh = StructuredMesh.box([1.0, 1.0 / n, 1.0 / n], [n, 1, 1])
+    b = ((cyclic(), cyclic()), (empty(), empty()), (empty(), empty()))
+    rho = jnp.ones(mesh.shape)
+    # fast flow in the middle only
+    phi_x = jnp.zeros((n + 1, 1, 1)).at[n // 2 - 2:n // 2 + 2].set(10.0)
+    phi = (phi_x, jnp.zeros((n, 2, 1)), jnp.zeros((n, 1, 2)))
+    rdt = set_r_delta_t(phi, rho, b, mesh, max_co=0.5, max_dt=1.0)
+    r = np.asarray(rdt).squeeze()
+    # fast region: rDeltaT = u/(Co h) = 10/(0.5/32) = 640; slow: 1/max_dt
+    assert abs(r.max() - 10.0 / 0.5 * n) / (10.0 / 0.5 * n) < 0.1
+    assert r.min() == pytest.approx(1.0)
+    # smoothing spreads high values into neighbors
+    mid = n // 2
+    assert r[mid + 3] > r.min()
+    # damping limits growth vs the previous field
+    rdt2 = set_r_delta_t(phi, rho, b, mesh, max_co=0.5, max_dt=1.0,
+                         r_delta_t_old=jnp.full(mesh.shape, 100.0),
+                         damping=0.1)
+    assert float(rdt2.max()) <= 110.0 * 1.0000001
+
+
+def test_driver_with_splitting(tmp_path):
+    """Driver runs the reacting hot-spot case with splittingStrategy and
+    function objects + checkpoints."""
+    from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
+                                         make_kinetics, make_transport)
+    from deepflame_tpu.chemistry.integrator import RosenbrockOptions
+    from deepflame_tpu.combustion import Laminar
+    from deepflame_tpu.runtime import (ControlDict, FieldMinMax,
+                                       FunctionObjectSet, latest_time)
+    from deepflame_tpu.runtime.driver import run_case
+    from deepflame_tpu.solvers.low_mach import LowMachSolver, LowMachConfig
+
+    mech = load_mechanism("/root/reference/mechanisms/H2/H2_Li.yaml")
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    n = 12
+    L = 2e-3
+    mesh = StructuredMesh.box([L, L, L / n], [n, n, 1])
+    b = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
+    comb = Laminar(th, kin, ode_opts=RosenbrockOptions(rtol=1e-6, atol=1e-12))
+    solver = LowMachSolver(
+        mesh=mesh, thermo=th, transport=tr, combustion=comb,
+        bcs_U=(b, b, b), bcs_p=b, bcs_h=b, bcs_Y=b, bcs_rho=b,
+        config=LowMachConfig(chemistry=True,
+                             inert_index=int(mech.species_index("N2"))))
+    ns = mech.n_species
+    Yf = np.zeros(ns)
+    iH2, iO2, iN2 = (mech.species_index(s) for s in ("H2", "O2", "N2"))
+    Yf[iH2], Yf[iO2], Yf[iN2] = 0.0285, 0.2264, 0.7451
+    X, Yg, _ = mesh.cell_centers()
+    r2 = (X - L / 2) ** 2 + (Yg - L / 2) ** 2
+    T = jnp.where(r2 < (L / 4) ** 2, 2200.0, 800.0)
+    p = jnp.full(mesh.shape, 101325.0)
+    Y = jnp.asarray(np.tile(Yf[:, None, None, None], (1,) + mesh.shape))
+    state = solver.initial_state(p, T, Y)
+
+    fmm = FieldMinMax(mesh, ["T"], out_dir=str(tmp_path / "fmm"))
+    fos = FunctionObjectSet([fmm])
+    ctrl = ControlDict(end_time=6e-6, delta_t=1e-6, write_interval=2e-6)
+    final = run_case(solver, state, ctrl, function_objects=fos,
+                     checkpoint_dir=str(tmp_path / "ckpt"), splitting=True,
+                     fields_fn=lambda s: {"T": s.T}, log_every=100)
+    assert float(final.time) == pytest.approx(6e-6)
+    assert np.all(np.isfinite(np.asarray(final.T)))
+    assert float(final.T.max()) > 2300.0     # chemistry fired under splitting
+    assert len(fmm.rows) >= 2
+    assert latest_time(str(tmp_path / "ckpt")) is not None
