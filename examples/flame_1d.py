@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--length", type=float, default=0.012)
     ap.add_argument("--T-u", type=float, default=300.0)
     ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--dt", type=float, default=5e-7)
+    ap.add_argument("--dt", type=float, default=2e-7)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--dtype", default="f64")
     args = ap.parse_args()
@@ -71,9 +71,11 @@ def main():
     iH2, iO2, iN2 = (mech.species_index(s) for s in ("H2", "O2", "N2"))
     Yu[iH2], Yu[iO2], Yu[iN2] = 0.0285, 0.2264, 0.7451
     X, _, _ = mesh.cell_centers(dtype)
-    # burned pocket on the left: ignite and let the flame run right
-    burned = X < 0.25 * L
-    T = jnp.where(burned, 2400.0, args.T_u).astype(dtype)
+    # burned pocket on the left with a smooth interface (sharp steps + the
+    # expansion-coupled pEqn need resolved gradients)
+    w = 8.0 * mesh.dx
+    prof = 0.5 * (1.0 - jnp.tanh((X - 0.25 * L) / w))
+    T = (args.T_u + (2400.0 - args.T_u) * prof).astype(dtype)
     p = jnp.full(mesh.shape, 101325.0, dtype)
     Y = jnp.asarray(np.tile(Yu[:, None, None, None], (1,) + mesh.shape), dtype)
     s = solver.initial_state(p, T, Y)
