@@ -44,8 +44,7 @@ def main():
                                     fixed_value)
     from deepflame_tpu.solvers.low_mach import LowMachSolver, LowMachConfig
     from deepflame_tpu.utils.flame_speed import (flame_position,
-                                                 flame_thickness,
-                                                 laminar_flame_speed)
+                                                 flame_thickness)
 
     mech = load_mechanism("/root/reference/mechanisms/H2/H2_Li.yaml")
     th = make_thermo(mech, dtype)
@@ -95,17 +94,19 @@ def main():
             print(f"t={float(s.time) * 1e6:8.1f} us  x_f={xf * 1e3:6.3f} mm  "
                   f"T_max={T_now.max():7.1f} K  u_max="
                   f"{float(jnp.abs(s.U[0]).max()):6.2f} m/s", flush=True)
-    # flame speed: displacement speed corrected by density ratio
+    # flame speed: S_L = displacement speed minus the unburned-gas velocity
+    # just ahead of the front (expansion pushes the reactants)
     T_now = np.asarray(s.T).squeeze()
     sel = slice(len(times) // 2, None)
-    rho = np.asarray(s.rho).squeeze()
-    rho_b = rho[5]
-    rho_u = rho[-5]
-    sl = laminar_flame_speed(np.asarray(times)[sel], np.asarray(fronts)[sel],
-                             rho_b, rho_u)
+    disp = np.polyfit(np.asarray(times)[sel], np.asarray(fronts)[sel], 1)[0]
+    u_now = np.asarray(s.U[0]).squeeze()
+    i_f = int(np.argmin(np.abs(xs - fronts[-1])))
+    i_ahead = min(i_f + max(3, int(1e-3 / mesh.dx // 2)), len(xs) - 2)
+    u_ahead = float(u_now[i_ahead])
+    sl = disp - u_ahead
     print(f"\nflame thickness: {flame_thickness(xs, T_now) * 1e3:.3f} mm")
-    print(f"displacement speed: "
-          f"{np.polyfit(np.asarray(times)[sel], np.asarray(fronts)[sel], 1)[0]:.2f} m/s")
+    print(f"displacement speed: {disp:.2f} m/s, u_unburned_ahead: "
+          f"{u_ahead:.2f} m/s")
     print(f"laminar flame speed S_L = {sl:.2f} m/s "
           f"(literature H2/air phi=1: ~2.0-2.4 m/s)")
     print(f"wall: {_time.perf_counter() - t0:.1f}s")
