@@ -62,6 +62,7 @@ class FGMSolver(LowMachSolver):
     `bcs_Y`, `bcs_h` fields are unused; `table` drives thermochemistry."""
     table: FlameletTable = None
     bcs_Z: Any = None
+    deepfgm: Any = None    # DeepFGM network replaces table lookups when set
 
     def fgm_initial_state(self, p, Z, c, U=None, time=0.0) -> FGMState:
         dtype = p.dtype
@@ -77,11 +78,14 @@ class FGMSolver(LowMachSolver):
                         time=jnp.asarray(time, dtype))
 
     def _lookup_state(self, Z, Zvar, c, cvar):
-        """Table thermochemistry at the current control-variable state
-        (flareFGM.C:239-345)."""
+        """Table (flareFGM.C:239-345) or NN (DeePFGM.C) thermochemistry at
+        the current control-variable state."""
         small = 1e-6
         gz = Zvar / jnp.maximum(Z * (1.0 - Z), small)
         gc = cvar / jnp.maximum(c * (1.0 - c), small)
+        if self.deepfgm is not None:
+            out = self.deepfgm.query(Z, c, gz, gc)
+            return out["Tf"], out["mwt"], out["cp"], out["nu"], out["omgc"]
         coords = (None, Z, c, gz, gc, None)
         tb = self.table
         T = lookup(tb, "Tf", coords)

@@ -101,3 +101,53 @@ def test_fgm_solver_e2e():
     assert float(jnp.sum(s.rho * s.c)) > rc_tot0
     assert float(s.c.max()) <= 1.0 + 1e-9
     assert 250.0 < float(s.T.min()) and float(s.T.max()) < 2500.0
+
+
+def test_deepfgm_distillation():
+    """DeePFGM: NN distilled from a table reproduces lookups; the FGM solver
+    runs with the NN in place of the table."""
+    from deepflame_tpu.combustion.fgm.deep import train_deep_fgm
+    tb = make_synthetic_table(dtype=jnp.float64)
+    net = train_deep_fgm(tb, hidden=(64, 64, 32), n_samples=8000,
+                         epochs=400, batch=1024, lr=3e-3, seed=0)
+    rng = np.random.default_rng(3)
+    Z = jnp.asarray(rng.uniform(0.05, 0.95, 200))
+    c = jnp.asarray(rng.uniform(0.05, 0.95, 200))
+    gz = jnp.asarray(rng.uniform(0.0, 0.2, 200))
+    gc = jnp.asarray(rng.uniform(0.0, 0.2, 200))
+    out = net.query(Z, c, gz, gc)
+    T_ref = np.asarray(lookup(tb, "Tf", (None, Z, c, gz, gc, None)))
+    T_nn = np.asarray(out["Tf"])
+    # temperature within a few % RMS of the table over the manifold
+    rms = np.sqrt(np.mean((T_nn - T_ref) ** 2)) / T_ref.mean()
+    assert rms < 0.05, rms
+    assert np.all(np.asarray(out["omgc"]) >= 0.0)
+
+    # solver runs with the NN manifold
+    import os as _os
+    from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
+                                         make_kinetics, make_transport)
+    from deepflame_tpu.combustion import NoCombustion
+    from deepflame_tpu.mesh import StructuredMesh, cyclic, empty
+    from deepflame_tpu.solvers.fgm import FGMSolver, FGMConfig
+    mech = load_mechanism(_os.path.join(_os.path.dirname(__file__), "data",
+                                        "air.yaml"))
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    n = 12
+    L = 1e-2
+    mesh = StructuredMesh.box([L, L, L / n], [n, n, 1])
+    b = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
+    solver = FGMSolver(
+        mesh=mesh, thermo=th, transport=tr, combustion=NoCombustion(th, kin),
+        bcs_U=(b, b, b), bcs_p=b, bcs_h=b, bcs_Y=b, bcs_rho=b,
+        config=FGMConfig(chemistry=False), table=tb, bcs_Z=b, deepfgm=net)
+    X, Yg, _ = mesh.cell_centers()
+    r2 = (X - L / 2) ** 2 + (Yg - L / 2) ** 2
+    s = solver.fgm_initial_state(jnp.full(mesh.shape, 101325.0),
+                                 jnp.full(mesh.shape, 0.3),
+                                 jnp.where(r2 < (L / 4) ** 2, 0.5, 0.0))
+    step = jax.jit(lambda st: solver.step(st, 1e-5))
+    for _ in range(3):
+        s, diag = step(s)
+    assert np.all(np.isfinite(np.asarray(s.T)))
+    assert float(s.c.max()) <= 1.0 + 1e-9
