@@ -37,7 +37,7 @@ from ..mesh.structured import StructuredMesh, pad_field
 from ..ops.fv import (FvMatrix, face_pair, fvm_ddt, fvm_div, fvm_laplacian,
                       fvm_source_implicit, grad, div_flux, interpolate,
                       _face_diff)
-from ..ops.linsolve import solve_fvmatrix
+from ..ops.linsolve import cg, solve_fvmatrix
 
 __all__ = ["LowMachConfig", "LowMachState", "LowMachSolver"]
 
@@ -69,6 +69,7 @@ class LowMachConfig:
     y_tol: float = 1e-9
     max_iter_u: int = 100
     max_iter_p: int = 500
+    p_precond: str = "jacobi" # jacobi | mg (GAMG/AmgX-parity V-cycle; wins on large/3D meshes)
     unity_lewis: bool = False
     chemistry: bool = True
     chemistry_dt_scale: float = 1.0  # 2.0 for splittingStrategy chem steps
@@ -340,6 +341,7 @@ class LowMachSolver:
         cfg = self.config
         dtype = p.dtype
         p_res = jnp.zeros((), dtype)
+        M_inv_mg = None
         for _ in range(cfg.n_corr):
             rho = rho_fn(p)
             rho_f = tuple(interpolate(pad_field(rho, self.bcs_rho, mesh), ax)
@@ -357,9 +359,19 @@ class LowMachSolver:
                      + fvm_laplacian(rhorAUf, mesh, self.bcs_p,
                                      dtype=dtype, sign=-1.0))
             eqn_p = eqn_p.with_source(rho_prev / dt - div_flux(phiHbyA, mesh))
-            res_p = solve_fvmatrix(eqn_p, p, symmetric=True,
-                                   tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
-                                   max_iter=cfg.max_iter_p)
+            if cfg.p_precond == "mg":
+                from ..ops.multigrid import make_mg_preconditioner
+                if M_inv_mg is None:   # hierarchy shared across correctors
+                    M_inv_mg = make_mg_preconditioner(mesh, self.bcs_p,
+                                                      psi / dt, rhorAUf,
+                                                      dtype)
+                res_p = cg(eqn_p.apply, eqn_p.rhs(), p, M_inv_mg,
+                           tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
+                           max_iter=cfg.max_iter_p)
+            else:
+                res_p = solve_fvmatrix(eqn_p, p, symmetric=True,
+                                       tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
+                                       max_iter=cfg.max_iter_p)
             p = res_p.x
             p_res = res_p.initial_residual
             # flux reconstruction: phi = phiHbyA - rhorAUf * snGrad(p)
