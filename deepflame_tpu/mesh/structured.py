@@ -177,6 +177,31 @@ def pad_field(f: jax.Array, bcs: FieldBCs, mesh: StructuredMesh,
     return out
 
 
+def pad_n(f: jax.Array, bcs: FieldBCs, mesh: StructuredMesh,
+          n_ghost: int) -> jax.Array:
+    """Pad with n_ghost layers per side on every axis: first layer by the
+    affine BC relation, outer layers by exact wrap (cyclic) or replication
+    (physical boundaries) — for wide stencils (WENO5 needs 3)."""
+    P = pad_field(f, bcs, mesh)
+    for axis in range(3):
+        cyc = bcs[axis][0].kind == "cyclic"
+        for layer in range(1, n_ghost):
+            n = P.shape[axis]
+            if cyc:
+                # padded = [g, c0..c_{m-1}, g] with m = n - 2*layer interior+
+                # previously added ghosts; exact wrap indexes from the
+                # original periodic sequence
+                lo = jax.lax.slice_in_dim(P, n - 2 * layer - 1,
+                                          n - 2 * layer, axis=axis)
+                hi = jax.lax.slice_in_dim(P, 2 * layer, 2 * layer + 1,
+                                          axis=axis)
+            else:
+                lo = jax.lax.slice_in_dim(P, 0, 1, axis=axis)
+                hi = jax.lax.slice_in_dim(P, n - 1, n, axis=axis)
+            P = jnp.concatenate([lo, P, hi], axis=axis)
+    return P
+
+
 def extend_padded(P: jax.Array, axis: int, bcs: FieldBCs):
     """Second ghost layer for wide (TVD/MUSCL) stencils.
 

@@ -101,7 +101,11 @@ class HighSpeedSolver:
 
     # ------------------------------------------------------ reconstruction
     def _reconstruct(self, q, bcs, axis):
-        """MUSCL limited face states (qL, qR) along axis; q: cell field."""
+        """Face states (qL, qR) along axis from a cell field: MUSCL/TVD
+        (vanLeer/minmod), 5th-order WENO-Z (WENOEXT-submodule parity), or
+        piecewise-constant."""
+        if self.config.limiter == "WENO5":
+            return _weno5_faces(q, bcs, self.mesh, axis)
         P = pad_field(q, bcs, self.mesh)
         Pm, Pp = extend_padded(P, axis, bcs)
         own, nei = face_pair(P, axis)
@@ -265,5 +269,47 @@ class HighSpeedSolver:
 
 def _trim_other(f, axis):
     sl = [slice(1, -1)] * 3
+    sl[axis] = slice(None)
+    return f[tuple(sl)]
+
+
+def _weno5_core(s0, s1, s2, s3, s4):
+    """WENO5-Z reconstruction at the right face of the center cell (s2) from
+    the 5-point stencil (s0..s4) = q_{i-2}..q_{i+2} (Borges et al. 2008)."""
+    eps = 1e-12
+    b0 = (13.0 / 12.0) * (s0 - 2 * s1 + s2) ** 2 \
+        + 0.25 * (s0 - 4 * s1 + 3 * s2) ** 2
+    b1 = (13.0 / 12.0) * (s1 - 2 * s2 + s3) ** 2 + 0.25 * (s1 - s3) ** 2
+    b2 = (13.0 / 12.0) * (s2 - 2 * s3 + s4) ** 2 \
+        + 0.25 * (3 * s2 - 4 * s3 + s4) ** 2
+    tau = jnp.abs(b0 - b2)
+    a0 = 0.1 * (1.0 + (tau / (b0 + eps)) ** 2)
+    a1 = 0.6 * (1.0 + (tau / (b1 + eps)) ** 2)
+    a2 = 0.3 * (1.0 + (tau / (b2 + eps)) ** 2)
+    w = a0 + a1 + a2
+    p0 = (2 * s0 - 7 * s1 + 11 * s2) / 6.0
+    p1 = (-s1 + 5 * s2 + 2 * s3) / 6.0
+    p2 = (2 * s2 + 5 * s3 - s4) / 6.0
+    return (a0 * p0 + a1 * p1 + a2 * p2) / w
+
+
+def _weno5_faces(q, bcs, mesh, axis):
+    """5th-order WENO-Z left/right face states along `axis`."""
+    from ..mesh.structured import pad_n
+    P = pad_n(q, bcs, mesh, 3)           # n+6 along every axis
+    t = _trim3_other(P, axis)
+    n = mesh.shape[axis]
+
+    def sl(k):
+        # cell (face_own + k) for faces 0..n: padded index (f + 2 + k)
+        return jax.lax.slice_in_dim(t, k + 2, k + 2 + n + 1, axis=axis)
+
+    qL = _weno5_core(sl(-2), sl(-1), sl(0), sl(1), sl(2))
+    qR = _weno5_core(sl(3), sl(2), sl(1), sl(0), sl(-1))
+    return qL, qR
+
+
+def _trim3_other(f, axis):
+    sl = [slice(3, -3)] * 3
     sl[axis] = slice(None)
     return f[tuple(sl)]

@@ -25,7 +25,7 @@ def air():
 
 
 def make_solver(mech, th, kin, mesh, bcs_kind="transmissive", flux="HLLC",
-                limiter="vanLeer", rk=2):
+                limiter="vanLeer", rk=2):  # noqa: D103
     if bcs_kind == "transmissive":
         b = ((zero_gradient(), zero_gradient()),) * 3
     else:
@@ -38,14 +38,16 @@ def make_solver(mech, th, kin, mesh, bcs_kind="transmissive", flux="HLLC",
                            bcs_Y=bx, config=cfg)
 
 
-@pytest.mark.parametrize("flux", ["HLLC", "HLLCP", "AUSMDV", "Kurganov", "Tadmor"])
-def test_sod_shock_tube(air, flux):
+@pytest.mark.parametrize("flux,limiter", [
+    ("HLLC", "vanLeer"), ("HLLCP", "vanLeer"), ("AUSMDV", "vanLeer"),
+    ("Kurganov", "vanLeer"), ("Tadmor", "vanLeer"), ("HLLC", "WENO5")])
+def test_sod_shock_tube(air, flux, limiter):
     """Dimensional Sod problem in N2 (gamma ~ 1.4): star-region pressure and
     shock position vs the exact Riemann solution."""
     mech, th, kin = air
     n = 400
     mesh = StructuredMesh.box([1.0, 1e-2, 1e-2], [n, 1, 1])
-    solver = make_solver(mech, th, kin, mesh, flux=flux)
+    solver = make_solver(mech, th, kin, mesh, flux=flux, limiter=limiter)
     X, _, _ = mesh.cell_centers()
     pL, pR = 1e5, 1e4
     rhoL, rhoR = 1.0, 0.125
@@ -145,3 +147,42 @@ def test_reactive_ignition_const_volume(air):
     assert float(T_f.max()) > 1400.0, "no ignition"
     assert abs(float(jnp.sum(s.rhoE)) - E0) / abs(E0) < 1e-9
     assert float(Y_f[iH2].max()) < Yv[iH2]
+
+
+def test_weno5_periodic_conservation_and_accuracy(air):
+    """WENO5: exact conservation at the cyclic seam; much lower dissipation
+    than MUSCL on a smooth advected profile."""
+    mech, th, kin = air
+    n = 64
+    mesh = StructuredMesh.box([1.0, 1.0 / n, 1.0 / n], [n, 1, 1])
+    b = ((cyclic(), cyclic()), (empty(), empty()), (empty(), empty()))
+    from deepflame_tpu.constants import GAS_CONSTANT
+    W = mech.molecular_weights[0]
+
+    def run(limiter, steps=100):
+        cfg = HighSpeedConfig(flux="HLLC", rk_order=3, limiter=limiter,
+                              chemistry="none")
+        solver = HighSpeedSolver(mesh=mesh, thermo=th, kinetics=kin,
+                                 bcs_rho=b, bcs_U=(b, b, b), bcs_p=b,
+                                 bcs_Y=b, config=cfg)
+        X, _, _ = mesh.cell_centers()
+        # entropy wave: density variation advected at constant u, p
+        rho0 = 1.0 + 0.3 * jnp.sin(2 * jnp.pi * X) ** 4
+        p0 = jnp.full(mesh.shape, 1e5)
+        T0 = p0 * W / (rho0 * GAS_CONSTANT)
+        U0 = jnp.stack([jnp.full(mesh.shape, 100.0),
+                        jnp.zeros(mesh.shape), jnp.zeros(mesh.shape)])
+        s = solver.initial_state(p0, T0, jnp.ones((1,) + mesh.shape), U0)
+        m0 = float(jnp.sum(s.rho))
+        dt = 0.3 * mesh.dx / 500.0
+        step = jax.jit(lambda st: solver.step(st, dt)[0])
+        for _ in range(steps):
+            s = step(s)
+        assert abs(float(jnp.sum(s.rho)) - m0) / m0 < 1e-11, limiter
+        # amplitude retention of the density wave
+        r = np.asarray(s.rho).squeeze()
+        return r.max() - r.min()
+
+    amp_weno = run("WENO5")
+    amp_muscl = run("minmod")
+    assert amp_weno > amp_muscl * 1.02, (amp_weno, amp_muscl)
