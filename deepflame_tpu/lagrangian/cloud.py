@@ -80,8 +80,15 @@ class SprayCloud:
     injector: ConeInjector
     max_parcels: int = 8192
     evaporation: str = "Spalding"   # Spalding | D2law | none
+    breakup: str = "none"           # ReitzDiwakar | none
+    dispersion: bool = False        # stochastic (DRW) turbulent dispersion
     Sc_gas: float = 0.7
     Pr_gas: float = 0.7
+    # ReitzDiwakar coefficients (the aachenBomb submodel defaults)
+    Cbag: float = 6.0
+    Cb: float = 0.785
+    Cstrip: float = 0.5
+    Cs: float = 10.0
 
     def init(self, key, dtype=jnp.float64) -> CloudState:
         N = self.max_parcels
@@ -230,6 +237,44 @@ class SprayCloud:
         # diameter from conserved parcel mass at the NEW temperature's liquid
         # density (thermal expansion; keeps mass accounting exact)
         d_new = (6.0 * m_new / (jnp.pi * liq.rho(T_new))) ** (1.0 / 3.0)
+
+        # ==== breakup (ReitzDiwakar parity: bag + stripping regimes reduce
+        # the parcel diameter toward the stable diameter over the regime
+        # timescale; droplet count per parcel rises to conserve mass)
+        if self.breakup == "ReitzDiwakar":
+            sigma = liq.sigma
+            rho_l_b = liq.rho(T_new)
+            We = rho_g * rel_mag**2 * d_new / jnp.maximum(sigma, 1e-10)
+            Re_b = jnp.maximum(Re, 1e-10)
+            # stable diameter from the critical Weber number
+            d_stable = self.Cbag * sigma / jnp.maximum(
+                rho_g * rel_mag**2, 1e-10)
+            r = 0.5 * d_new
+            tau_bag = self.Cb * jnp.sqrt(rho_l_b * r**3
+                                         / jnp.maximum(sigma, 1e-10))
+            tau_strip = self.Cs * r / jnp.maximum(rel_mag, 1e-10) \
+                * jnp.sqrt(rho_l_b / jnp.maximum(rho_g, 1e-10))
+            bag = We > self.Cbag
+            strip = (We / jnp.sqrt(Re_b)) > self.Cstrip
+            tau = jnp.where(strip, tau_strip,
+                            jnp.where(bag, tau_bag, 1e30))
+            breaking = bag | strip
+            frac = jnp.where(breaking, 1.0 - jnp.exp(
+                -dt / jnp.maximum(tau, 1e-12)), 0.0)
+            d_broken = jnp.maximum(d_new - frac * (d_new - d_stable),
+                                   jnp.minimum(d_stable, d_new))
+            # conserve parcel liquid mass: n d^3 = const
+            n_part = n_part * (d_new / jnp.maximum(d_broken, 1e-9)) ** 3
+            d_new = d_broken
+
+        # ==== stochastic turbulent dispersion (DRW): isotropic velocity
+        # fluctuation sampled from the local turbulent kinetic energy
+        if self.dispersion and "k_turb" in gas:
+            key, kd = jax.random.split(key)
+            k_t = g(gas["k_turb"])
+            sigma_u = jnp.sqrt(jnp.maximum(2.0 * k_t / 3.0, 0.0))
+            xi = jax.random.normal(kd, (3, N), dtype)
+            vel_new = vel_new + sigma_u * xi * (active > 0)
 
         # ==== move + deactivate escaped / fully evaporated
         pos_new = pos + vel_new * dt

@@ -142,3 +142,49 @@ def test_coupled_spray_solver():
     # evaporative cooling: minimum T dropped
     assert float(s.gas.T.min()) < 900.0
     assert float(diag["cloud_n_active"]) > 0
+
+
+def test_reitz_diwakar_breakup():
+    """High-We parcels break up: diameter drops toward the stable diameter,
+    liquid mass is conserved through n_part scaling."""
+    mesh, cloud = make_cloud(u_mag=250.0, evap="none", d_mean=1.5e-4)
+    cloud = type(cloud)(**{**cloud.__dict__, "breakup": "ReitzDiwakar",
+                           "injector": type(cloud.injector)(
+                               **{**cloud.injector.__dict__,
+                                  "t_end": 0.9e-5, "u_mag": 250.0})})
+    c = cloud.init(jax.random.PRNGKey(5))
+    g = gas_fields(mesh, T=500.0)
+    dt = 1e-5
+    step = jax.jit(lambda c, t: cloud.evolve(c, g, dt, t))
+    c, _ = step(c, jnp.asarray(0.0))
+    m0 = float(cloud.stats(c)["liquid_mass"])
+    d0 = float((c.d * c.active).max())
+    for i in range(8):
+        c, _ = step(c, jnp.asarray((i + 1) * dt))
+    d1 = float((c.d * c.active).max())
+    m1 = float(cloud.stats(c)["liquid_mass"])
+    assert d1 < 0.9 * d0, (d0, d1)
+    # mass conserved (no evaporation; drag only)
+    np.testing.assert_allclose(m1, m0, rtol=1e-6)
+
+
+def test_dispersion_spreads_parcels():
+    mesh, cloud = make_cloud(u_mag=20.0, evap="none", d_mean=3e-5)
+    base = {**cloud.__dict__, "injector": type(cloud.injector)(
+        **{**cloud.injector.__dict__, "t_end": 1.5e-5, "cone_angle_deg": 0.1})}
+    cloud_no = type(cloud)(**base)
+    cloud_yes = type(cloud)(**{**base, "dispersion": True})
+    g = gas_fields(mesh, T=400.0)
+    g["k_turb"] = jnp.full(mesh.shape, 20.0)
+    dt = 1e-5
+
+    def spread(cl):
+        c = cl.init(jax.random.PRNGKey(7))
+        step = jax.jit(lambda c, t: cl.evolve(c, g, dt, t))
+        for i in range(10):
+            c, _ = step(c, jnp.asarray(i * dt))
+        act = np.asarray(c.active) > 0
+        pos = np.asarray(c.pos)[:, act]
+        return pos.std(axis=1).sum()
+
+    assert spread(cloud_yes) > 1.5 * spread(cloud_no)
