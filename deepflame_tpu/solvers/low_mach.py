@@ -55,6 +55,7 @@ class LowMachState(NamedTuple):
     phi: tuple
     dpdt: jax.Array
     time: jax.Array
+    turb: tuple = ()         # RAS fields (k, eps) when a RAS model is active
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,7 +121,8 @@ class LowMachSolver:
             rhoD = jnp.moveaxis(rho[..., None] * Dm, -1, 0)
         return mu, alpha, rhoD
 
-    def initial_state(self, p, T, Y, U=None, time=0.0) -> LowMachState:
+    def initial_state(self, p, T, Y, U=None, time=0.0,
+                      k0: float = 1e-3, eps0: float = 1e-2) -> LowMachState:
         dtype = T.dtype
         sh = self.mesh.shape
         if U is None:
@@ -129,9 +131,12 @@ class LowMachSolver:
         rho = self.thermo.rho(p, T, Yt)
         ha = self.thermo.h_mass(T, Yt)
         phi = self._face_flux(rho, U)
+        turb = ()
+        if getattr(self.turbulence, "kind", "") == "kEpsilon":
+            turb = self.turbulence.initial_fields(sh, dtype, k0, eps0)
         return LowMachState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
                             dpdt=jnp.zeros(sh, dtype),
-                            time=jnp.asarray(time, dtype))
+                            time=jnp.asarray(time, dtype), turb=turb)
 
     # ----------------------------------------------------------------- step
     def step(self, s: LowMachState, dt, sources=None) -> tuple[LowMachState, dict]:
@@ -148,6 +153,8 @@ class LowMachSolver:
         phi = s.phi
         rho, U, p, ha, Y, T = s.rho, s.U, s.p, s.ha, s.Y, s.T
         dpdt = s.dpdt
+        turb = s.turb
+        is_ras = getattr(self.turbulence, "kind", "") == "kEpsilon"
         diag = {}
 
         # ===== chemistry (operator split, once per step like the reference
@@ -157,9 +164,13 @@ class LowMachSolver:
             turb_q = None
             if self.turbulence is not None:
                 mu0, _, _ = self._mixture_update(p, T, Y)
-                mu_t0 = self.turbulence.mu_t(rho, U, self.bcs_U, mesh)
-                k_sgs, eps_sgs = self.turbulence.sgs_k_epsilon(mu_t0, rho, mesh)
-                turb_q = dict(k=k_sgs, epsilon=eps_sgs, nu=mu0 / rho)
+                if is_ras:
+                    turb_q = dict(k=turb[0], epsilon=turb[1], nu=mu0 / rho)
+                else:
+                    mu_t0 = self.turbulence.mu_t(rho, U, self.bcs_U, mesh)
+                    k_sgs, eps_sgs = self.turbulence.sgs_k_epsilon(mu_t0, rho,
+                                                                  mesh)
+                    turb_q = dict(k=k_sgs, epsilon=eps_sgs, nu=mu0 / rho)
             chem = self.combustion.correct(T, p, Yt,
                                            dt * cfg.chemistry_dt_scale, turb_q)
             # splittingStrategy (YEqn_RR.H): the 2x-dt fractional chemistry
@@ -177,8 +188,12 @@ class LowMachSolver:
             # ===== coefficient fields (molecular + SGS effective, the
             # reference's turbulence->muEff()/alphaEff() pattern)
             mu, alpha, rhoD = self._mixture_update(p, T, Y)
+            mu_mol = mu
             if self.turbulence is not None:
-                mu_t = self.turbulence.mu_t(rho, U, self.bcs_U, mesh)
+                if is_ras:
+                    mu_t = self.turbulence.mu_t_from(rho, turb[0], turb[1])
+                else:
+                    mu_t = self.turbulence.mu_t(rho, U, self.bcs_U, mesh)
                 mu = mu + mu_t
                 alpha = alpha + mu_t / self.turbulence.Pr_t
                 rhoD = rhoD + mu_t[None] / self.turbulence.Sc_t
@@ -270,6 +285,14 @@ class LowMachSolver:
                 p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old=rho_old)
             diag[f"p_res_{outer}"] = p_res
 
+        # ===== turbulence->correct(): RAS field transport (end of step)
+        if is_ras:
+            k_new, eps_new, mu_t_new = self.turbulence.advance(
+                turb[0], turb[1], rho, rho_old, phi, U, mu_mol, self.bcs_U,
+                self.bcs_p, mesh, dt)
+            turb = (k_new, eps_new)
+            diag["k_max"] = jnp.max(k_new)
+
         # continuity diagnostic
         cont_err = rho - (rho_old - dt * div_flux(phi, mesh))
         diag["continuity_err"] = jnp.max(jnp.abs(cont_err)) / jnp.mean(rho)
@@ -277,7 +300,7 @@ class LowMachSolver:
         diag["T_max"] = jnp.max(T)
 
         return LowMachState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
-                            dpdt=dpdt, time=s.time + dt), diag
+                            dpdt=dpdt, time=s.time + dt, turb=turb), diag
 
     def courant(self, s: LowMachState, dt) -> jax.Array:
         """Max Courant number (compressibleCourantNo.H parity)."""
