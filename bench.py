@@ -23,12 +23,12 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build
 
-    n = 64                       # 64 x 64 2D reacting case
+    n = 128                      # 128 x 128 2D reacting case
     solver, state = _build(n=n, dtype=jnp.float32, chemistry=True)
     dt = 5e-7
     step = jax.jit(lambda s: solver.step(s, dt)[0])
     state = jax.block_until_ready(step(state))   # compile + warm
-    n_steps = 10
+    n_steps = 5
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state = step(state)

@@ -45,17 +45,17 @@ class RosenbrockOptions(NamedTuple):
     shrink: float = 0.2
 
 
-def _step(rhs: Callable, y, dt, jac):
+def _step(rhs: Callable, y, dt, jac, f0):
     """One ode23s Rosenbrock step (autonomous system).
 
-    Returns (y_new, err_vec). One LU factorization, three solves."""
+    Returns (y_new, err_vec). One LU factorization, three solves. f0 = rhs(y)
+    comes from the caller (free byproduct of jax.linearize)."""
     n = y.shape[-1]
     eye = jnp.eye(n, dtype=y.dtype)
     W = eye - (dt * _ROS_D) * jac
     lu, piv = jax.scipy.linalg.lu_factor(W)
     solve = lambda b: jax.scipy.linalg.lu_solve((lu, piv), b)
 
-    f0 = rhs(y)
     k1 = solve(f0)
     f1 = rhs(y + 0.5 * dt * k1)
     k2 = solve(f1 - k1) + k1
@@ -74,7 +74,15 @@ def rosenbrock_integrate(rhs: Callable, y0: jax.Array, t_end: jax.Array,
     on the embedded 3rd-order error estimate.
     """
     dtype = y0.dtype
-    jac_fn = jax.jacfwd(rhs)
+    n = y0.shape[-1]
+    basis = jnp.eye(n, dtype=dtype)
+
+    def jac_and_f(y):
+        # one linearization gives f(y) AND the exact Jacobian (columns =
+        # jvp(e_i), vectorized) — saves a full RHS eval per step vs jacfwd
+        f0, jvp = jax.linearize(rhs, y)
+        J_cols = jax.vmap(jvp)(basis)     # row i = J @ e_i = column i of J
+        return f0, J_cols.T
 
     def cond(carry):
         y, t, dt, nstep = carry
@@ -83,8 +91,8 @@ def rosenbrock_integrate(rhs: Callable, y0: jax.Array, t_end: jax.Array,
     def body(carry):
         y, t, dt, nstep = carry
         dt = jnp.minimum(dt, t_end - t)
-        jac = jac_fn(y)
-        y_new, err = _step(rhs, y, dt, jac)
+        f0, jac = jac_and_f(y)
+        y_new, err = _step(rhs, y, dt, jac, f0)
         scale = opts.atol + opts.rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
         # rms error norm
         enorm = jnp.sqrt(jnp.mean((err / scale) ** 2))

@@ -89,6 +89,7 @@ class SprayCloud:
     Cb: float = 0.785
     Cstrip: float = 0.5
     Cs: float = 10.0
+    d_min: float = 1e-6             # smallest stable/child diameter [m]
 
     def init(self, key, dtype=jnp.float64) -> CloudState:
         N = self.max_parcels
@@ -246,9 +247,10 @@ class SprayCloud:
             rho_l_b = liq.rho(T_new)
             We = rho_g * rel_mag**2 * d_new / jnp.maximum(sigma, 1e-10)
             Re_b = jnp.maximum(Re, 1e-10)
-            # stable diameter from the critical Weber number
-            d_stable = self.Cbag * sigma / jnp.maximum(
-                rho_g * rel_mag**2, 1e-10)
+            # stable diameter from the critical Weber number (floored: below
+            # ~1 um droplets flash-evaporate, handled by the cull below)
+            d_stable = jnp.maximum(self.Cbag * sigma / jnp.maximum(
+                rho_g * rel_mag**2, 1e-10), self.d_min)
             r = 0.5 * d_new
             tau_bag = self.Cb * jnp.sqrt(rho_l_b * r**3
                                          / jnp.maximum(sigma, 1e-10))
@@ -276,9 +278,14 @@ class SprayCloud:
             xi = jax.random.normal(kd, (3, N), dtype)
             vel_new = vel_new + sigma_u * xi * (active > 0)
 
-        # ==== move + deactivate escaped / fully evaporated
+        # ==== move + deactivate escaped / fully evaporated. Parcels culled
+        # for smallness flash-evaporate: their remaining mass joins dm so no
+        # liquid mass silently disappears.
         pos_new = pos + vel_new * dt
-        alive = (active > 0) & self._in_domain(pos_new) & (d_new > 1e-7)
+        too_small = (active > 0) & (d_new <= 0.5 * self.d_min)
+        dm = dm + jnp.where(too_small, m_new, 0.0)
+        m_new = jnp.where(too_small, 0.0, m_new)
+        alive = (active > 0) & self._in_domain(pos_new) & ~too_small
         mask = alive.astype(dtype)
 
         # ==== Euler sources (per unit volume): scatter-add
