@@ -110,3 +110,31 @@ def test_phase_timers():
         pass
     rep = t.report()
     assert "a" in rep and t.counts["a"] == 2
+
+
+def test_solver_factory():
+    """CaseConfig -> working solver via the factory (createFields parity)."""
+    import jax
+    from deepflame_tpu.mesh import cyclic, empty
+    from deepflame_tpu.runtime import load_case
+    from deepflame_tpu.runtime.factory import build_low_mach_solver
+    import os as _os
+    case = load_case(_os.path.join(_os.path.dirname(__file__), "..",
+                                   "examples", "cases", "reacting_tgv.yaml"))
+    assert case.chemistry.inert_specie == "N2"
+    n = 8
+    L = 2e-3
+    mesh = StructuredMesh.box([L, L, L / n], [n, n, 1])
+    b = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
+    solver, mech = build_low_mach_solver(case, mesh, (b, b, b), b, b, b, b)
+    assert solver.config.inert_index == mech.species_index("N2")
+    ns = mech.n_species
+    import numpy as _np
+    Y = _np.zeros((ns,) + mesh.shape)
+    Y[mech.species_index("H2")] = 0.0285
+    Y[mech.species_index("O2")] = 0.2264
+    Y[mech.species_index("N2")] = 0.7451
+    s = solver.initial_state(jnp.full(mesh.shape, 101325.0),
+                             jnp.full(mesh.shape, 1500.0), jnp.asarray(Y))
+    s2, diag = jax.jit(lambda st: solver.step(st, 1e-7))(s)
+    assert bool(jnp.all(jnp.isfinite(s2.T)))
