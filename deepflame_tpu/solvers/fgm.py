@@ -41,6 +41,7 @@ class FGMState(NamedTuple):
     Zvar: jax.Array
     c: jax.Array        # (scaled) progress variable
     cvar: jax.Array
+    Zcvar: jax.Array    # Z-c covariance
     T: jax.Array
     phi: tuple
     dpdt: jax.Array
@@ -53,6 +54,7 @@ class FGMConfig(LowMachConfig):
     Sc_t: float = 0.7         # turbulent Schmidt (Sct_)
     Cd: float = 2.0           # scalar dissipation constant: chi = Cd eps/k var
     solve_cvar: bool = True
+    solve_zcvar: bool = False # Z-c covariance equation (baseFGM ZcvarEqn)
     combustion_on: bool = True
 
 
@@ -74,10 +76,10 @@ class FGMSolver(LowMachSolver):
         rho = p * W / (GAS_CONSTANT * T)
         phi = self._face_flux(rho, U)
         return FGMState(rho=rho, U=U, p=p, Z=Z, Zvar=zeros, c=c, cvar=zeros,
-                        T=T, phi=phi, dpdt=zeros,
+                        Zcvar=zeros, T=T, phi=phi, dpdt=zeros,
                         time=jnp.asarray(time, dtype))
 
-    def _lookup_state(self, Z, Zvar, c, cvar):
+    def _lookup_state(self, Z, Zvar, c, cvar, Zcvar=None):
         """Table (flareFGM.C:239-345) or NN (DeePFGM.C) thermochemistry at
         the current control-variable state."""
         small = 1e-6
@@ -86,7 +88,12 @@ class FGMSolver(LowMachSolver):
         if self.deepfgm is not None:
             out = self.deepfgm.query(Z, c, gz, gc)
             return out["Tf"], out["mwt"], out["cp"], out["nu"], out["omgc"]
-        coords = (None, Z, c, gz, gc, None)
+        # correlation coordinate gzc = Zcvar/sqrt(Zvar cvar) (cal_gcor)
+        gzc = None
+        if Zcvar is not None and len(self.table.axes[5]) > 1:
+            gzc = jnp.clip(Zcvar / jnp.maximum(
+                jnp.sqrt(Zvar * cvar), small), -1.0, 1.0)
+        coords = (None, Z, c, gz, gc, gzc)
         tb = self.table
         T = lookup(tb, "Tf", coords)
         W = lookup(tb, "mwt", coords)
@@ -102,8 +109,9 @@ class FGMSolver(LowMachSolver):
 
         rho_old, U_old, p_old = s.rho, s.U, s.p
         Z_old, Zvar_old, c_old, cvar_old = s.Z, s.Zvar, s.c, s.cvar
+        Zcvar_old = s.Zcvar
         rho, U, p, phi, dpdt, T = s.rho, s.U, s.p, s.phi, s.dpdt, s.T
-        Z, Zvar, c, cvar = s.Z, s.Zvar, s.c, s.cvar
+        Z, Zvar, c, cvar, Zcvar = s.Z, s.Zvar, s.c, s.cvar, s.Zcvar
         diag = {}
         bz = self.bcs_Z
 
@@ -113,7 +121,7 @@ class FGMSolver(LowMachSolver):
 
             # table thermo-transport coefficients
             T_tab, W_tab, cp_tab, nu_tab, omgc = self._lookup_state(
-                Z, Zvar, c, cvar)
+                Z, Zvar, c, cvar, Zcvar)
             mu = rho * nu_tab
             mu_t = jnp.zeros_like(mu)
             if self.turbulence is not None:
@@ -167,10 +175,27 @@ class FGMSolver(LowMachSolver):
                                      2.0 * (mu_t / cfg.Sc_t) * magsq_gC
                                      - 2.0 * rho * chi_c
                                      + 2.0 * rho * (cOc - c * omgc), 0.0, 0.25)
+                if cfg.solve_zcvar:
+                    # ZcvarEqn: cross production + dissipation + chemistry
+                    # correlation (baseFGM ZcvarEqn; ZOc lookup)
+                    gC2 = grad(c, bz, mesh)
+                    cross = sum(gZ[ax] * gC2[ax] for ax in range(3))
+                    chi_zc = cfg.Cd * (eps_sgs / jnp.maximum(k_sgs, 1e-10)) \
+                        * Zcvar * 0.5
+                    ZOc = lookup(self.table, "ZOc",
+                                 (None, Z, c,
+                                  Zvar / jnp.maximum(Z * (1 - Z), 1e-6),
+                                  cvar / jnp.maximum(c * (1 - c), 1e-6),
+                                  None))
+                    Zcvar = transport(
+                        Zcvar, Zcvar_old,
+                        2.0 * (mu_t / cfg.Sc_t) * cross
+                        - 2.0 * rho * chi_zc
+                        + rho * (ZOc - Z * omgc), -0.25, 0.25)
 
             # ===== table thermo update (flareFGM correctThermo analogue)
-            T, W_tab, cp_tab, nu_tab, omgc = self._lookup_state(Z, Zvar, c,
-                                                                cvar)
+            T, W_tab, cp_tab, nu_tab, omgc = self._lookup_state(
+                Z, Zvar, c, cvar, Zcvar)
             psi = W_tab / (GAS_CONSTANT * T)
 
             # ===== pressure correctors (shared block)
@@ -183,4 +208,5 @@ class FGMSolver(LowMachSolver):
         diag["T_max"] = jnp.max(T)
         diag["c_max"] = jnp.max(c)
         return FGMState(rho=rho, U=U, p=p, Z=Z, Zvar=Zvar, c=c, cvar=cvar,
-                        T=T, phi=phi, dpdt=dpdt, time=s.time + dt), diag
+                        Zcvar=Zcvar, T=T, phi=phi, dpdt=dpdt,
+                        time=s.time + dt), diag
