@@ -138,7 +138,8 @@ class FGMSolver(LowMachSolver):
 
             # ===== FGM scalar transport (baseFGM.C:478-700)
             D_scalar = mu_t / cfg.Sc_t + mu / cfg.Sc
-            D_f = tuple(interpolate(pad_field(D_scalar, self.bcs_p, mesh), ax)
+            D_f = tuple(interpolate(
+                pad_field(D_scalar, self.bcs_coeff, mesh), ax)
                         for ax in range(3))
 
             def transport(q, q_old, source, q_min=0.0, q_max=1.0):

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from ..chemistry.thermo import ThermoData
 from ..chemistry.transport import TransportData
 from ..combustion.basic import CombustionModel
-from ..mesh.structured import StructuredMesh, pad_field
+from ..mesh.structured import (BC, StructuredMesh, cyclic, empty, pad_field,
+                               zero_gradient)
 from ..ops.fv import (FvMatrix, face_pair, fvm_ddt, fvm_div, fvm_laplacian,
                       fvm_source_implicit, grad, div_flux, interpolate,
                       _face_diff)
@@ -92,6 +93,27 @@ class LowMachSolver:
     turbulence: Any = None     # LESModel (turbulence/les.py) or None (laminar)
 
     # -------------------------------------------------------------- helpers
+    @property
+    def bcs_coeff(self):
+        """Value-neutral BCs for interpolating COEFFICIENT fields (rAU, mu,
+        alpha, rhoD, ...) to faces: one-sided extrapolation at physical
+        boundaries, exact wrap on cyclic axes. Padding coefficients with a
+        solution field's BCs (e.g. a fixedValue pressure outlet) would inject
+        the solution value into the coefficient."""
+        out = []
+        for ax in range(3):
+            pair = []
+            for side in (0, 1):
+                k = self.bcs_p[ax][side].kind
+                if k == "cyclic":
+                    pair.append(cyclic())
+                elif k == "empty":
+                    pair.append(empty())
+                else:
+                    pair.append(zero_gradient())
+            out.append(tuple(pair))
+        return tuple(out)
+
     def _species_bcs(self, i: int):
         b = self.bcs_Y
         return b[i] if isinstance(b, list) else b
@@ -213,7 +235,8 @@ class LowMachSolver:
                     gY.append(gYi)
                     sumYDiff = sumYDiff + rhoD[i] * gYi
                 phiUc = tuple(
-                    interpolate(pad_field(sumYDiff[ax], self.bcs_p, mesh), ax)
+                    interpolate(pad_field(sumYDiff[ax], self.bcs_coeff, mesh),
+                                ax)
                     for ax in range(3))
                 Y_new = []
                 for i in range(ns):
@@ -221,8 +244,8 @@ class LowMachSolver:
                         Y_new.append(Y[i])
                         continue
                     bcs_i = self._species_bcs(i)
-                    D_f = tuple(interpolate(pad_field(rhoD[i], self.bcs_p,
-                                                      mesh), ax)
+                    D_f = tuple(interpolate(
+                        pad_field(rhoD[i], self.bcs_coeff, mesh), ax)
                                 for ax in range(3))
                     eqn = (fvm_ddt(rho, Y_old[i], dt, mesh, bcs_i,
                                    coeff_old=rho_old)
@@ -245,12 +268,14 @@ class LowMachSolver:
                     Y = Y / jnp.sum(Y, axis=0, keepdims=True)
 
             # ===== EEqn (EEqn.H:1-57), absolute enthalpy form
-            alpha_f = tuple(interpolate(pad_field(alpha, self.bcs_p, mesh), ax)
+            alpha_f = tuple(interpolate(
+                pad_field(alpha, self.bcs_coeff, mesh), ax)
                             for ax in range(3))
             K = 0.5 * jnp.sum(U * U, axis=0)
             K_old = 0.5 * jnp.sum(U_old * U_old, axis=0)
             dKdt = (rho * K - rho_old * K_old) / dt + div_flux(
-                tuple(phi[ax] * interpolate(pad_field(K, self.bcs_p, mesh), ax)
+                tuple(phi[ax] * interpolate(
+                    pad_field(K, self.bcs_coeff, mesh), ax)
                       for ax in range(3)), mesh)
             # enthalpy-diffusion correction: div( sum_i h_i (rhoD_i - alpha) grad Y_i )
             hcorr_div = 0.0
@@ -260,7 +285,7 @@ class LowMachSolver:
                 for i in range(ns):
                     hcorr = hcorr + h_sp[..., i] * (rhoD[i] - alpha) * gY[i]
                 hcorr_f = tuple(
-                    interpolate(pad_field(hcorr[ax], self.bcs_p, mesh), ax)
+                    interpolate(pad_field(hcorr[ax], self.bcs_coeff, mesh), ax)
                     for ax in range(3))
                 hcorr_div = div_flux(hcorr_f, mesh)
             eqn_h = (fvm_ddt(rho, ha_old, dt, mesh, self.bcs_h,
@@ -317,7 +342,7 @@ class LowMachSolver:
         cfg = self.config
         dtype = p.dtype
         gp = grad(p, self.bcs_p, mesh)
-        mu_f = tuple(interpolate(pad_field(mu, self.bcs_p, mesh), ax)
+        mu_f = tuple(interpolate(pad_field(mu, self.bcs_coeff, mesh), ax)
                      for ax in range(3))
         # explicit part of div(mu dev2(grad U)^T): transpose + dilatation
         divU = 0.0
@@ -331,10 +356,10 @@ class LowMachSolver:
         HbyA = []
         for c in range(3):
             # dev2 correction: d/dxj [ mu (dUj/dxi - 2/3 delta_ij divU) ]
-            corr = (grad(mu * gU[0][c], self.bcs_p, mesh)[0]
-                    + grad(mu * gU[1][c], self.bcs_p, mesh)[1]
-                    + grad(mu * gU[2][c], self.bcs_p, mesh)[2]
-                    - grad(mu * divU, self.bcs_p, mesh)[c] * (2.0 / 3.0))
+            corr = (grad(mu * gU[0][c], self.bcs_coeff, mesh)[0]
+                    + grad(mu * gU[1][c], self.bcs_coeff, mesh)[1]
+                    + grad(mu * gU[2][c], self.bcs_coeff, mesh)[2]
+                    - grad(mu * divU, self.bcs_coeff, mesh)[c] * (2.0 / 3.0))
             eqn = (fvm_ddt(rho, U_old[c], dt, mesh, self.bcs_U[c],
                            coeff_old=rho_old)
                    + fvm_div(phi, U[c], mesh, self.bcs_U[c], cfg.div_scheme)
@@ -349,6 +374,27 @@ class LowMachSolver:
                 u_diags = eqn.diag()                # same for all comps
             HbyA.append(eqn.H(res.x) / u_diags)
         return jnp.stack(U_new), HbyA, 1.0 / u_diags
+
+    def _fix_boundary_fluxes(self, phi, rho_f):
+        """Impose prescribed mass fluxes on fixed-velocity boundary faces
+        (OpenFOAM overrides phiHbyA with the patch flux so the pEqn sees the
+        exact inlet/wall flux; interpolation alone lets it float and breaks
+        global continuity)."""
+        out = list(phi)
+        for ax in range(3):
+            for side in (0, 1):
+                bc = self.bcs_U[ax][ax][side]   # normal component, this axis
+                if bc.kind in ("fixedValue", "symmetryNegate", "inletOutlet"):
+                    u_bc = 0.0 if bc.kind == "symmetryNegate" else bc.value
+                    f = out[ax]
+                    n = f.shape[ax]
+                    idx = 0 if side == 0 else n - 1
+                    sl = [slice(None)] * 3
+                    sl[ax] = slice(idx, idx + 1)
+                    rho_b = jax.lax.slice_in_dim(rho_f[ax], idx, idx + 1,
+                                                 axis=ax)
+                    out[ax] = f.at[tuple(sl)].set(rho_b * u_bc)
+        return tuple(out)
 
     def _pressure_loop(self, p, p_old, psi, rho_fn, HbyA, rAU, dt,
                        rho_old=None):
@@ -369,12 +415,14 @@ class LowMachSolver:
             rho = rho_fn(p)
             rho_f = tuple(interpolate(pad_field(rho, self.bcs_rho, mesh), ax)
                           for ax in range(3))
-            rAU_f = tuple(interpolate(pad_field(rAU, self.bcs_p, mesh), ax)
+            rAU_f = tuple(interpolate(
+                pad_field(rAU, self.bcs_coeff, mesh), ax)
                           for ax in range(3))
             phiHbyA = tuple(
                 rho_f[ax] * interpolate(
                     pad_field(HbyA[ax], self.bcs_U[ax], mesh), ax)
                 for ax in range(3))
+            phiHbyA = self._fix_boundary_fluxes(phiHbyA, rho_f)
             rhorAUf = tuple(rho_f[ax] * rAU_f[ax] for ax in range(3))
             rho_prev = rho_old if rho_old is not None else psi * p_old
             eqn_p = (fvm_source_implicit(psi / dt, mesh, self.bcs_p,
@@ -402,6 +450,7 @@ class LowMachSolver:
             phi = tuple(
                 phiHbyA[ax] - rhorAUf[ax] * _sngrad(Pp, ax, mesh.spacing[ax])
                 for ax in range(3))
+            phi = self._fix_boundary_fluxes(phi, rho_f)
             # velocity correction
             gp = grad(p, self.bcs_p, mesh)
             U = jnp.stack([HbyA[c] - rAU * gp[c] for c in range(3)])
