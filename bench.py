@@ -1,10 +1,11 @@
-"""Benchmark: flagship low-Mach reacting solver throughput on one TPU chip.
+"""Benchmark: flagship solver throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Metric follows BASELINE.json: cell-updates/sec/chip for the dfLowMachFoam-
-parity solver on a 2D reacting H2/air case (reacting TGV family). The
-reference publishes no absolute numbers (BASELINE.md), so vs_baseline is
-reported against the most recent previous round's bench value when available
+Metric follows BASELINE.json's north star: cell-updates/sec/chip for the
+dfLowMachFoam-parity solver on the 3D reactive LES case (H2/air TGV with an
+ignition kernel, Sigma SGS, stiff chemistry, 48^3 cells, f32). The reference
+publishes no absolute numbers (BASELINE.md), so vs_baseline is reported
+against the most recent previous round's bench value when available
 (BENCH_r*.json), else null.
 """
 import glob
@@ -21,11 +22,11 @@ def main():
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from __graft_entry__ import _build
+    from __graft_entry__ import _build_3d_les
 
-    n = 128                      # 128 x 128 2D reacting case
-    solver, state = _build(n=n, dtype=jnp.float32, chemistry=True)
-    dt = 5e-7
+    n = 48                       # 48^3 3D reacting LES case
+    solver, state = _build_3d_les(n=n, dtype=jnp.float32)
+    dt = 2.5e-7
     step = jax.jit(lambda s: solver.step(s, dt)[0])
     state = jax.block_until_ready(step(state))   # compile + warm
     n_steps = 5
@@ -34,7 +35,7 @@ def main():
         state = step(state)
     jax.block_until_ready(state)
     t1 = time.perf_counter()
-    cells = n * n
+    cells = n ** 3
     cups = cells * n_steps / (t1 - t0)
 
     vs = None
@@ -48,7 +49,7 @@ def main():
         except Exception:
             vs = None
     print(json.dumps({
-        "metric": "lowmach_reacting_cell_updates_per_sec_per_chip",
+        "metric": "lowmach_3d_reacting_les_cell_updates_per_sec_per_chip",
         "value": cups,
         "unit": "cell-updates/s",
         "vs_baseline": vs,
