@@ -314,7 +314,7 @@ class LowMachSolver:
         if is_ras:
             k_new, eps_new, mu_t_new = self.turbulence.advance(
                 turb[0], turb[1], rho, rho_old, phi, U, mu_mol, self.bcs_U,
-                self.bcs_p, mesh, dt)
+                self.bcs_coeff, mesh, dt)
             turb = (k_new, eps_new)
             diag["k_max"] = jnp.max(k_new)
 
