@@ -31,8 +31,8 @@ import numpy as np
 from ..constants import ONE_ATM
 from .thermo import ThermoData
 
-__all__ = ["DFODENet", "init_params", "mlp_apply", "load_torch_checkpoint",
-           "load_npz_checkpoint", "bct", "inv_bct"]
+__all__ = ["DFODENet", "MultiRangeDFODENet", "init_params", "mlp_apply",
+           "load_torch_checkpoint", "load_npz_checkpoint", "bct", "inv_bct"]
 
 LAYERS = (1600, 800, 400)
 
@@ -156,3 +156,19 @@ def load_torch_checkpoint(path: str, n_species: int, delta_t: float,
     # scale-from-atm convention: inference.py:128 multiplies p by 101325
     return DFODENet(nets=nets, x_mean=x_mean, x_std=x_std, y_mean=y_mean,
                     y_std=y_std, delta_t=delta_t, frozen_T=frozen_T)
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiRangeDFODENet:
+    """Up to 3 temperature-range models with per-cell DNNid dispatch
+    (the reference's getDNNinputs partitioning, torchFunctions.H:44-147:
+    cells are routed to model 0/1/2 by temperature band)."""
+    nets: tuple               # tuple[DFODENet, ...]
+    T_bounds: tuple           # ascending band edges, len = len(nets) - 1
+
+    def rates(self, T, p, Y, rho):
+        rr = self.nets[0].rates(T, p, Y, rho)
+        for i in range(1, len(self.nets)):
+            mask = (T >= self.T_bounds[i - 1])[..., None]
+            rr = jnp.where(mask, self.nets[i].rates(T, p, Y, rho), rr)
+        return rr

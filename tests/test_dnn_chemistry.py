@@ -88,3 +88,26 @@ def test_torch_checkpoint_parity(tmp_path, small_net):
         with torch.no_grad():
             ref = torch_nets[i](torch.from_numpy(x)).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-9)
+
+
+def test_multi_range_dispatch(small_net):
+    """Cells route to the model matching their temperature band."""
+    from deepflame_tpu.chemistry.dnn import MultiRangeDFODENet
+    mech, net = small_net
+    ns = mech.n_species
+    # second model with scaled outputs so the dispatch is observable
+    net_hot = net.__class__(nets=net.nets, x_mean=net.x_mean, x_std=net.x_std,
+                            y_mean=net.y_mean, y_std=net.y_std * 2.0,
+                            delta_t=net.delta_t, frozen_T=net.frozen_T)
+    multi = MultiRangeDFODENet(nets=(net, net_hot), T_bounds=(1500.0,))
+    rng = np.random.default_rng(0)
+    Y = jnp.asarray(rng.dirichlet(np.ones(ns), 4))
+    T = jnp.asarray([800.0, 1200.0, 1600.0, 2500.0])
+    p = jnp.full((4,), 101325.0)
+    rho = jnp.ones((4,))
+    rr = np.asarray(multi.rates(T, p, Y, rho))
+    r_lo = np.asarray(net.rates(T, p, Y, rho))
+    r_hi = np.asarray(net_hot.rates(T, p, Y, rho))
+    np.testing.assert_allclose(rr[:2], r_lo[:2])
+    np.testing.assert_allclose(rr[2:], r_hi[2:])
+    assert not np.allclose(r_lo[2:], r_hi[2:])
