@@ -28,8 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import ONE_ATM
-from .thermo import ThermoData
 
 __all__ = ["DFODENet", "MultiRangeDFODENet", "init_params", "mlp_apply",
            "load_torch_checkpoint", "load_npz_checkpoint", "bct", "inv_bct"]

@@ -21,7 +21,6 @@ solves are batched LU — XLA maps these small dense solves well.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

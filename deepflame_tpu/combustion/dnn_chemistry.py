@@ -8,8 +8,6 @@ per-cell mask in one jitted computation instead of an MPI choreography.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import jax.numpy as jnp
 
 from .basic import CombustionModel

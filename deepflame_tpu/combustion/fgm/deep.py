@@ -12,7 +12,7 @@ the reference fetches from AIS Square.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -20,12 +20,12 @@ All BASELINE configs run without AMR (SURVEY.md §7).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 
-from .structured import StructuredMesh, pad_field
+from .structured import StructuredMesh
 from ..ops.fv import grad
 
 __all__ = ["RefinementCriteria", "mark_cells", "refine_field", "coarsen_field",

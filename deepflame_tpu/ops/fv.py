@@ -33,8 +33,7 @@ anti-diffusion, the standard TVD linearization).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

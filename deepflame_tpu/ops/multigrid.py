@@ -14,14 +14,13 @@ parallel, no sequential sweeps).
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from ..mesh.structured import StructuredMesh
-from .fv import FvMatrix, fvm_laplacian, fvm_source_implicit
+from .fv import fvm_laplacian, fvm_source_implicit
 
 __all__ = ["make_mg_preconditioner"]
 

@@ -10,10 +10,9 @@ from __future__ import annotations
 
 import dataclasses
 import time as _time
-from typing import Any, Callable
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .checkpoint import save_state

@@ -7,8 +7,6 @@ turbulence model (turbulenceProperties) from the case dictionaries
 """
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 
 from ..chemistry import (load_mechanism, make_thermo, make_kinetics,

@@ -12,9 +12,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Callable, Sequence
+from typing import Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..mesh.structured import StructuredMesh

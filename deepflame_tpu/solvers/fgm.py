@@ -23,11 +23,11 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import GAS_CONSTANT
-from ..mesh.structured import StructuredMesh, pad_field
+from ..mesh.structured import pad_field
 from ..ops.fv import (fvm_ddt, fvm_div, fvm_laplacian, grad, div_flux,
                       interpolate)
 from ..ops.linsolve import solve_fvmatrix
-from .low_mach import LowMachSolver, LowMachConfig, _sngrad
+from .low_mach import LowMachSolver, LowMachConfig
 from ..combustion.fgm.table import FlameletTable, lookup
 
 __all__ = ["FGMState", "FGMConfig", "FGMSolver"]

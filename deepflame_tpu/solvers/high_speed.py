@@ -28,7 +28,7 @@ from ..chemistry.thermo import ThermoData
 from ..chemistry.integrator import RosenbrockOptions, rosenbrock_integrate
 from ..chemistry.reactor import constant_volume_rhs
 from ..mesh.structured import StructuredMesh, extend_padded, pad_field
-from ..ops.fv import _face_diff, face_pair, grad, interpolate, div_flux
+from ..ops.fv import _face_diff, face_pair
 from ..ops.riemann import FLUX_SCHEMES
 
 __all__ = ["HighSpeedState", "HighSpeedConfig", "HighSpeedSolver"]

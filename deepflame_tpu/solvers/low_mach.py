@@ -35,9 +35,8 @@ from ..chemistry.transport import TransportData
 from ..combustion.basic import CombustionModel
 from ..mesh.structured import (BC, StructuredMesh, cyclic, empty, pad_field,
                                zero_gradient)
-from ..ops.fv import (FvMatrix, face_pair, fvm_ddt, fvm_div, fvm_laplacian,
-                      fvm_source_implicit, grad, div_flux, interpolate,
-                      _face_diff)
+from ..ops.fv import (face_pair, fvm_ddt, fvm_div, fvm_laplacian,
+                      fvm_source_implicit, grad, div_flux, interpolate)
 from ..ops.linsolve import cg, solve_fvmatrix
 
 __all__ = ["LowMachConfig", "LowMachState", "LowMachSolver"]

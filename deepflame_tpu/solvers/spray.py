@@ -8,12 +8,12 @@ n-heptane case is the anchor family (test/aachenBomb_2D).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from ..lagrangian.cloud import CloudSources, CloudState, SprayCloud
+from ..lagrangian.cloud import CloudState, SprayCloud
 from .low_mach import LowMachSolver, LowMachState
 
 __all__ = ["SprayState", "SpraySolver"]

@@ -16,13 +16,11 @@ turbulence->muEff()/alphaEff().
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 
 from ..mesh.structured import StructuredMesh, pad_field
-from ..ops.fv import grad, interpolate
+from ..ops.fv import grad
 
 __all__ = ["LESModel", "smagorinsky", "wale", "sigma_model",
            "dynamic_smagorinsky"]

@@ -11,8 +11,6 @@ species equations. mu_t = rho Cmu k^2/eps.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 
