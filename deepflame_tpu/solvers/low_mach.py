@@ -71,6 +71,7 @@ class LowMachConfig:
     max_iter_u: int = 100
     max_iter_p: int = 500
     p_precond: str = "jacobi" # jacobi | mg (GAMG/AmgX-parity V-cycle; wins on large/3D meshes)
+    use_pallas: str = "auto"  # auto | never: fused pressure-operator kernel on TPU
     unity_lewis: bool = False
     chemistry: bool = True
     chemistry_dt_scale: float = 1.0  # 2.0 for splittingStrategy chem steps
@@ -429,19 +430,32 @@ class LowMachSolver:
                      + fvm_laplacian(rhorAUf, mesh, self.bcs_p,
                                      dtype=dtype, sign=-1.0))
             eqn_p = eqn_p.with_source(rho_prev / dt - div_flux(phiHbyA, mesh))
+            # fused Pallas kernel for the CG matvec (TPU, VMEM-resident)
+            import jax as _jax
+            apply_A = eqn_p.apply
+            if (cfg.use_pallas == "auto"
+                    and _jax.devices()[0].platform != "cpu"):
+                from ..ops.pallas_kernels import fits_vmem, helmholtz_apply
+                if fits_vmem(mesh.shape, dtype):
+                    coeff_d = psi / dt
+                    apply_A = lambda x: helmholtz_apply(
+                        pad_field(x, self.bcs_p, mesh, homogeneous=True),
+                        rhorAUf, coeff_d, mesh.spacing)
             if cfg.p_precond == "mg":
                 from ..ops.multigrid import make_mg_preconditioner
                 if M_inv_mg is None:   # hierarchy shared across correctors
                     M_inv_mg = make_mg_preconditioner(mesh, self.bcs_p,
                                                       psi / dt, rhorAUf,
                                                       dtype)
-                res_p = cg(eqn_p.apply, eqn_p.rhs(), p, M_inv_mg,
+                res_p = cg(apply_A, eqn_p.rhs(), p, M_inv_mg,
                            tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
                            max_iter=cfg.max_iter_p)
             else:
-                res_p = solve_fvmatrix(eqn_p, p, symmetric=True,
-                                       tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
-                                       max_iter=cfg.max_iter_p)
+                d_p = eqn_p.diag()
+                d_inv = 1.0 / jnp.where(jnp.abs(d_p) > 1e-300, d_p, 1.0)
+                res_p = cg(apply_A, eqn_p.rhs(), p, lambda r: d_inv * r,
+                           tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
+                           max_iter=cfg.max_iter_p)
             p = res_p.x
             p_res = res_p.initial_residual
             # flux reconstruction: phi = phiHbyA - rhorAUf * snGrad(p)

@@ -1,0 +1,55 @@
+"""Pallas fused Helmholtz-operator kernel vs the FvMatrix reference
+(interpret mode on CPU; the compiled path runs on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepflame_tpu.mesh import (StructuredMesh, cyclic, empty, fixed_value,
+                                zero_gradient, pad_field)
+from deepflame_tpu.ops.fv import fvm_laplacian, fvm_source_implicit
+from deepflame_tpu.ops.pallas_kernels import helmholtz_apply, fits_vmem
+
+
+def test_helmholtz_matches_fvmatrix():
+    rng = np.random.default_rng(0)
+    n = 16
+    mesh = StructuredMesh.box([1.0, 0.5, 0.25], [n, n, n])
+    bcs = ((fixed_value(0.3), zero_gradient()),
+           (cyclic(), cyclic()),
+           (zero_gradient(), fixed_value(1.2)))
+    gamma = (jnp.asarray(rng.uniform(0.5, 2.0, (n + 1, n, n))),
+             jnp.asarray(rng.uniform(0.5, 2.0, (n, n + 1, n))),
+             jnp.asarray(rng.uniform(0.5, 2.0, (n, n, n + 1))))
+    d = jnp.asarray(rng.uniform(0.1, 1.0, mesh.shape))
+    eqn = (fvm_source_implicit(d, mesh, bcs, dtype=jnp.float64)
+           + fvm_laplacian(gamma, mesh, bcs, dtype=jnp.float64, sign=-1.0))
+    x = jnp.asarray(rng.normal(size=mesh.shape))
+    ref = eqn.apply(x)
+    xp = pad_field(x, bcs, mesh, homogeneous=True)
+    ours = helmholtz_apply(xp, gamma, d, mesh.spacing, interpret=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_helmholtz_2d_empty_axis():
+    rng = np.random.default_rng(1)
+    n = 12
+    mesh = StructuredMesh.box([1.0, 1.0, 1.0 / n], [n, n, 1])
+    bcs = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
+    gamma = (jnp.asarray(rng.uniform(0.5, 2.0, (n + 1, n, 1))),
+             jnp.asarray(rng.uniform(0.5, 2.0, (n, n + 1, 1))),
+             jnp.ones((n, n, 2)))
+    d = jnp.asarray(rng.uniform(0.1, 1.0, mesh.shape))
+    eqn = (fvm_source_implicit(d, mesh, bcs, dtype=jnp.float64)
+           + fvm_laplacian(gamma, mesh, bcs, dtype=jnp.float64, sign=-1.0))
+    x = jnp.asarray(rng.normal(size=mesh.shape))
+    xp = pad_field(x, bcs, mesh, homogeneous=True)
+    ours = helmholtz_apply(xp, gamma, d, mesh.spacing, interpret=True)
+    # fvm_laplacian skips nothing; axis z has size 1 so fluxes cancel there
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(eqn.apply(x)),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_fits_vmem():
+    assert fits_vmem((48, 48, 48), np.float32)
+    assert not fits_vmem((256, 256, 256), np.float32)
