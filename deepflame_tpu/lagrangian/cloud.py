@@ -82,6 +82,11 @@ class SprayCloud:
     evaporation: str = "Spalding"   # Spalding | D2law | none
     breakup: str = "none"           # ReitzDiwakar | none
     dispersion: bool = False        # stochastic (DRW) turbulent dispersion
+    # per-boundary parcel-wall interaction: dict {(axis, side): mode} with
+    # mode in {"escape", "rebound", "stick"}; boundaries not listed escape
+    # (the reference's patch interaction / surface-film attachment hooks)
+    wall_interaction: tuple = ()    # ((axis, side, mode), ...)
+    restitution: float = 0.7
     Sc_gas: float = 0.7
     Pr_gas: float = 0.7
     # ReitzDiwakar coefficients (the aachenBomb submodel defaults)
@@ -278,10 +283,39 @@ class SprayCloud:
             xi = jax.random.normal(kd, (3, N), dtype)
             vel_new = vel_new + sigma_u * xi * (active > 0)
 
-        # ==== move + deactivate escaped / fully evaporated. Parcels culled
-        # for smallness flash-evaporate: their remaining mass joins dm so no
-        # liquid mass silently disappears.
+        # ==== move; wall interaction (rebound/stick) then deactivate
+        # escaped / fully evaporated. Parcels culled for smallness
+        # flash-evaporate: their remaining mass joins dm so no liquid mass
+        # silently disappears.
         pos_new = pos + vel_new * dt
+        m = self.mesh
+        lo_b = jnp.asarray([m.x0, m.y0, m.z0], dtype)
+        hi_b = lo_b + jnp.asarray([m.nx * m.dx, m.ny * m.dy, m.nz * m.dz],
+                                  dtype)
+        for (w_ax, w_side, w_mode) in self.wall_interaction:
+            bound = lo_b[w_ax] if w_side == 0 else hi_b[w_ax]
+            crossed = (pos_new[w_ax] < bound) if w_side == 0 \
+                else (pos_new[w_ax] > bound)
+            if w_mode == "rebound":
+                refl = 2.0 * bound - pos_new[w_ax]
+                pos_new = pos_new.at[w_ax].set(
+                    jnp.where(crossed, refl, pos_new[w_ax]))
+                vel_new = vel_new.at[w_ax].set(jnp.where(
+                    crossed, -self.restitution * vel_new[w_ax],
+                    vel_new[w_ax]))
+                # tangential restitution too (no-slip-ish wall)
+                for t_ax in range(3):
+                    if t_ax != w_ax:
+                        vel_new = vel_new.at[t_ax].set(jnp.where(
+                            crossed, self.restitution * vel_new[t_ax],
+                            vel_new[t_ax]))
+            elif w_mode == "stick":
+                eps_in = 1e-6 * (hi_b[w_ax] - lo_b[w_ax])
+                park = bound + eps_in if w_side == 0 else bound - eps_in
+                pos_new = pos_new.at[w_ax].set(
+                    jnp.where(crossed, park, pos_new[w_ax]))
+                vel_new = jnp.where(crossed[None, :],
+                                    jnp.zeros_like(vel_new), vel_new)
         too_small = (active > 0) & (d_new <= 0.5 * self.d_min)
         dm = dm + jnp.where(too_small, m_new, 0.0)
         m_new = jnp.where(too_small, 0.0, m_new)

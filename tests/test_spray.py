@@ -188,3 +188,40 @@ def test_dispersion_spreads_parcels():
         return pos.std(axis=1).sum()
 
     assert spread(cloud_yes) > 1.5 * spread(cloud_no)
+
+
+def test_wall_rebound_and_stick():
+    """Parcels hitting a rebound wall reflect with restitution; a stick wall
+    parks them with zero velocity; neither loses parcels."""
+    mesh = StructuredMesh.box([0.02, 0.05, 0.02], [8, 10, 8],
+                              origin=(-0.01, -0.05, -0.01))
+    inj = ConeInjector(position=(0.0, -0.002, 0.0), direction=(0, -1, 0),
+                       u_mag=30.0, mdot=1e-4, t_start=0.0, t_end=1.5e-5,
+                       d_mean=5e-5, parcels_per_step=16, cone_angle_deg=1.0)
+    for mode in ("rebound", "stick"):
+        cloud = SprayCloud(mesh=mesh, liquid=n_heptane(), injector=inj,
+                           max_parcels=256, evaporation="none",
+                           wall_interaction=(((1, 0, mode)),))
+        c = cloud.init(jax.random.PRNGKey(3))
+        g = dict(rho=jnp.full(mesh.shape, 30.0), U=jnp.zeros((3,) + mesh.shape),
+                 T=jnp.full(mesh.shape, 400.0), mu=jnp.full(mesh.shape, 2e-5),
+                 p=jnp.full(mesh.shape, 5e6), Yv=jnp.zeros(mesh.shape))
+        dt = 5e-4  # drag tau ~4 ms: parcels cover ~0.08 m in 8 steps
+        step = jax.jit(lambda c, t: cloud.evolve(c, g, dt, t)[0])
+        t = 0.0
+        for i in range(8):
+            c = step(c, jnp.asarray(t))
+            t += dt
+        n_active = float(jnp.sum(c.active))
+        assert n_active == 16.0, (mode, n_active)  # nobody escaped
+        act = np.asarray(c.active) > 0
+        vy = np.asarray(c.vel[1])[act]
+        y = np.asarray(c.pos[1])[act]
+        assert np.all(y >= -0.05 - 1e-12), mode
+        if mode == "stick":
+            # stuck parcels were zeroed on impact; drag keeps them ~0 in
+            # quiescent gas
+            assert np.all(np.abs(vy) < 0.5), vy
+        else:
+            # rebounded at least once: some upward or strongly damped motion
+            assert np.all(np.abs(vy) < 30.0)
