@@ -1,0 +1,98 @@
+"""2D reacting TGV on the reference's EXACT initial fields (anchor run).
+
+Loads the nonuniform initial fields shipped with
+/root/reference/test/dfLowMachFoam/twoD_reactingTGV/H2/cvodeSolver/0 via the
+OpenFOAM importer and advances them with this framework's low-Mach solver on
+the same grid (128x128, 2*pi mm cyclic box, dt = 1e-6 s, ES80 mechanism —
+system/blockMeshDict + controlDict parity).
+
+The reference CI asserts max(T) along the y-line at x = z = 3 mm after
+100/200/300/400/500 steps: 363.504 / 537.614 / 871.092 / 1297.64 / 1532.92 K
+(corrtest.cpp:51-57). Exact float equality is specific to the reference's
+discretization; this run reports our values next to those anchors.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+CASE = "/root/reference/test/dfLowMachFoam/twoD_reactingTGV/H2/cvodeSolver"
+ANCHORS = {100: 363.504, 200: 537.614, 300: 871.092, 400: 1297.64,
+           500: 1532.92}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--rtol", type=float, default=1e-6)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
+                                         make_kinetics, make_transport)
+    from deepflame_tpu.chemistry.integrator import RosenbrockOptions
+    from deepflame_tpu.combustion import Laminar
+    from deepflame_tpu.mesh import StructuredMesh, cyclic, empty
+    from deepflame_tpu.runtime.openfoam_io import read_openfoam_field
+    from deepflame_tpu.solvers.low_mach import LowMachSolver, LowMachConfig
+
+    mech = load_mechanism(os.path.join(CASE, "ES80_H2-7-16.yaml"))
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    n = 128
+    L = 2.0 * np.pi * 1e-3
+    mesh = StructuredMesh.box([L, L, L / n], [n, n, 1])
+    b = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
+    comb = Laminar(th, kin, ode_opts=RosenbrockOptions(
+        rtol=args.rtol, atol=1e-12, max_steps=50000, grow=10.0))
+    solver = LowMachSolver(
+        mesh=mesh, thermo=th, transport=tr, combustion=comb,
+        bcs_U=(b, b, b), bcs_p=b, bcs_h=b, bcs_Y=b, bcs_rho=b,
+        config=LowMachConfig(chemistry=True,
+                             inert_index=int(mech.species_index("N2"))))
+
+    shape = mesh.shape
+    T = jnp.asarray(read_openfoam_field(os.path.join(CASE, "0", "T"), shape))
+    U = jnp.asarray(read_openfoam_field(os.path.join(CASE, "0", "U"), shape))
+    p = jnp.asarray(read_openfoam_field(os.path.join(CASE, "0", "p"), shape))
+    ns = mech.n_species
+    Y = np.zeros((ns,) + shape)
+    for i, name in enumerate(mech.species_names):
+        fp = os.path.join(CASE, "0", name)
+        if os.path.exists(fp) or os.path.exists(fp + ".gz"):
+            Y[i] = read_openfoam_field(fp, shape)
+    Y = np.clip(Y, 0.0, 1.0)
+    Y /= Y.sum(axis=0, keepdims=True)
+    s = solver.initial_state(p, T, jnp.asarray(Y), U)
+
+    dt = 1e-6
+    # sample line: x = z = 3 mm -> cell column i = int(0.003 / dx)
+    i_line = int(0.003 / mesh.dx)
+    step = jax.jit(lambda st: solver.step(st, dt)[0])
+    import time as _t
+    t0 = _t.perf_counter()
+    print(f"cell column i={i_line} (x = {(i_line + 0.5) * mesh.dx * 1e3:.3f} mm)")
+    for i in range(args.steps):
+        s = step(s)
+        if (i + 1) % 25 == 0:
+            Tn = np.asarray(s.T)
+            line_max = Tn[i_line, :, 0].max()
+            msg = (f"step {i + 1:4d} t={float(s.time) * 1e6:6.1f} us  "
+                   f"maxT(line)={line_max:8.2f} K  maxT={Tn.max():8.2f}")
+            if (i + 1) in ANCHORS:
+                ref = ANCHORS[i + 1]
+                msg += f"  | anchor {ref:8.2f}  dev {100 * (line_max - ref) / ref:+6.2f}%"
+            print(msg, flush=True)
+    print(f"wall: {_t.perf_counter() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
