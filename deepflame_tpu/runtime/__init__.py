@@ -5,9 +5,11 @@ from .checkpoint import save_state, load_state, latest_time
 from .function_objects import (FieldMinMax, Probes, LineSample, FieldAverage,
                                FunctionObjectSet)
 from .timers import PhaseTimers, trace
+from .openfoam_io import read_openfoam_field, read_case_fields
 
 __all__ = ["CaseConfig", "ChemistryProperties", "CombustionProperties",
            "TurbulenceProperties", "ControlDict", "Schemes", "SolutionControl",
            "load_case", "save_state", "load_state", "latest_time",
            "FieldMinMax", "Probes", "LineSample", "FieldAverage",
-           "FunctionObjectSet", "PhaseTimers", "trace"]
+           "FunctionObjectSet", "PhaseTimers", "trace",
+           "read_openfoam_field", "read_case_fields"]

@@ -138,3 +138,45 @@ def test_solver_factory():
                              jnp.full(mesh.shape, 1500.0), jnp.asarray(Y))
     s2, diag = jax.jit(lambda st: solver.step(st, 1e-7))(s)
     assert bool(jnp.all(jnp.isfinite(s2.T)))
+
+
+def test_openfoam_field_reader(tmp_path):
+    """Round-trip a hand-written OpenFOAM field + read a reference field."""
+    from deepflame_tpu.runtime.openfoam_io import read_openfoam_field
+    f = tmp_path / "T"
+    f.write_text("""
+FoamFile { version 2.0; format ascii; class volScalarField; object T; }
+dimensions      [0 0 0 1 0 0 0];
+internalField   nonuniform List<scalar>
+6
+(
+1 2 3 4 5 6
+)
+;
+boundaryField { }
+""")
+    arr = read_openfoam_field(str(f), (3, 2, 1))
+    # blockMesh ordering: x fastest -> arr[i,j,0]
+    np.testing.assert_allclose(arr[:, 0, 0], [1, 2, 3])
+    np.testing.assert_allclose(arr[:, 1, 0], [4, 5, 6])
+    g = tmp_path / "U"
+    g.write_text("""
+internalField   nonuniform List<vector>
+2
+(
+(1 2 3) (4 5 6)
+)
+;
+""")
+    v = read_openfoam_field(str(g), (2, 1, 1))
+    np.testing.assert_allclose(v[0, :, 0, 0], [1, 4])
+    np.testing.assert_allclose(v[1, :, 0, 0], [2, 5])
+    u = tmp_path / "p"
+    u.write_text("internalField   uniform 101325;\n")
+    pu = read_openfoam_field(str(u), (2, 2, 1))
+    np.testing.assert_allclose(pu, 101325.0)
+    # the reference's shipped TGV field parses and has the documented range
+    T_ref = read_openfoam_field(
+        "/root/reference/test/dfLowMachFoam/twoD_reactingTGV/H2/cvodeSolver/0/T",
+        (128, 128, 1))
+    assert 299.9 < T_ref.min() < 301.0 and 1900.0 < T_ref.max() < 2000.0
