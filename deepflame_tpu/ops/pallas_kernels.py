@@ -23,12 +23,25 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["helmholtz_apply", "fits_vmem"]
 
 
-def fits_vmem(shape, dtype, budget_bytes: int = 10 * 2**20) -> bool:
-    """Whole-array kernel feasibility: x + 3 face coeffs + diag + out."""
+def fits_vmem(shape, dtype, budget_bytes: int = 13 * 2**20) -> bool:
+    """Whole-array kernel feasibility, accounting for TPU tile padding: the
+    last dim pads to the 128-lane width and the second-to-last to the
+    sublane count — a (128,128,1) array occupies (128,128,128) in VMEM, so
+    thin-z 2D fields must NOT take this path."""
     import numpy as np
-    cells = int(np.prod(shape))
     per = np.dtype(dtype).itemsize
-    total = per * (cells * 6 + cells)   # rough: 6 cell-sized + padded field
+    sub = {4: 8, 2: 16, 1: 32}.get(per, 8)
+
+    def padded_bytes(s):
+        d0, d1, d2 = s
+        return d0 * (-(-d1 // sub) * sub) * (-(-d2 // 128) * 128) * per
+
+    nx, ny, nz = shape
+    total = (padded_bytes((nx + 2, ny + 2, nz + 2))       # padded x
+             + padded_bytes((nx + 1, ny, nz))             # gamma_x
+             + padded_bytes((nx, ny + 1, nz))             # gamma_y
+             + padded_bytes((nx, ny, nz + 1))             # gamma_z
+             + 2 * padded_bytes(shape))                   # diag + out
     return total < budget_bytes
 
 

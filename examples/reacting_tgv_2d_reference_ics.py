@@ -29,12 +29,14 @@ def main():
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--rtol", type=float, default=1e-6)
+    ap.add_argument("--dtype", default="f64")
     args = ap.parse_args()
 
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_enable_x64", True)
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
@@ -45,14 +47,19 @@ def main():
     from deepflame_tpu.runtime.openfoam_io import read_openfoam_field
     from deepflame_tpu.solvers.low_mach import LowMachSolver, LowMachConfig
 
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
     mech = load_mechanism(os.path.join(CASE, "ES80_H2-7-16.yaml"))
-    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    th = make_thermo(mech, dtype)
+    tr = make_transport(mech, dtype)
+    kin = make_kinetics(mech, dtype)
     n = 128
     L = 2.0 * np.pi * 1e-3
     mesh = StructuredMesh.box([L, L, L / n], [n, n, 1])
     b = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
     comb = Laminar(th, kin, ode_opts=RosenbrockOptions(
-        rtol=args.rtol, atol=1e-12, max_steps=50000, grow=10.0))
+        rtol=args.rtol if args.dtype == "f64" else max(args.rtol, 1e-4),
+        atol=1e-12 if args.dtype == "f64" else 1e-8,
+        max_steps=50000 if args.dtype == "f64" else 5000, grow=10.0))
     solver = LowMachSolver(
         mesh=mesh, thermo=th, transport=tr, combustion=comb,
         bcs_U=(b, b, b), bcs_p=b, bcs_h=b, bcs_Y=b, bcs_rho=b,
@@ -60,9 +67,12 @@ def main():
                              inert_index=int(mech.species_index("N2"))))
 
     shape = mesh.shape
-    T = jnp.asarray(read_openfoam_field(os.path.join(CASE, "0", "T"), shape))
-    U = jnp.asarray(read_openfoam_field(os.path.join(CASE, "0", "U"), shape))
-    p = jnp.asarray(read_openfoam_field(os.path.join(CASE, "0", "p"), shape))
+    T = jnp.asarray(read_openfoam_field(os.path.join(CASE, "0", "T"), shape),
+                    dtype)
+    U = jnp.asarray(read_openfoam_field(os.path.join(CASE, "0", "U"), shape),
+                    dtype)
+    p = jnp.asarray(read_openfoam_field(os.path.join(CASE, "0", "p"), shape),
+                    dtype)
     ns = mech.n_species
     Y = np.zeros((ns,) + shape)
     for i, name in enumerate(mech.species_names):
@@ -71,7 +81,7 @@ def main():
             Y[i] = read_openfoam_field(fp, shape)
     Y = np.clip(Y, 0.0, 1.0)
     Y /= Y.sum(axis=0, keepdims=True)
-    s = solver.initial_state(p, T, jnp.asarray(Y), U)
+    s = solver.initial_state(p, T, jnp.asarray(Y, dtype), U)
 
     dt = 1e-6
     # sample line: x = z = 3 mm -> cell column i = int(0.003 / dx)

@@ -53,3 +53,7 @@ def test_helmholtz_2d_empty_axis():
 def test_fits_vmem():
     assert fits_vmem((48, 48, 48), np.float32)
     assert not fits_vmem((256, 256, 256), np.float32)
+    # thin-z 2D fields pad their unit lane dim to 128 in VMEM: must reject
+    # (a (128,128,1) operand occupies as much VMEM as (128,128,128))
+    assert not fits_vmem((128, 128, 1), np.float32)
+    assert not fits_vmem((64, 64, 64), np.float64)
