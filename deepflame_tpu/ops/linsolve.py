@@ -34,11 +34,20 @@ def _dot(a, b):
     return jnp.sum(a * b)
 
 
+def _safe_div(a, b):
+    """a / b guarded against zero denominators in a dtype-aware way
+    (adding 1e-300 is a silent no-op in float32 — it underflows to 0)."""
+    tiny = jnp.asarray(jnp.finfo(jnp.result_type(b)).tiny, jnp.result_type(b))
+    safe = jnp.where(jnp.abs(b) > tiny, b, jnp.where(b >= 0, tiny, -tiny))
+    return a / safe
+
+
 def _norm_factor(A, b, x):
     """OpenFOAM lduMatrix normFactor: ||A xref - b|| with xref = mean(x)."""
     xbar = jnp.mean(x) * jnp.ones_like(x)
     Axbar = A(xbar)
-    return jnp.sum(jnp.abs(A(x) - Axbar)) + jnp.sum(jnp.abs(b - Axbar)) + 1e-300
+    norm = jnp.sum(jnp.abs(A(x) - Axbar)) + jnp.sum(jnp.abs(b - Axbar))
+    return jnp.maximum(norm, jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype))
 
 
 def cg(A: Callable, b: jax.Array, x0: jax.Array, M_inv: Callable | None = None,
@@ -62,12 +71,12 @@ def cg(A: Callable, b: jax.Array, x0: jax.Array, M_inv: Callable | None = None,
     def body(c):
         x, r, p, rz, it, _ = c
         Ap = A(p)
-        alpha = rz / (_dot(p, Ap) + 1e-300)
+        alpha = _safe_div(rz, _dot(p, Ap))
         x = x + alpha * p
         r = r - alpha * Ap
         z = M_inv(r)
         rz_new = _dot(r, z)
-        beta = rz_new / (rz + 1e-300)
+        beta = _safe_div(rz_new, rz)
         p = z + beta * p
         res = jnp.sum(jnp.abs(r)) / norm
         return (x, r, p, rz_new, it + 1, res)
@@ -97,15 +106,15 @@ def bicgstab(A: Callable, b: jax.Array, x0: jax.Array,
     def body(c):
         x, r, p, v, rho, alpha, omega, it, _ = c
         rho_new = _dot(r_hat, r)
-        beta = (rho_new / (rho + 1e-300)) * (alpha / (omega + 1e-300))
+        beta = _safe_div(rho_new, rho) * _safe_div(alpha, omega)
         p = r + beta * (p - omega * v)
         p_hat = M_inv(p)
         v = A(p_hat)
-        alpha = rho_new / (_dot(r_hat, v) + 1e-300)
+        alpha = _safe_div(rho_new, _dot(r_hat, v))
         s = r - alpha * v
         s_hat = M_inv(s)
         t = A(s_hat)
-        omega = _dot(t, s) / (_dot(t, t) + 1e-300)
+        omega = _safe_div(_dot(t, s), _dot(t, t))
         x = x + alpha * p_hat + omega * s_hat
         r = s - omega * t
         res = jnp.sum(jnp.abs(r)) / norm

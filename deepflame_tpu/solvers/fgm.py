@@ -202,7 +202,8 @@ class FGMSolver(LowMachSolver):
             # ===== pressure correctors (shared block)
             rho_fn = lambda pp: pp * psi
             p, phi, U, dpdt, rho, p_res = self._pressure_loop(
-                p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old=rho_old)
+                p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old=rho_old,
+                phi_old=s.phi, rhoU_old_f=self._face_flux(rho_old, U_old))
             diag[f"p_res_{outer}"] = p_res
 
         diag["T_min"] = jnp.min(T)

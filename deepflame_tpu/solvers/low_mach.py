@@ -60,8 +60,11 @@ class LowMachState(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class LowMachConfig:
-    n_outer: int = 2          # PIMPLE outer correctors (dfLowMachFoam nOuterCorrectors)
+    n_outer: int = 1          # nOuterCorrectors (1 = PISO mode, the reference
+                              # case setting; >1 applies inter-outer relaxation)
     n_corr: int = 2           # pressure correctors (nCorrectors)
+    p_relax: float = 0.3      # pressure under-relaxation between outers
+    u_relax: float = 0.7      # velocity under-relaxation between outers
     div_scheme: str = "limitedLinear"
     u_tol: float = 1e-7
     p_tol: float = 1e-8
@@ -73,6 +76,7 @@ class LowMachConfig:
     p_precond: str = "jacobi" # jacobi | mg (GAMG/AmgX-parity V-cycle; wins on large/3D meshes)
     use_pallas: str = "auto"  # auto | never: fused pressure-operator kernel on TPU
     unity_lewis: bool = False
+    solve_energy: bool = True  # False freezes ha/T (frozen-thermo debugging)
     chemistry: bool = True
     chemistry_dt_scale: float = 1.0  # 2.0 for splittingStrategy chem steps
     inert_index: int | None = None   # species closed as 1 - sum(others)
@@ -295,9 +299,10 @@ class LowMachSolver:
                                      sign=-1.0))
             src_h = sources["Sh"] if sources else 0.0
             eqn_h = eqn_h.with_source(dpdt - dKdt + hcorr_div + src_h)
-            res_h = solve_fvmatrix(eqn_h, ha, tol=cfg.h_tol,
-                                   max_iter=cfg.max_iter_u)
-            ha = res_h.x
+            if cfg.solve_energy:
+                res_h = solve_fvmatrix(eqn_h, ha, tol=cfg.h_tol,
+                                       max_iter=cfg.max_iter_u)
+                ha = res_h.x
 
             # ===== correctThermo (dfChemistryModel.C:419): T from (ha, Y)
             Yt = jnp.moveaxis(Y, 0, -1)
@@ -306,9 +311,20 @@ class LowMachSolver:
 
             # ===== pEqn correctors (pEqn.H:1-120)
             rho_fn = lambda pp: self.thermo.rho(pp, T, Yt)
+            p_prev, U_prev = p, U
             p, phi, U, dpdt, rho, p_res = self._pressure_loop(
-                p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old=rho_old)
+                p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old=rho_old,
+                phi_old=s.phi, rhoU_old_f=self._face_flux(rho_old, U_old))
             diag[f"p_res_{outer}"] = p_res
+            if outer < cfg.n_outer - 1:
+                # inter-outer under-relaxation: the outer loop is a fixed-
+                # point iteration on the (stiff) acoustic system and diverges
+                # unrelaxed at high acoustic CFL (OpenFOAM PIMPLE relaxes all
+                # but the final outer corrector the same way)
+                p = p_prev + cfg.p_relax * (p - p_prev)
+                U = U_prev + cfg.u_relax * (U - U_prev)
+                rho = rho_fn(p)
+                dpdt = (p - p_old) / dt
 
         # ===== turbulence->correct(): RAS field transport (end of step)
         if is_ras:
@@ -397,7 +413,7 @@ class LowMachSolver:
         return tuple(out)
 
     def _pressure_loop(self, p, p_old, psi, rho_fn, HbyA, rAU, dt,
-                       rho_old=None):
+                       rho_old=None, phi_old=None, rhoU_old_f=None):
         """Compressible pressure correctors (pEqn.H:1-120): returns
         (p, phi, U, dpdt, rho, last initial residual).
 
@@ -405,6 +421,12 @@ class LowMachSolver:
         implicit in p with the OLD-time density, so thermal expansion
         (psi dropping as the gas heats) correctly drives dilatational flow
         (the reference's fvc::ddt(rho) + psi*correction(fvm::ddt(p)) split).
+
+        phi_old/rhoU_old_f feed the transient Rhie-Chow correction
+        (fvc::ddtCorr in pEqn.H: phiHbyA += rhorAUf (phi_old -
+        interp(rho U)_old)/dt). Without it the collocated pressure-velocity
+        coupling loses its memory at small time steps and checkerboard modes
+        grow exponentially (observed on the reference TGV initial fields).
         """
         mesh = self.mesh
         cfg = self.config
@@ -422,8 +444,14 @@ class LowMachSolver:
                 rho_f[ax] * interpolate(
                     pad_field(HbyA[ax], self.bcs_U[ax], mesh), ax)
                 for ax in range(3))
-            phiHbyA = self._fix_boundary_fluxes(phiHbyA, rho_f)
             rhorAUf = tuple(rho_f[ax] * rAU_f[ax] for ax in range(3))
+            if phi_old is not None and rhoU_old_f is not None:
+                # fvc::ddtCorr transient consistency (Rhie-Chow memory)
+                phiHbyA = tuple(
+                    phiHbyA[ax] + rhorAUf[ax]
+                    * (phi_old[ax] - rhoU_old_f[ax]) / dt
+                    for ax in range(3))
+            phiHbyA = self._fix_boundary_fluxes(phiHbyA, rho_f)
             rho_prev = rho_old if rho_old is not None else psi * p_old
             eqn_p = (fvm_source_implicit(psi / dt, mesh, self.bcs_p,
                                          dtype=dtype)
