@@ -35,6 +35,11 @@ def main():
         state = step(state)
     jax.block_until_ready(state)
     t1 = time.perf_counter()
+    if not bool(jnp.all(jnp.isfinite(state.T))):
+        raise RuntimeError("bench state is not finite — unhealthy device?")
+    if (t1 - t0) < 0.05 * n_steps:
+        raise RuntimeError("implausibly fast steps — device likely not "
+                           "executing (worker crash?)")
     cells = n ** 3
     cups = cells * n_steps / (t1 - t0)
 
