@@ -193,21 +193,26 @@ def write_flare_table(path: str, table: FlameletTable) -> None:
 
 def make_synthetic_table(NH=1, NZ=21, NC=11, NGZ=5, NGC=3, NZC=1,
                         dtype=jnp.float32) -> FlameletTable:
-    """Small analytic table for tests: smooth functions of (z, c, gz, gc)."""
-    axes = (np.linspace(0.0, 1.0, NH), np.linspace(0.0, 1.0, NZ),
+    """Small analytic table for tests: smooth functions of (z, c, gz, gc)
+    and, when NH > 1, of the enthalpy-loss coordinate (temperature and
+    source term drop as heat is lost, like a real non-adiabatic manifold)."""
+    h_max = 5e5 if NH > 1 else 1.0
+    axes = (np.linspace(0.0, h_max, NH), np.linspace(0.0, 1.0, NZ),
             np.linspace(0.0, 1.0, NC), np.linspace(0.0, 0.25, NGZ),
             np.linspace(0.0, 0.25, NGC), np.linspace(0.0, 1.0, NZC))
     H, Z, C, GZ, GC, GZC = np.meshgrid(*axes, indexing="ij")
     zst = 0.3
     flam = np.exp(-((Z - zst) / 0.15) ** 2)
+    hfac = 1.0 - 0.3 * (H / h_max) if NH > 1 else np.ones_like(H)
     tables = {
-        "omgc": 50.0 * flam * C * (1.0 - C) * (1.0 - 2.0 * GZ) * (1.0 - GC),
-        "cOc": 10.0 * flam * C,
-        "ZOc": 5.0 * flam * Z * C,
+        "omgc": 50.0 * flam * C * (1.0 - C) * (1.0 - 2.0 * GZ) * (1.0 - GC)
+                * hfac,
+        "cOc": 10.0 * flam * C * hfac,
+        "ZOc": 5.0 * flam * Z * C * hfac,
         "cp": 1200.0 + 300.0 * C * flam,
         "mwt": 28.0 - 8.0 * C * flam,
         "hiyi": -1e5 * C * flam,
-        "Tf": 300.0 + 1800.0 * C * flam,
+        "Tf": 300.0 + 1800.0 * C * flam * hfac,
         "nu": 1.5e-5 * (1.0 + 4.0 * C * flam),
     }
     lam = {k: np.zeros((NH, 5)) for k in ("z", "sl", "th", "tau", "kctau")}

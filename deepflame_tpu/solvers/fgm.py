@@ -43,6 +43,8 @@ class FGMState(NamedTuple):
     cvar: jax.Array
     Zcvar: jax.Array    # Z-c covariance
     T: jax.Array
+    He: jax.Array       # transported enthalpy (baseFGM He_; adiabatic
+                        # Z*(Hfu-Hox)+Hox when solveEnthalpy is off)
     phi: tuple
     dpdt: jax.Array
     time: jax.Array
@@ -55,6 +57,9 @@ class FGMConfig(LowMachConfig):
     Cd: float = 2.0           # scalar dissipation constant: chi = Cd eps/k var
     solve_cvar: bool = True
     solve_zcvar: bool = False # Z-c covariance equation (baseFGM ZcvarEqn)
+    solve_enthalpy: bool = False  # transport He and look up with the
+                                  # enthalpy-loss coordinate (baseFGM.C:47,
+                                  # 694-733; flareFGM.C:191-195 hLoss)
     combustion_on: bool = True
 
 
@@ -72,14 +77,22 @@ class FGMSolver(LowMachSolver):
         if U is None:
             U = jnp.zeros((3,) + sh, dtype)
         zeros = jnp.zeros(sh, dtype)
-        T, W, cp, nu, _ = self._lookup_state(Z, zeros, c, zeros)
+        He = self._adiabatic_enthalpy(Z)
+        T, W, cp, nu, _ = self._lookup_state(Z, zeros, c, zeros, He=He)
         rho = p * W / (GAS_CONSTANT * T)
         phi = self._face_flux(rho, U)
         return FGMState(rho=rho, U=U, p=p, Z=Z, Zvar=zeros, c=c, cvar=zeros,
-                        Zcvar=zeros, T=T, phi=phi, dpdt=zeros,
+                        Zcvar=zeros, T=T, He=He, phi=phi, dpdt=zeros,
                         time=jnp.asarray(time, dtype))
 
-    def _lookup_state(self, Z, Zvar, c, cvar, Zcvar=None):
+    def _adiabatic_enthalpy(self, Z):
+        """He = Z (Hfu - Hox) + Hox (flareFGM.C:138)."""
+        tb = self.table
+        if tb is None:
+            return jnp.zeros_like(Z)
+        return Z * (tb.H_fuel - tb.H_ox) + tb.H_ox
+
+    def _lookup_state(self, Z, Zvar, c, cvar, Zcvar=None, He=None):
         """Table (flareFGM.C:239-345) or NN (DeePFGM.C) thermochemistry at
         the current control-variable state."""
         small = 1e-6
@@ -93,7 +106,14 @@ class FGMSolver(LowMachSolver):
         if Zcvar is not None and len(self.table.axes[5]) > 1:
             gzc = jnp.clip(Zcvar / jnp.maximum(
                 jnp.sqrt(Zvar * cvar), small), -1.0, 1.0)
-        coords = (None, Z, c, gz, gc, gzc)
+        # enthalpy-loss coordinate hLoss = h_adiabatic(Z) - He, clipped to
+        # the table's h axis (flareFGM.C:191-195)
+        hloss = None
+        if He is not None and len(self.table.axes[0]) > 1:
+            h_ax = jnp.asarray(self.table.axes[0], Z.dtype)
+            hloss = jnp.clip(self._adiabatic_enthalpy(Z) - He,
+                             h_ax[0], h_ax[-1])
+        coords = (hloss, Z, c, gz, gc, gzc)
         tb = self.table
         T = lookup(tb, "Tf", coords)
         W = lookup(tb, "mwt", coords)
@@ -109,9 +129,9 @@ class FGMSolver(LowMachSolver):
 
         rho_old, U_old, p_old = s.rho, s.U, s.p
         Z_old, Zvar_old, c_old, cvar_old = s.Z, s.Zvar, s.c, s.cvar
-        Zcvar_old = s.Zcvar
+        Zcvar_old, He_old = s.Zcvar, s.He
         rho, U, p, phi, dpdt, T = s.rho, s.U, s.p, s.phi, s.dpdt, s.T
-        Z, Zvar, c, cvar, Zcvar = s.Z, s.Zvar, s.c, s.cvar, s.Zcvar
+        Z, Zvar, c, cvar, Zcvar, He = s.Z, s.Zvar, s.c, s.cvar, s.Zcvar, s.He
         diag = {}
         bz = self.bcs_Z
 
@@ -121,7 +141,7 @@ class FGMSolver(LowMachSolver):
 
             # table thermo-transport coefficients
             T_tab, W_tab, cp_tab, nu_tab, omgc = self._lookup_state(
-                Z, Zvar, c, cvar, Zcvar)
+                Z, Zvar, c, cvar, Zcvar, He)
             mu = rho * nu_tab
             mu_t = jnp.zeros_like(mu)
             if self.turbulence is not None:
@@ -194,9 +214,24 @@ class FGMSolver(LowMachSolver):
                         - 2.0 * rho * chi_zc
                         + rho * (ZOc - Z * omgc), -0.25, 0.25)
 
+            # ===== enthalpy (baseFGM.C:694-733 HEqn: ddt + div - laplacian
+            # (mut/Sct + mu/Sc) = dpdt; adiabatic relation otherwise,
+            # flareFGM.C:136-139)
+            if cfg.solve_enthalpy:
+                eqn_h = (fvm_ddt(rho, He_old, dt, mesh, bz,
+                                 coeff_old=rho_old)
+                         + fvm_div(phi, He, mesh, bz, cfg.div_scheme)
+                         + fvm_laplacian(D_f, mesh, bz, dtype=dtype,
+                                         sign=-1.0))
+                eqn_h = eqn_h.with_source(dpdt)
+                He = solve_fvmatrix(eqn_h, He, tol=cfg.h_tol,
+                                    max_iter=cfg.max_iter_u).x
+            else:
+                He = self._adiabatic_enthalpy(Z)
+
             # ===== table thermo update (flareFGM correctThermo analogue)
             T, W_tab, cp_tab, nu_tab, omgc = self._lookup_state(
-                Z, Zvar, c, cvar, Zcvar)
+                Z, Zvar, c, cvar, Zcvar, He)
             psi = W_tab / (GAS_CONSTANT * T)
 
             # ===== pressure correctors (shared block)
@@ -210,5 +245,5 @@ class FGMSolver(LowMachSolver):
         diag["T_max"] = jnp.max(T)
         diag["c_max"] = jnp.max(c)
         return FGMState(rho=rho, U=U, p=p, Z=Z, Zvar=Zvar, c=c, cvar=cvar,
-                        Zcvar=Zcvar, T=T, phi=phi, dpdt=dpdt,
+                        Zcvar=Zcvar, T=T, He=He, phi=phi, dpdt=dpdt,
                         time=s.time + dt), diag

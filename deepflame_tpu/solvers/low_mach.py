@@ -56,6 +56,8 @@ class LowMachState(NamedTuple):
     dpdt: jax.Array
     time: jax.Array
     turb: tuple = ()         # RAS fields (k, eps) when a RAS model is active
+    cscalars: tuple = ()     # combustion-model-owned fields (e.g. PaSR
+                             # dynamicScale Z/Zvar/Chi, PaSR.H:96-122)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +97,8 @@ class LowMachSolver:
     bcs_rho: Any
     config: LowMachConfig = LowMachConfig()
     turbulence: Any = None     # LESModel (turbulence/les.py) or None (laminar)
+    bcs_Z: Any = None          # BCs for combustion-owned scalars (PaSR
+                               # dynamicScale mixture fraction; FGM overrides)
 
     # -------------------------------------------------------------- helpers
     @property
@@ -148,7 +152,8 @@ class LowMachSolver:
         return mu, alpha, rhoD
 
     def initial_state(self, p, T, Y, U=None, time=0.0,
-                      k0: float = 1e-3, eps0: float = 1e-2) -> LowMachState:
+                      k0: float = 1e-3, eps0: float = 1e-2,
+                      Z0=None) -> LowMachState:
         dtype = T.dtype
         sh = self.mesh.shape
         if U is None:
@@ -160,9 +165,13 @@ class LowMachSolver:
         turb = ()
         if getattr(self.turbulence, "kind", "") == "kEpsilon":
             turb = self.turbulence.initial_fields(sh, dtype, k0, eps0)
+        cscalars = ()
+        if getattr(self.combustion, "n_aux", 0):
+            cscalars = self.combustion.aux_init(sh, dtype, Z0)
         return LowMachState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
                             dpdt=jnp.zeros(sh, dtype),
-                            time=jnp.asarray(time, dtype), turb=turb)
+                            time=jnp.asarray(time, dtype), turb=turb,
+                            cscalars=cscalars)
 
     # ----------------------------------------------------------------- step
     def step(self, s: LowMachState, dt, sources=None) -> tuple[LowMachState, dict]:
@@ -185,18 +194,31 @@ class LowMachSolver:
 
         # ===== chemistry (operator split, once per step like the reference
         # laminar model: combustion->correct() inside the first outer corr.)
+        cscalars = s.cscalars
         if cfg.chemistry:
             Yt = jnp.moveaxis(Y, 0, -1)
             turb_q = None
             if self.turbulence is not None:
                 mu0, _, _ = self._mixture_update(p, T, Y)
                 if is_ras:
+                    mu_t0 = self.turbulence.mu_t_from(rho, turb[0], turb[1])
                     turb_q = dict(k=turb[0], epsilon=turb[1], nu=mu0 / rho)
                 else:
                     mu_t0 = self.turbulence.mu_t(rho, U, self.bcs_U, mesh)
                     k_sgs, eps_sgs = self.turbulence.sgs_k_epsilon(mu_t0, rho,
                                                                   mesh)
                     turb_q = dict(k=k_sgs, epsilon=eps_sgs, nu=mu0 / rho)
+                if getattr(self.combustion, "n_aux", 0):
+                    # model-owned scalar transport (PaSR dynamicScale
+                    # Z/Zvar/Chi, done inside correct() in the reference,
+                    # PaSR.C:440-560)
+                    bz = self.bcs_Z if self.bcs_Z is not None \
+                        else self.bcs_coeff
+                    cscalars = self.combustion.aux_advance(
+                        cscalars, rho, rho_old, phi, U, T, p, mu0 + mu_t0,
+                        mu_t0, turb_q["k"], turb_q["epsilon"], dt, mesh,
+                        bz, self.bcs_U, self.bcs_coeff, cfg.div_scheme)
+                    turb_q["Zvar"], turb_q["Chi"] = cscalars[1], cscalars[2]
             chem = self.combustion.correct(T, p, Yt,
                                            dt * cfg.chemistry_dt_scale, turb_q)
             # splittingStrategy (YEqn_RR.H): the 2x-dt fractional chemistry
@@ -341,7 +363,8 @@ class LowMachSolver:
         diag["T_max"] = jnp.max(T)
 
         return LowMachState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
-                            dpdt=dpdt, time=s.time + dt, turb=turb), diag
+                            dpdt=dpdt, time=s.time + dt, turb=turb,
+                            cscalars=cscalars), diag
 
     def courant(self, s: LowMachState, dt) -> jax.Array:
         """Max Courant number (compressibleCourantNo.H parity)."""

@@ -151,3 +151,53 @@ def test_deepfgm_distillation():
         s, diag = step(s)
     assert np.all(np.isfinite(np.asarray(s.T)))
     assert float(s.c.max()) <= 1.0 + 1e-9
+
+
+def test_fgm_enthalpy_loss_dimension():
+    """NH>1 table + solveEnthalpy: an enthalpy deficit (He below adiabatic)
+    moves the lookup along the hLoss axis (flareFGM.C:191-195) and lowers
+    T vs the adiabatic lookup; with solve_enthalpy the He field is
+    transported and bounded."""
+    from deepflame_tpu.chemistry import load_mechanism, make_thermo, \
+        make_kinetics, make_transport
+    from deepflame_tpu.combustion import NoCombustion
+    from deepflame_tpu.mesh import StructuredMesh, cyclic, empty
+    from deepflame_tpu.solvers.fgm import FGMSolver, FGMConfig
+
+    mech = load_mechanism(os.path.join(os.path.dirname(__file__), "data",
+                                       "air.yaml"))
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    tb = make_synthetic_table(NH=4, dtype=jnp.float64)
+    assert len(tb.axes[0]) == 4
+    n = 12
+    L = 1e-2
+    mesh = StructuredMesh.box([L, L / n, L / n], [n, 1, 1])
+    b = ((cyclic(), cyclic()), (empty(), empty()), (empty(), empty()))
+    solver = FGMSolver(
+        mesh=mesh, thermo=th, transport=tr, combustion=NoCombustion(th, kin),
+        bcs_U=(b, b, b), bcs_p=b, bcs_h=b, bcs_Y=b, bcs_rho=b,
+        config=FGMConfig(chemistry=False, solve_enthalpy=True),
+        table=tb, bcs_Z=b)
+    Z = jnp.full(mesh.shape, 0.3)
+    c0 = jnp.full(mesh.shape, 0.8)
+    # direct lookup check: hLoss = h_ad - He
+    He_ad = solver._adiabatic_enthalpy(Z)
+    T_ad, *_ = solver._lookup_state(Z, jnp.zeros_like(Z), c0,
+                                    jnp.zeros_like(Z), He=He_ad)
+    T_loss, *_ = solver._lookup_state(Z, jnp.zeros_like(Z), c0,
+                                      jnp.zeros_like(Z), He=He_ad - 5e5)
+    assert float(T_loss.max()) < float(T_ad.min())  # heat loss cools
+    # mid-range deficit interpolates monotonically
+    T_half, *_ = solver._lookup_state(Z, jnp.zeros_like(Z), c0,
+                                      jnp.zeros_like(Z), He=He_ad - 2.5e5)
+    assert float(T_ad.min()) > float(T_half.max()) > float(T_loss.max())
+
+    # e2e: transported He stays finite and T bounded
+    s = solver.fgm_initial_state(jnp.full(mesh.shape, 101325.0), Z, c0)
+    s = s._replace(He=s.He - 2e5)   # start with a uniform heat deficit
+    step = jax.jit(lambda st: solver.step(st, 1e-5))
+    for _ in range(4):
+        s, diag = step(s)
+    assert np.all(np.isfinite(np.asarray(s.He)))
+    assert np.all(np.isfinite(np.asarray(s.T)))
+    assert 250.0 < float(s.T.min()) and float(s.T.max()) < 2500.0
