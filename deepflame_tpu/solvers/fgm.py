@@ -122,10 +122,17 @@ class FGMSolver(LowMachSolver):
         omgc = lookup(tb, "omgc", coords)
         return T, W, cp, nu, omgc
 
-    def step(self, s: FGMState, dt):
+    def step(self, s: FGMState, dt, sources=None):
+        """sources: optional spray coupling dict (Srho, SU, Sh) — the
+        evaporated-mass source enters the Z/c/cvar/Zcvar equations
+        (baseFGM.C:501-514, 589-592, 627-630, 660-663: SZ.source +=
+        spray.rhoTrans/deltaT, evaporating vapor carries mixture fraction)
+        and the enthalpy equation (baseFGM.C:697-706)."""
         cfg = self.config
         mesh = self.mesh
         dtype = s.p.dtype
+        src_rho = sources["Srho"] if sources else 0.0
+        src_h = sources["Sh"] if sources else 0.0
 
         rho_old, U_old, p_old = s.rho, s.U, s.p
         Z_old, Zvar_old, c_old, cvar_old = s.Z, s.Zvar, s.c, s.cvar
@@ -136,8 +143,8 @@ class FGMSolver(LowMachSolver):
         bz = self.bcs_Z
 
         for outer in range(cfg.n_outer):
-            # rhoEqn
-            rho = rho_old - dt * div_flux(phi, mesh)
+            # rhoEqn (+ spray mass source, rhoEqn.H:38)
+            rho = rho_old - dt * div_flux(phi, mesh) + dt * src_rho
 
             # table thermo-transport coefficients
             T_tab, W_tab, cp_tab, nu_tab, omgc = self._lookup_state(
@@ -154,7 +161,9 @@ class FGMSolver(LowMachSolver):
 
             # momentum (shared block)
             U, HbyA, rAU = self._momentum(rho, rho_old, U, U_old, phi, p,
-                                          mu_eff, dt)
+                                          mu_eff, dt,
+                                          SU=sources["SU"] if sources
+                                          else None)
 
             # ===== FGM scalar transport (baseFGM.C:478-700)
             D_scalar = mu_t / cfg.Sc_t + mu / cfg.Sc
@@ -172,7 +181,7 @@ class FGMSolver(LowMachSolver):
                 return jnp.clip(r.x, q_min, q_max)
 
             zeros = jnp.zeros(mesh.shape, dtype)
-            Z = transport(Z, Z_old, zeros)
+            Z = transport(Z, Z_old, zeros + src_rho)
             gZ = grad(Z, bz, mesh)
             magsq_gZ = sum(gZ[ax] ** 2 for ax in range(3))
             chi_Z = cfg.Cd * (eps_sgs / jnp.maximum(k_sgs, 1e-10)) * Zvar * 0.5
@@ -181,7 +190,7 @@ class FGMSolver(LowMachSolver):
                              - 2.0 * rho * chi_Z, 0.0, 0.25)
             if cfg.combustion_on:
                 omega_c = rho * omgc
-                c = transport(c, c_old, omega_c)
+                c = transport(c, c_old, omega_c + src_rho)
                 if cfg.solve_cvar:
                     gC = grad(c, bz, mesh)
                     magsq_gC = sum(gC[ax] ** 2 for ax in range(3))
@@ -195,7 +204,8 @@ class FGMSolver(LowMachSolver):
                     cvar = transport(cvar, cvar_old,
                                      2.0 * (mu_t / cfg.Sc_t) * magsq_gC
                                      - 2.0 * rho * chi_c
-                                     + 2.0 * rho * (cOc - c * omgc), 0.0, 0.25)
+                                     + 2.0 * rho * (cOc - c * omgc)
+                                     + src_rho, 0.0, 0.25)
                 if cfg.solve_zcvar:
                     # ZcvarEqn: cross production + dissipation + chemistry
                     # correlation (baseFGM ZcvarEqn; ZOc lookup)
@@ -212,7 +222,7 @@ class FGMSolver(LowMachSolver):
                         Zcvar, Zcvar_old,
                         2.0 * (mu_t / cfg.Sc_t) * cross
                         - 2.0 * rho * chi_zc
-                        + rho * (ZOc - Z * omgc), -0.25, 0.25)
+                        + rho * (ZOc - Z * omgc) + src_rho, -0.25, 0.25)
 
             # ===== enthalpy (baseFGM.C:694-733 HEqn: ddt + div - laplacian
             # (mut/Sct + mu/Sc) = dpdt; adiabatic relation otherwise,
@@ -223,7 +233,7 @@ class FGMSolver(LowMachSolver):
                          + fvm_div(phi, He, mesh, bz, cfg.div_scheme)
                          + fvm_laplacian(D_f, mesh, bz, dtype=dtype,
                                          sign=-1.0))
-                eqn_h = eqn_h.with_source(dpdt)
+                eqn_h = eqn_h.with_source(dpdt + src_h)
                 He = solve_fvmatrix(eqn_h, He, tol=cfg.h_tol,
                                     max_iter=cfg.max_iter_u).x
             else:

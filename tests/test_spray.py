@@ -225,3 +225,54 @@ def test_wall_rebound_and_stick():
         else:
             # rebounded at least once: some upward or strongly damped motion
             assert np.all(np.abs(vy) < 30.0)
+
+
+def test_spray_fgm_coupling():
+    """Spray + FGM gas phase (FGMLiquidEvaporationBoil parity path): cold
+    fuel parcels evaporating in hot gas feed the mixture fraction
+    (SZ.source += rhoTrans/dt, baseFGM.C:511-513); Z grows where vapor is
+    released and all manifold fields stay bounded."""
+    from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
+                                         make_kinetics, make_transport)
+    from deepflame_tpu.combustion import NoCombustion
+    from deepflame_tpu.combustion.fgm.table import make_synthetic_table
+    from deepflame_tpu.mesh import cyclic
+    from deepflame_tpu.solvers.fgm import FGMSolver, FGMConfig
+    from deepflame_tpu.solvers.spray import SpraySolver, SprayState
+    import os
+
+    mech = load_mechanism(os.path.join(os.path.dirname(__file__), "data",
+                                       "air.yaml"))
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    tb = make_synthetic_table(dtype=jnp.float64)
+    mesh = StructuredMesh.box([0.02, 0.04, 0.02], [6, 12, 6],
+                              origin=(-0.01, -0.04, -0.01))
+    inj = ConeInjector(position=(0.0, -0.001, 0.0), direction=(0, -1, 0),
+                       u_mag=20.0, mdot=5e-4, t_start=0.0, t_end=1e-3,
+                       d_mean=2e-5, parcels_per_step=8)
+    cloud = SprayCloud(mesh=mesh, liquid=n_heptane(), injector=inj,
+                       max_parcels=512, evaporation="Spalding")
+    b = ((zero_gradient(), zero_gradient()),) * 3
+    gas = FGMSolver(
+        mesh=mesh, thermo=th, transport=tr, combustion=NoCombustion(th, kin),
+        bcs_U=(b, b, b), bcs_p=b, bcs_h=b, bcs_Y=b, bcs_rho=b,
+        config=FGMConfig(chemistry=False, combustion_on=False),
+        table=tb, bcs_Z=b)
+    solver = SpraySolver(gas_solver=gas, cloud=cloud, fuel_index=0)
+    sh = mesh.shape
+    s = solver.initial_state_fgm(jnp.full(sh, 5e5, jnp.float64),
+                                 jnp.zeros(sh, jnp.float64),
+                                 jnp.zeros(sh, jnp.float64))
+    # hot quiescent gas so droplets evaporate
+    s = SprayState(gas=s.gas._replace(T=jnp.full(sh, 900.0, jnp.float64)),
+                   cloud=s.cloud)
+    dt = 5e-6
+    step = jax.jit(lambda st: solver.step(st, dt))
+    for _ in range(6):
+        s, diag = step(s)
+    Z = np.asarray(s.gas.Z)
+    assert np.all(np.isfinite(Z))
+    assert Z.max() > 1e-8          # evaporation fed the mixture fraction
+    assert Z.min() >= 0.0 and Z.max() <= 1.0
+    assert np.all(np.isfinite(np.asarray(s.gas.T)))
+    assert float(diag["cloud_n_active"]) > 0
