@@ -25,7 +25,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from ..mesh.structured import StructuredMesh
 from .liquids import Liquid
 
-__all__ = ["CloudState", "ConeInjector", "SprayCloud", "CloudSources"]
+__all__ = ["CloudState", "ConeInjector", "PatchFuncInjector", "SprayCloud",
+           "CloudSources"]
 
 
 class CloudState(NamedTuple):
@@ -72,6 +73,82 @@ class ConeInjector:
     parcels_per_step: int = 8
     T_inject: float = 320.0
 
+    def sample(self, keys, time, dt, dtype):
+        """Per-step parcel samples: (pos (3,K), vel (3,K), d (K,),
+        mass_this_step, injecting)."""
+        k1, k2, k3 = keys
+        K = self.parcels_per_step
+        dm = self.d_mean * jnp.exp(self.d_spread
+                                   * jax.random.normal(k1, (K,), dtype))
+        dm = jnp.clip(dm, 0.2 * self.d_mean, 4.0 * self.d_mean)
+        half = jnp.deg2rad(self.cone_angle_deg / 2.0)
+        axis = jnp.asarray(self.direction, dtype)
+        axis = axis / jnp.linalg.norm(axis)
+        phi = jax.random.uniform(k2, (K,), dtype, 0.0, 2.0 * jnp.pi)
+        cos_t = 1.0 - jax.random.uniform(k3, (K,), dtype) \
+            * (1.0 - jnp.cos(half))
+        sin_t = jnp.sqrt(1.0 - cos_t**2)
+        ref = jnp.where(jnp.abs(axis[0]) < 0.9,
+                        jnp.asarray([1.0, 0.0, 0.0], dtype),
+                        jnp.asarray([0.0, 1.0, 0.0], dtype))
+        a1 = jnp.cross(axis, ref)
+        a1 = a1 / jnp.linalg.norm(a1)
+        a2 = jnp.cross(axis, a1)
+        dirs = (axis[:, None] * cos_t[None, :]
+                + a1[:, None] * (sin_t * jnp.cos(phi))[None, :]
+                + a2[:, None] * (sin_t * jnp.sin(phi))[None, :])
+        pos = jnp.asarray(self.position, dtype)[:, None] + 0.0 * dirs
+        injecting = jnp.logical_and(time >= self.t_start, time < self.t_end)
+        return pos, self.u_mag * dirs, dm, self.mdot * dt, injecting
+
+
+@dataclasses.dataclass(frozen=True)
+class PatchFuncInjector:
+    """Patch-function injection (PatchFuncInjection parity,
+    /root/reference/src/lagrangian/intermediate/submodels/Kinematic/
+    InjectionModel/PatchFuncInjection — parcels released across a boundary
+    patch with a position/time velocity function and a time-dependent flow
+    rate profile).
+
+    Positions are sampled uniformly over the rectangle [lo, hi] (the patch
+    region, degenerate along the patch-normal axis). `u_fn(x, y, z, t)`
+    returns the (3, K) injection velocity at the sampled positions (defaults
+    to the constant `u_const`); `mdot_fn(t)` the instantaneous flow rate
+    (defaults to constant `mdot`). Both must be jit-traceable."""
+    lo: tuple             # rectangle corner (x, y, z)
+    hi: tuple             # opposite corner (one axis equal to lo's)
+    u_const: tuple = (0.0, -10.0, 0.0)
+    u_fn: Any = None      # (x, y, z, t) -> (3, K) velocities
+    mdot: float = 1e-3
+    mdot_fn: Any = None   # (t,) -> instantaneous kg/s
+    t_start: float = 0.0
+    t_end: float = 1e-3
+    d_mean: float = 8e-5
+    d_spread: float = 0.3
+    parcels_per_step: int = 8
+    T_inject: float = 320.0
+
+    def sample(self, keys, time, dt, dtype):
+        k1, k2, _ = keys
+        K = self.parcels_per_step
+        dm = self.d_mean * jnp.exp(self.d_spread
+                                   * jax.random.normal(k1, (K,), dtype))
+        dm = jnp.clip(dm, 0.2 * self.d_mean, 4.0 * self.d_mean)
+        lo = jnp.asarray(self.lo, dtype)
+        hi = jnp.asarray(self.hi, dtype)
+        u01 = jax.random.uniform(k2, (3, K), dtype)
+        pos = lo[:, None] + u01 * (hi - lo)[:, None]
+        if self.u_fn is not None:
+            vel = jnp.asarray(self.u_fn(pos[0], pos[1], pos[2], time), dtype)
+            vel = jnp.broadcast_to(vel.reshape(3, -1), (3, K))
+        else:
+            vel = jnp.broadcast_to(
+                jnp.asarray(self.u_const, dtype)[:, None], (3, K))
+        mdot_now = self.mdot_fn(time) if self.mdot_fn is not None \
+            else self.mdot
+        injecting = jnp.logical_and(time >= self.t_start, time < self.t_end)
+        return pos, vel, dm, mdot_now * dt, injecting
+
 
 @dataclasses.dataclass(frozen=True)
 class SprayCloud:
@@ -80,7 +157,7 @@ class SprayCloud:
     injector: ConeInjector
     max_parcels: int = 8192
     evaporation: str = "Spalding"   # Spalding | D2law | none
-    breakup: str = "none"           # ReitzDiwakar | none
+    breakup: str = "none"           # ReitzDiwakar | KHRT | none
     dispersion: bool = False        # stochastic (DRW) turbulent dispersion
     # per-boundary parcel-wall interaction: dict {(axis, side): mode} with
     # mode in {"escape", "rebound", "stick"}; boundaries not listed escape
@@ -94,6 +171,12 @@ class SprayCloud:
     Cb: float = 0.785
     Cstrip: float = 0.5
     Cs: float = 10.0
+    # ReitzKHRT coefficients (OpenFOAM-7 sprayFoam defaults)
+    b0: float = 0.61                # KH child-size constant
+    b1: float = 40.0                # KH timescale constant
+    cTau: float = 1.0               # RT breakup-time constant
+    cRT: float = 0.1                # RT wavelength constant
+    weber_limit: float = 6.0        # no KH breakup below this We_g
     d_min: float = 1e-6             # smallest stable/child diameter [m]
 
     def init(self, key, dtype=jnp.float64) -> CloudState:
@@ -136,41 +219,18 @@ class SprayCloud:
         # ==== injection: K static slots per step, multiplicity matches mdot
         key, k1, k2, k3 = jax.random.split(c.key, 4)
         K = inj.parcels_per_step
-        injecting = jnp.logical_and(time >= inj.t_start, time < inj.t_end)
         slots = (c.inject_ptr + jnp.arange(K, dtype=jnp.int32)) % N
-        # diameters: lognormal-ish around d_mean
-        dm = inj.d_mean * jnp.exp(inj.d_spread
-                                  * jax.random.normal(k1, (K,), dtype))
-        dm = jnp.clip(dm, 0.2 * inj.d_mean, 4.0 * inj.d_mean)
-        # cone directions
-        half = jnp.deg2rad(inj.cone_angle_deg / 2.0)
-        axis = jnp.asarray(inj.direction, dtype)
-        axis = axis / jnp.linalg.norm(axis)
-        # random unit vectors within the cone around axis
-        phi = jax.random.uniform(k2, (K,), dtype, 0.0, 2.0 * jnp.pi)
-        cos_t = 1.0 - jax.random.uniform(k3, (K,), dtype) * (1.0 - jnp.cos(half))
-        sin_t = jnp.sqrt(1.0 - cos_t**2)
-        # build orthonormal frame (a1, a2, axis)
-        ref = jnp.where(jnp.abs(axis[0]) < 0.9,
-                        jnp.asarray([1.0, 0.0, 0.0], dtype),
-                        jnp.asarray([0.0, 1.0, 0.0], dtype))
-        a1 = jnp.cross(axis, ref)
-        a1 = a1 / jnp.linalg.norm(a1)
-        a2 = jnp.cross(axis, a1)
-        dirs = (axis[:, None] * cos_t[None, :]
-                + a1[:, None] * (sin_t * jnp.cos(phi))[None, :]
-                + a2[:, None] * (sin_t * jnp.sin(phi))[None, :])
+        pos_inj, vel_inj, dm, mass_step, injecting = inj.sample(
+            (k1, k2, k3), time, dt, dtype)
         m_drop = liq.rho(inj.T_inject) * jnp.pi / 6.0 * dm**3
-        mass_step = inj.mdot * dt
         n_per = jnp.where(injecting, mass_step / K / m_drop, 0.0)
 
         def set_slots(arr, vals):
             return arr.at[..., slots].set(jnp.where(injecting, vals,
                                                     arr[..., slots]))
 
-        pos = set_slots(c.pos, jnp.asarray(inj.position, dtype)[:, None]
-                        + 0.0 * dirs)
-        vel = set_slots(c.vel, inj.u_mag * dirs)
+        pos = set_slots(c.pos, pos_inj)
+        vel = set_slots(c.vel, vel_inj)
         d = set_slots(c.d, dm)
         Tp = set_slots(c.T, jnp.full((K,), inj.T_inject, dtype))
         n_part = set_slots(c.n_part, n_per)
@@ -271,6 +331,61 @@ class SprayCloud:
             d_broken = jnp.maximum(d_new - frac * (d_new - d_stable),
                                    jnp.minimum(d_stable, d_new))
             # conserve parcel liquid mass: n d^3 = const
+            n_part = n_part * (d_new / jnp.maximum(d_broken, 1e-9)) ** 3
+            d_new = d_broken
+        elif self.breakup == "KHRT":
+            # Kelvin-Helmholtz / Rayleigh-Taylor hybrid (ReitzKHRT parity;
+            # registered in makeSprayParcelBreakupModels.H:34). Wave
+            # growth-rate/wavelength correlations are the standard Reitz
+            # (1987) fits. TPU adaptation: both mechanisms act as
+            # diameter relaxation toward their child size over their own
+            # timescale (the RT induction timer becomes the relaxation
+            # time cTau/omega_RT), mass conserved by raising n_part —
+            # same continuous treatment as the ReitzDiwakar branch above.
+            sigma = jnp.maximum(liq.sigma, 1e-10)
+            rho_l_b = liq.rho(T_new)
+            mu_l = liq.mu(T_new)
+            r = jnp.maximum(0.5 * d_new, 1e-9)
+            urel = jnp.maximum(rel_mag, 1e-10)
+            we_g = rho_g * urel**2 * r / sigma
+            we_l = rho_l_b * urel**2 * r / sigma
+            re_l = rho_l_b * urel * r / jnp.maximum(mu_l, 1e-10)
+            oh = jnp.sqrt(we_l) / re_l
+            ta = oh * jnp.sqrt(we_g)
+            # KH wavelength and growth rate
+            lam_kh = 9.02 * r * (1.0 + 0.45 * jnp.sqrt(oh)) \
+                * (1.0 + 0.4 * ta**0.7) \
+                / (1.0 + 0.865 * we_g**1.67) ** 0.6
+            omega_kh = (0.34 + 0.38 * we_g**1.5) \
+                / ((1.0 + oh) * (1.0 + 1.4 * ta**0.6)) \
+                * jnp.sqrt(sigma / (rho_l_b * r**3))
+            d_kh = jnp.maximum(2.0 * self.b0 * lam_kh, self.d_min)
+            tau_kh = 3.726 * self.b1 * r / jnp.maximum(
+                omega_kh * lam_kh, 1e-20)
+            kh_on = (we_g > self.weber_limit) & (d_kh < d_new)
+            # RT: deceleration along the trajectory (drag)
+            g_t = 0.375 * (24.0 / jnp.maximum(Re, 1e-6)) * Cd_Re24 \
+                * rho_g * urel**2 / (rho_l_b * r)
+            drho = jnp.maximum(rho_l_b - rho_g, 1e-3)
+            k_rt = jnp.sqrt(g_t * drho / (3.0 * sigma))
+            omega_rt = jnp.sqrt(
+                (2.0 / (3.0 * jnp.sqrt(3.0 * sigma)))
+                * (g_t * drho) ** 1.5 / (rho_l_b + rho_g))
+            lam_rt = 2.0 * jnp.pi * self.cRT / jnp.maximum(k_rt, 1e-6)
+            d_rt = jnp.maximum(lam_rt, self.d_min)
+            tau_rt = self.cTau / jnp.maximum(omega_rt, 1e-20)
+            rt_on = d_rt < d_new
+            # the faster active mechanism wins (RT dominates near-nozzle
+            # high-deceleration drops; KH the downstream stripping)
+            use_rt = rt_on & (~kh_on | (tau_rt < tau_kh))
+            d_child = jnp.where(use_rt, d_rt, d_kh)
+            tau = jnp.where(use_rt, tau_rt, tau_kh)
+            breaking = kh_on | rt_on
+            frac = jnp.where(breaking,
+                             1.0 - jnp.exp(-dt / jnp.maximum(tau, 1e-12)),
+                             0.0)
+            d_broken = jnp.maximum(d_new - frac * (d_new - d_child),
+                                   jnp.minimum(d_child, d_new))
             n_part = n_part * (d_new / jnp.maximum(d_broken, 1e-9)) ** 3
             d_new = d_broken
 

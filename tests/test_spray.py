@@ -4,6 +4,8 @@ Physics invariants: injected mass accounting, drag relaxation toward gas
 velocity, evaporation shrinking droplets and sourcing vapor mass into the
 gas, energy sink from latent heat, coupled E2E stability.
 """
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -276,3 +278,89 @@ def test_spray_fgm_coupling():
     assert Z.min() >= 0.0 and Z.max() <= 1.0
     assert np.all(np.isfinite(np.asarray(s.gas.T)))
     assert float(diag["cloud_n_active"]) > 0
+
+
+def test_patch_func_injection():
+    """PatchFuncInjection parity: parcels released across a patch rectangle
+    with a position/time-dependent velocity function and a flow-rate
+    profile; mass accounting follows the integrated profile."""
+    from deepflame_tpu.lagrangian.cloud import PatchFuncInjector
+
+    mesh = StructuredMesh.box([0.02, 0.1, 0.02], [8, 24, 8],
+                              origin=(-0.01, -0.1, -0.01))
+    # top patch (y = 0 plane): velocity magnitude varies with x, rate ramps
+    inj = PatchFuncInjector(
+        lo=(-0.008, -1e-4, -0.008), hi=(0.008, -1e-4, 0.008),
+        u_fn=lambda x, y, z, t: jnp.stack(
+            [jnp.zeros_like(x), -(20.0 + 1000.0 * jnp.abs(x)),
+             jnp.zeros_like(x)]),
+        mdot_fn=lambda t: 1e-3 * (1.0 + t / 1e-3),
+        t_start=0.0, t_end=1e-3, d_mean=4e-5, parcels_per_step=16)
+    cloud = SprayCloud(mesh=mesh, liquid=n_heptane(), injector=inj,
+                       max_parcels=1024, evaporation="none")
+    c = cloud.init(jax.random.PRNGKey(3))
+    g = gas_fields(mesh, T=400.0)
+    dt = 1e-5
+    step = jax.jit(lambda c, t: cloud.evolve(c, g, dt, t))
+    t = jnp.asarray(0.0)
+    expected_mass = 0.0
+    for i in range(8):
+        expected_mass += float(1e-3 * (1.0 + float(t) / 1e-3) * dt)
+        c, src = step(c, t)
+        t = t + dt
+    np.testing.assert_allclose(float(c.m_injected), expected_mass,
+                               rtol=1e-10)
+    stats = cloud.stats(c)
+    np.testing.assert_allclose(float(stats["liquid_mass"]), expected_mass,
+                               rtol=1e-6)
+    act = np.asarray(c.active) > 0
+    pos = np.asarray(c.pos)
+    # all active parcels originated inside the patch rectangle footprint
+    assert pos[0, act].min() >= -0.0081 and pos[0, act].max() <= 0.0081
+    assert pos[1, act].max() <= 0.0
+    # velocity function applied: downward speeds in [20, 28] initially
+    vel = np.asarray(c.vel)
+    assert (vel[1, act] < -15.0).all()
+
+
+def test_khrt_breakup():
+    """ReitzKHRT: high relative velocity strips droplets -> diameter falls,
+    parcel liquid mass is conserved by the multiplicity increase; quiescent
+    gas leaves diameters untouched."""
+    mesh, cloud_fast = make_cloud(u_mag=250.0, evap="none", d_mean=1e-4)
+    cloud_fast = dataclasses.replace(
+        cloud_fast, breakup="KHRT",
+        injector=dataclasses.replace(cloud_fast.injector, t_end=1.5e-6))
+    c = cloud_fast.init(jax.random.PRNGKey(4))
+    g = gas_fields(mesh, T=400.0)
+    dt = 2e-6
+    step = jax.jit(lambda c, t: cloud_fast.evolve(c, g, dt, t))
+    t = jnp.asarray(0.0)
+    for i in range(12):
+        c, _ = step(c, t)
+        t = t + dt
+    stats = cloud_fast.stats(c)
+    act = np.asarray(c.active) > 0
+    d = np.asarray(c.d)[act]
+    assert d.max() < 1e-4 * 0.9          # KH/RT stripping reduced d
+    assert d.min() >= cloud_fast.d_min * 0.5
+    # mass conserved (no evaporation): liquid == injected
+    np.testing.assert_allclose(float(stats["liquid_mass"]),
+                               float(c.m_injected), rtol=1e-6)
+    # quiescent: no breakup at ~zero relative velocity
+    cloud_slow = dataclasses.replace(cloud_fast, breakup="KHRT")
+    inj_slow = dataclasses.replace(cloud_slow.injector, u_mag=0.05,
+                                   t_end=3e-6)
+    cloud_slow = dataclasses.replace(cloud_slow, injector=inj_slow)
+    c2 = cloud_slow.init(jax.random.PRNGKey(5))
+    step2 = jax.jit(lambda c, t: cloud_slow.evolve(c, g, dt, t))
+    t = jnp.asarray(0.0)
+    c2, _ = step2(c2, t)
+    n0 = np.asarray(c2.n_part).copy()
+    act0 = np.asarray(c2.active) > 0
+    for i in range(5):
+        c2, _ = step2(c2, t + (i + 1) * dt)
+    # no breakup -> parcel multiplicities unchanged (d itself drifts
+    # slightly from thermal expansion of the heating droplets)
+    n1 = np.asarray(c2.n_part)
+    np.testing.assert_allclose(n1[act0], n0[act0], rtol=1e-9)
