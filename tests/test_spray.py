@@ -364,3 +364,44 @@ def test_khrt_breakup():
     # slightly from thermal expansion of the heating droplets)
     n1 = np.asarray(c2.n_part)
     np.testing.assert_allclose(n1[act0], n0[act0], rtol=1e-9)
+
+
+def test_orourke_collision_coarsens():
+    """O'Rourke coalescence: a dense, velocity-dispersed population in a
+    few cells coarsens (d32 grows, active droplet count per parcel falls)
+    while conserving liquid mass; a dilute population is unaffected."""
+    mesh, cloud = make_cloud(u_mag=10.0, evap="none", d_mean=3e-5)
+    cloud = dataclasses.replace(
+        cloud, collision="ORourke", breakup="none",
+        injector=dataclasses.replace(cloud.injector, mdot=5e-2,
+                                     cone_angle_deg=40.0, u_mag=10.0,
+                                     parcels_per_step=64))
+    c = cloud.init(jax.random.PRNGKey(7))
+    g = gas_fields(mesh, T=400.0)
+    dt = 1e-5
+    step = jax.jit(lambda c, t: cloud.evolve(c, g, dt, t))
+    c, _ = step(c, jnp.asarray(0.0))
+    s0 = cloud.stats(c)
+    d32_0 = float(s0["d32"])
+    for i in range(25):
+        c, _ = step(c, jnp.asarray((i + 1) * dt))
+    s1 = cloud.stats(c)
+    assert float(s1["d32"]) > 1.03 * d32_0       # coarsening
+    # mass exactly conserved by the mean-field closure
+    np.testing.assert_allclose(float(s1["liquid_mass"]),
+                               float(c.m_injected), rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(c.d)))
+
+    # dilute control: same setup, tiny mdot -> no measurable coarsening
+    cloud_d = dataclasses.replace(
+        cloud, injector=dataclasses.replace(cloud.injector, mdot=1e-6,
+                                            parcels_per_step=4))
+    c2 = cloud_d.init(jax.random.PRNGKey(8))
+    step2 = jax.jit(lambda c, t: cloud_d.evolve(c, g, dt, t))
+    c2, _ = step2(c2, jnp.asarray(0.0))
+    n_first = np.asarray(c2.n_part)[:4].copy()   # step-1 parcels
+    for i in range(25):
+        c2, _ = step2(c2, jnp.asarray((i + 1) * dt))
+    # only coalescence rescales multiplicities; dilute -> none happened
+    np.testing.assert_allclose(np.asarray(c2.n_part)[:4], n_first,
+                               rtol=1e-9)
