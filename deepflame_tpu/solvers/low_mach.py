@@ -163,7 +163,7 @@ class LowMachSolver:
         ha = self.thermo.h_mass(T, Yt)
         phi = self._face_flux(rho, U)
         turb = ()
-        if getattr(self.turbulence, "kind", "") == "kEpsilon":
+        if getattr(self.turbulence, "is_ras", False):
             turb = self.turbulence.initial_fields(sh, dtype, k0, eps0)
         cscalars = ()
         if getattr(self.combustion, "n_aux", 0):
@@ -189,7 +189,7 @@ class LowMachSolver:
         rho, U, p, ha, Y, T = s.rho, s.U, s.p, s.ha, s.Y, s.T
         dpdt = s.dpdt
         turb = s.turb
-        is_ras = getattr(self.turbulence, "kind", "") == "kEpsilon"
+        is_ras = getattr(self.turbulence, "is_ras", False)
         diag = {}
 
         # ===== chemistry (operator split, once per step like the reference
@@ -202,7 +202,8 @@ class LowMachSolver:
                 mu0, _, _ = self._mixture_update(p, T, Y)
                 if is_ras:
                     mu_t0 = self.turbulence.mu_t_from(rho, turb[0], turb[1])
-                    turb_q = dict(k=turb[0], epsilon=turb[1], nu=mu0 / rho)
+                    k_r, eps_r = self.turbulence.k_eps(turb)
+                    turb_q = dict(k=k_r, epsilon=eps_r, nu=mu0 / rho)
                 else:
                     mu_t0 = self.turbulence.mu_t(rho, U, self.bcs_U, mesh)
                     k_sgs, eps_sgs = self.turbulence.sgs_k_epsilon(mu_t0, rho,

@@ -1,5 +1,6 @@
 from .les import (LESModel, smagorinsky, wale, sigma_model,
                   dynamic_smagorinsky)
+from .ras import KEpsilon, KOmegaSST, wall_distance
 
 __all__ = ["LESModel", "smagorinsky", "wale", "sigma_model",
-           "dynamic_smagorinsky"]
+           "dynamic_smagorinsky", "KEpsilon", "KOmegaSST", "wall_distance"]
