@@ -6,8 +6,11 @@ from .function_objects import (FieldMinMax, Probes, LineSample, FieldAverage,
                                FunctionObjectSet)
 from .timers import PhaseTimers, trace
 from .openfoam_io import read_openfoam_field, read_case_fields
+from .derived import (vorticity, q_criterion, enstrophy, mach_number,
+                      y_plus, wall_heat_flux, DerivedFields)
 
-__all__ = ["CaseConfig", "ChemistryProperties", "CombustionProperties",
+__all__ = ["vorticity", "q_criterion", "enstrophy", "mach_number", "y_plus", "wall_heat_flux", "DerivedFields",
+    "CaseConfig", "ChemistryProperties", "CombustionProperties",
            "TurbulenceProperties", "ControlDict", "Schemes", "SolutionControl",
            "load_case", "save_state", "load_state", "latest_time",
            "FieldMinMax", "Probes", "LineSample", "FieldAverage",

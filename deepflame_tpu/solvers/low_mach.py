@@ -99,6 +99,12 @@ class LowMachSolver:
     turbulence: Any = None     # LESModel (turbulence/les.py) or None (laminar)
     bcs_Z: Any = None          # BCs for combustion-owned scalars (PaSR
                                # dynamicScale mixture fraction; FGM overrides)
+    thermo_tran_nn: Any = None # useThermoTranNN hook (dfChemistryModel.C:
+                               # 431-491): callable (T, p, Y_t) -> dict with
+                               # any of mu/alpha/rhoD overriding the
+                               # polynomial transport fits (real-fluid NN
+                               # surrogate; jit-traceable). rhoD in
+                               # species-first layout (ns, ...).
 
     # -------------------------------------------------------------- helpers
     @property
@@ -149,6 +155,11 @@ class LowMachSolver:
             Dm = self.transport.mix_diff_coeffs(T, p, X, Yt)  # (..., ns)
             rho = self.thermo.rho(p, T, Yt)
             rhoD = jnp.moveaxis(rho[..., None] * Dm, -1, 0)
+        if self.thermo_tran_nn is not None:
+            nn = self.thermo_tran_nn(T, p, Yt)
+            mu = nn.get("mu", mu)
+            alpha = nn.get("alpha", alpha)
+            rhoD = nn.get("rhoD", rhoD)
         return mu, alpha, rhoD
 
     def initial_state(self, p, T, Y, U=None, time=0.0,

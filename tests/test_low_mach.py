@@ -126,3 +126,52 @@ def test_reacting_hot_spot():
     np.testing.assert_allclose(np.asarray(s.Y.sum(0)), 1.0, atol=1e-8)
     # mass conservation within continuity tolerance
     assert abs(float(jnp.sum(s.rho)) - mass0) / mass0 < 5e-2
+
+
+def test_thermo_tran_nn_hook():
+    """useThermoTranNN parity (dfChemistryModel.C:431-491): a user
+    NN/surrogate overrides the transport coefficients; the solver consumes
+    its mu/alpha and still integrates stably."""
+    import dataclasses as _dc
+    import jax
+    import jax.numpy as jnp
+    from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
+                                         make_kinetics, make_transport)
+    from deepflame_tpu.combustion import NoCombustion
+    from deepflame_tpu.mesh import StructuredMesh, cyclic, empty
+    from deepflame_tpu.solvers.low_mach import LowMachSolver, LowMachConfig
+
+    mech = load_mechanism(os.path.join(DATA, "air.yaml"))
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    n = 8
+    mesh = StructuredMesh.box([0.01, 0.01, 0.01 / n], [n, n, 1])
+    b = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
+    calls = []
+
+    def nn(T, p, Yt):
+        calls.append(1)
+        return {"mu": jnp.full_like(T, 5e-5),
+                "alpha": jnp.full_like(T, 7e-5)}
+
+    base = LowMachSolver(
+        mesh=mesh, thermo=th, transport=tr, combustion=NoCombustion(th, kin),
+        bcs_U=(b, b, b), bcs_p=b, bcs_h=b, bcs_Y=b, bcs_rho=b,
+        config=LowMachConfig(chemistry=False))
+    solver = _dc.replace(base, thermo_tran_nn=nn)
+    mu, alpha, _ = solver._mixture_update(
+        jnp.full(mesh.shape, 101325.0), jnp.full(mesh.shape, 300.0),
+        jnp.ones((1,) + mesh.shape))
+    assert calls, "NN hook not invoked"
+    np.testing.assert_allclose(np.asarray(mu), 5e-5)
+    np.testing.assert_allclose(np.asarray(alpha), 7e-5)
+    # and the fits remain in charge without the hook
+    mu0, _, _ = base._mixture_update(
+        jnp.full(mesh.shape, 101325.0), jnp.full(mesh.shape, 300.0),
+        jnp.ones((1,) + mesh.shape))
+    assert abs(float(mu0.mean()) - 5e-5) > 1e-6
+
+    s = solver.initial_state(jnp.full(mesh.shape, 101325.0),
+                             jnp.full(mesh.shape, 300.0),
+                             jnp.ones((1,) + mesh.shape))
+    s, _ = jax.jit(lambda st: solver.step(st, 1e-5))(s)
+    assert np.all(np.isfinite(np.asarray(s.T)))

@@ -180,3 +180,73 @@ internalField   nonuniform List<vector>
         "/root/reference/test/dfLowMachFoam/twoD_reactingTGV/H2/cvodeSolver/0/T",
         (128, 128, 1))
     assert 299.9 < T_ref.min() < 301.0 and 1900.0 < T_ref.max() < 2000.0
+
+
+def test_derived_field_objects():
+    """Q/vorticity/MachNo/yPlus/wallHeatFlux function objects: analytic
+    checks on a solid-body-rotation velocity field and a linear shear."""
+    import jax.numpy as jnp
+    from deepflame_tpu.mesh import StructuredMesh, cyclic, empty
+    from deepflame_tpu.runtime.derived import (vorticity, q_criterion,
+                                               enstrophy, mach_number,
+                                               y_plus, wall_heat_flux,
+                                               DerivedFields)
+    from deepflame_tpu.runtime.function_objects import FieldMinMax
+    from deepflame_tpu.chemistry import load_mechanism, make_thermo
+    import os
+    n = 16
+    L = 1.0
+    mesh = StructuredMesh.box([L, L, L / n], [n, n, 1])
+    b = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
+    bU = (b, b, b)
+    X, Y, _ = mesh.cell_centers()
+    Om = 3.0
+    # solid-body rotation about z: U = Om x r -> vorticity_z = 2 Om, Q>0
+    U = jnp.stack([-Om * (Y - L / 2), Om * (X - L / 2),
+                   jnp.zeros(mesh.shape)])
+    w = vorticity(U, bU, mesh)
+    interior = (slice(2, -2), slice(2, -2), slice(None))
+    np.testing.assert_allclose(np.asarray(w[2][interior]), 2 * Om,
+                               rtol=1e-6)
+    Q = q_criterion(U, bU, mesh)
+    assert np.all(np.asarray(Q[interior]) > 0)   # pure rotation: Q = Om^2
+    np.testing.assert_allclose(np.asarray(Q[interior]), Om * Om, rtol=1e-6)
+    ens = enstrophy(U, bU, mesh)
+    np.testing.assert_allclose(np.asarray(ens[interior]), 2 * Om * Om,
+                               rtol=1e-6)
+
+    # Mach number vs hand calc for air at 300 K
+    mech = load_mechanism(os.path.join(os.path.dirname(__file__), "data",
+                                       "air.yaml"))
+    th = make_thermo(mech)
+    T = jnp.full(mesh.shape, 300.0)
+    Yt = jnp.ones(mesh.shape + (1,))
+    Uc = jnp.stack([jnp.full(mesh.shape, 100.0), jnp.zeros(mesh.shape),
+                    jnp.zeros(mesh.shape)])
+    Ma = mach_number(Uc, T, Yt, th)
+    a_300 = float(np.asarray(Ma).mean())
+    assert 0.27 < a_300 < 0.31        # c(air,300K) ~ 347 m/s -> Ma ~ 0.288
+
+    # yPlus on a linear shear over the y=0 wall: tau_w = mu dU/dy
+    dUdy = 400.0
+    Ush = jnp.stack([dUdy * Y, jnp.zeros(mesh.shape), jnp.zeros(mesh.shape)])
+    rho = jnp.full(mesh.shape, 1.2)
+    mu = jnp.full(mesh.shape, 1.8e-5)
+    yp = y_plus(Ush, rho, mu, mesh, wall=(1, 0))
+    # u_tau = sqrt(mu dUdy / rho); y+ = rho u_tau (dy/2) / mu
+    dy2 = mesh.dy / 2
+    u_tau = np.sqrt(1.8e-5 * dUdy / 1.2)
+    np.testing.assert_allclose(np.asarray(yp), 1.2 * u_tau * dy2 / 1.8e-5,
+                               rtol=1e-6)
+
+    # wallHeatFlux: linear T profile
+    Tlin = 300.0 + 1000.0 * Y
+    kappa = jnp.full(mesh.shape, 0.026)
+    qw = wall_heat_flux(Tlin, kappa, mesh, wall=(1, 0), T_wall=300.0)
+    np.testing.assert_allclose(np.asarray(qw), 0.026 * 1000.0, rtol=1e-6)
+
+    # DerivedFields adapter feeds storage objects
+    fmm = FieldMinMax(mesh, ["Q"])
+    der = DerivedFields({"Q": lambda f: q_criterion(f["U"], bU, mesh)}, fmm)
+    der(0.0, {"U": U})
+    assert len(fmm.rows) == 1
