@@ -170,6 +170,11 @@ def limited_face_values(P: jax.Array, phi_ax: jax.Array, axis: Axis,
     linear:        psi_f = central average
     limitedLinear: upwind + limiter * (central - upwind)   [Sweby-limited]
     vanLeer:       upwind + vanLeer(r) * (central - upwind)
+    minmod / MUSCL / superBee / QUICK: classic piecewise TVD limiters
+    vanAlbada / OSPRE: smooth rational limiters — the role the reference
+      fills with its libROUNDSchemes submodule (smooth high-resolution
+      bounded convection selectable from fvSchemes; the submodule itself is
+      an empty git pointer in the repo, SURVEY.md §2.5)
     """
     own, nei = face_pair(P, axis)
     up = jnp.where(phi_ax >= 0, own, nei)
@@ -202,6 +207,23 @@ def limited_face_values(P: jax.Array, phi_ax: jax.Array, axis: Axis,
         lim = jnp.clip(2.0 * r / k, 0.0, 1.0)
     elif scheme == "vanLeer":
         lim = (r + jnp.abs(r)) / (1.0 + jnp.abs(r))
+    elif scheme == "minmod":
+        lim = jnp.clip(r, 0.0, 1.0)
+    elif scheme == "MUSCL":
+        lim = jnp.maximum(0.0, jnp.minimum(jnp.minimum(2.0 * r,
+                                                       0.5 * (r + 1.0)), 2.0))
+    elif scheme == "superBee":
+        lim = jnp.maximum(jnp.maximum(0.0, jnp.minimum(2.0 * r, 1.0)),
+                          jnp.minimum(r, 2.0))
+    elif scheme == "QUICK":
+        # TVD-limited QUICK: psi = max(0, min(2r, (3+r)/4, 2))
+        lim = jnp.maximum(0.0, jnp.minimum(jnp.minimum(2.0 * r,
+                                                       0.25 * (3.0 + r)),
+                                           2.0))
+    elif scheme == "vanAlbada":
+        lim = jnp.maximum((r * r + r) / (r * r + 1.0), 0.0)
+    elif scheme == "OSPRE":
+        lim = jnp.maximum(1.5 * (r * r + r) / (r * r + r + 1.0), 0.0)
     else:
         raise ValueError(f"unknown convection scheme {scheme}")
     return up + lim * (central - up)
@@ -324,7 +346,8 @@ def fvm_div(phi, psi_now: jax.Array, mesh: StructuredMesh, bcs: FieldBCs,
         return out
 
     src = jnp.zeros(mesh.shape, psi_now.dtype)
-    if scheme in ("limitedLinear", "vanLeer"):
+    if scheme in ("limitedLinear", "vanLeer", "minmod", "MUSCL", "superBee",
+                  "QUICK", "vanAlbada", "OSPRE"):
         Pn = pad_field(psi_now, bcs, mesh)
         corr = 0.0
         for ax, h in enumerate(mesh.spacing):
