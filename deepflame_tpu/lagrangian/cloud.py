@@ -47,6 +47,8 @@ class CloudState(NamedTuple):
     inject_ptr: jax.Array # scalar: next slot to fill
     m_injected: jax.Array # total injected mass
     key: jax.Array        # PRNG key for injection sampling
+    m_vol: jax.Array      # (C, N) volatile mass per droplet per component
+    films: tuple = ()     # per film wall: WallFilmState
 
 
 class CloudSources(NamedTuple):
@@ -161,9 +163,18 @@ class SprayCloud:
     collision: str = "none"         # ORourke | none
     dispersion: bool = False        # stochastic (DRW) turbulent dispersion
     # per-boundary parcel-wall interaction: dict {(axis, side): mode} with
-    # mode in {"escape", "rebound", "stick"}; boundaries not listed escape
-    # (the reference's patch interaction / surface-film attachment hooks)
+    # mode in {"escape", "rebound", "stick", "film"}; boundaries not listed
+    # escape. "film" absorbs impinging parcels into a WallFilm (the
+    # reference's surfaceFilmModels attachment, regionModels overlay)
     wall_interaction: tuple = ()    # ((axis, side, mode), ...)
+    # wall films: WallFilm instances, one per (axis, side) that uses "film"
+    films: tuple = ()
+    # devolatilisation (SingleKineticRateDevolatilisation parity,
+    # /root/reference/src/lagrangian/intermediate/submodels/
+    # ReactingMultiphase/DevolatilisationModel): per volatile component
+    # (A1 [1/s], E [J/kmol], Y0 mass fraction at injection); released mass
+    # dm = min(dt * A1 exp(-E/(R T)) * m_vol, m_vol) joins the gas phase
+    devolatilisation: tuple = ()    # ((A1, E, Y0), ...)
     restitution: float = 0.7
     Sc_gas: float = 0.7
     Pr_gas: float = 0.7
@@ -188,7 +199,11 @@ class SprayCloud:
                           d=z + 1e-6, T=z + 300.0, n_part=z, active=z,
                           inject_ptr=jnp.asarray(0, jnp.int32),
                           m_injected=jnp.zeros((), dtype),
-                          key=key)
+                          key=key,
+                          m_vol=jnp.zeros((len(self.devolatilisation), N),
+                                          dtype),
+                          films=tuple(fl.init(self.mesh, dtype)
+                                      for fl in self.films))
 
     # ------------------------------------------------------------ helpers
     def _cell_index(self, pos):
@@ -235,6 +250,12 @@ class SprayCloud:
         d = set_slots(c.d, dm)
         Tp = set_slots(c.T, jnp.full((K,), inj.T_inject, dtype))
         n_part = set_slots(c.n_part, n_per)
+        if self.devolatilisation:
+            Y0 = jnp.asarray([y0 for (_, _, y0) in self.devolatilisation],
+                             dtype)
+            m_vol = set_slots(c.m_vol, Y0[:, None] * m_drop[None, :])
+        else:
+            m_vol = c.m_vol
         active = set_slots(c.active, jnp.where(injecting,
                                                jnp.ones((K,), dtype), 0.0))
         ptr = jnp.where(injecting, (c.inject_ptr + K) % N, c.inject_ptr)
@@ -290,6 +311,27 @@ class SprayCloud:
                               jnp.maximum(dm_dt, dm_dt_boil), dm_dt)
         dm = jnp.clip(dm_dt * dt, 0.0, 0.95 * m_d)
         m_new = m_d - dm
+
+        # ==== devolatilisation (SingleKineticRateDevolatilisation parity:
+        # dMassDV = min(dt * A1 exp(-E/(R T)) * massVolatile, massVolatile),
+        # R in J/kmol/K as in the reference)
+        if self.devolatilisation:
+            R_kmol = 8314.462618
+            A1 = jnp.asarray([a for (a, _, _) in self.devolatilisation],
+                             dtype)
+            E = jnp.asarray([e for (_, e, _) in self.devolatilisation], dtype)
+            kappa_dv = A1[:, None] * jnp.exp(-E[:, None]
+                                             / (R_kmol * Tp[None, :]))
+            dm_dv = jnp.minimum(dt * kappa_dv * m_vol, m_vol) \
+                * (active > 0)[None, :]
+            dm_dv_tot = jnp.minimum(jnp.sum(dm_dv, axis=0), 0.95 * m_new)
+            m_vol = m_vol - dm_dv * jnp.where(
+                jnp.sum(dm_dv, axis=0) > 0.0,
+                dm_dv_tot / jnp.maximum(jnp.sum(dm_dv, axis=0), 1e-300),
+                0.0)[None, :]
+            m_new = m_new - dm_dv_tot
+        else:
+            dm_dv_tot = jnp.zeros_like(m_new)
 
         # ==== heat transfer (Ranz-Marshall, implicit relaxation) + latent sink
         kappa_g = mu_g * 1005.0 / self.Pr_gas       # lambda ~ mu cp / Pr
@@ -460,6 +502,8 @@ class SprayCloud:
         lo_b = jnp.asarray([m.x0, m.y0, m.z0], dtype)
         hi_b = lo_b + jnp.asarray([m.nx * m.dx, m.ny * m.dy, m.nz * m.dz],
                                   dtype)
+        films = list(c.films)
+        absorbed = jnp.zeros((N,), bool)
         for (w_ax, w_side, w_mode) in self.wall_interaction:
             bound = lo_b[w_ax] if w_side == 0 else hi_b[w_ax]
             crossed = (pos_new[w_ax] < bound) if w_side == 0 \
@@ -484,40 +528,95 @@ class SprayCloud:
                     jnp.where(crossed, park, pos_new[w_ax]))
                 vel_new = jnp.where(crossed[None, :],
                                     jnp.zeros_like(vel_new), vel_new)
-        too_small = (active > 0) & (d_new <= 0.5 * self.d_min)
+            elif w_mode == "film":
+                # absorb into the matching WallFilm (surfaceFilmModels
+                # attachment): parcel liquid mass, tangential momentum, and
+                # temperature deposit onto the wall face it crossed
+                fi = next(i for i, fl in enumerate(self.films)
+                          if fl.axis == w_ax and fl.side == w_side)
+                fl = self.films[fi]
+                t1, t2 = fl.tangential_axes()
+                sizes = (m.dx, m.dy, m.dz)
+                origins = (m.x0, m.y0, m.z0)
+                dims = (m.nx, m.ny, m.nz)
+                i1 = jnp.clip(((pos_new[t1] - origins[t1])
+                               / sizes[t1]).astype(jnp.int32), 0,
+                              dims[t1] - 1)
+                i2 = jnp.clip(((pos_new[t2] - origins[t2])
+                               / sizes[t2]).astype(jnp.int32), 0,
+                              dims[t2] - 1)
+                hit = crossed & (active > 0) & ~absorbed
+                A_f = fl.face_area(m)
+                w_m = jnp.where(hit, m_new * n_part, 0.0) / A_f
+                mom_t = jnp.stack([vel_new[t1], vel_new[t2]]) * w_m[None]
+                films[fi] = fl.absorb(films[fi], i1, i2, w_m, mom_t, T_new)
+                absorbed = absorbed | hit
+        too_small = (active > 0) & (d_new <= 0.5 * self.d_min) & ~absorbed
         dm = dm + jnp.where(too_small, m_new, 0.0)
         m_new = jnp.where(too_small, 0.0, m_new)
-        alive = (active > 0) & self._in_domain(pos_new) & ~too_small
+        alive = (active > 0) & self._in_domain(pos_new) & ~too_small \
+            & ~absorbed
         mask = alive.astype(dtype)
 
-        # ==== Euler sources (per unit volume): scatter-add
+        # ==== Euler sources (per unit volume): scatter-add. Parcels absorbed
+        # into a wall film this step still exchanged mass/momentum/heat with
+        # the gas on the way in, so they keep their source contribution.
         V = self.mesh.volume
-        w = n_part * mask / (V * dt)                # parcels -> per-vol-per-s
-        dm_tot = dm * w                             # evaporated mass rate
+        src_mask = (alive | absorbed).astype(dtype)
+        w = n_part * src_mask / (V * dt)            # parcels -> per-vol-per-s
+        dm_tot = (dm + dm_dv_tot) * w               # evap + devol mass rate
         shape = self.mesh.shape
         Srho = jnp.zeros(shape, dtype).at[ii, jj, kk].add(dm_tot)
         SY = Srho
         # momentum: drag reaction - momentum carried by evaporated mass
         SU = jnp.zeros((3,) + shape, dtype)
-        mom = (-m_d * dmom / dt + dm / dt * vel_new) * (n_part * mask / V)
+        mom = (-m_d * dmom / dt + (dm + dm_dv_tot) / dt * vel_new) \
+            * (n_part * src_mask / V)
         for a in range(3):
             SU = SU.at[a, ii, jj, kk].add(mom[a])
         # energy: evaporated vapor enthalpy (sensible at T_p) minus latent
         # drawn from gas + convective exchange handled via T relaxation
-        q_conv = -h_conv * area * (T_g - Tp) * (n_part * mask / V)
-        h_vap = -dm_tot * L
+        # (devolatilised mass carries no latent sink)
+        q_conv = -h_conv * area * (T_g - Tp) * (n_part * src_mask / V)
+        h_vap = -dm * w * L
         Sh_src = jnp.zeros(shape, dtype).at[ii, jj, kk].add(q_conv + h_vap)
+
+        # ==== wall-film substep: heat-up + evaporation back into the
+        # wall-adjacent gas layer (thermoSingleLayer transfer)
+        sizes = (self.mesh.dx, self.mesh.dy, self.mesh.dz)
+        for fi, fl in enumerate(self.films):
+            sl = [slice(None)] * 3
+            sl[fl.axis] = 0 if fl.side == 0 else -1
+            sl = tuple(sl)
+            gw = {k2d: gas[k2d][sl] for k2d in ("rho", "T", "mu", "p")
+                  if k2d in gas}
+            if "Yv" in gas:
+                gw["Yv"] = gas["Yv"][sl]
+            dn = sizes[fl.axis]
+            gw["dn"] = dn
+            films[fi], fsrc = fl.evolve(films[fi], gw, liq, dt,
+                                        face_area=fl.face_area(self.mesh))
+            Srho = Srho.at[sl].add(fsrc["Srho"] / dn)
+            SY = SY.at[sl].add(fsrc["SY"] / dn)
+            Sh_src = Sh_src.at[sl].add(fsrc["Sh"] / dn)
 
         c_new = CloudState(pos=pos_new, vel=vel_new, d=d_new, T=T_new,
                            n_part=n_part, active=mask, inject_ptr=ptr,
-                           m_injected=m_injected, key=key)
+                           m_injected=m_injected, key=key,
+                           m_vol=m_vol * mask[None, :], films=tuple(films))
         return c_new, CloudSources(Srho=Srho, SU=SU, Sh=Sh_src, SY=SY)
 
     def stats(self, c: CloudState):
         m = (self.liquid.rho(c.T) * jnp.pi / 6.0 * c.d**3 * c.n_part
              * c.active)
-        return dict(n_active=jnp.sum(c.active),
-                    liquid_mass=jnp.sum(m),
-                    d32=jnp.sum(c.d**3 * c.n_part * c.active)
-                    / jnp.maximum(jnp.sum(c.d**2 * c.n_part * c.active),
-                                  1e-30))
+        out = dict(n_active=jnp.sum(c.active),
+                   liquid_mass=jnp.sum(m),
+                   d32=jnp.sum(c.d**3 * c.n_part * c.active)
+                   / jnp.maximum(jnp.sum(c.d**2 * c.n_part * c.active),
+                                 1e-30))
+        if self.films:
+            out["film_mass"] = sum(
+                jnp.sum(fs.m) * fl.face_area(self.mesh)
+                for fs, fl in zip(c.films, self.films))
+            out["film_evaporated"] = sum(fs.m_evap for fs in c.films)
+        return out

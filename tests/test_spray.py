@@ -405,3 +405,113 @@ def test_orourke_collision_coarsens():
     # only coalescence rescales multiplicities; dilute -> none happened
     np.testing.assert_allclose(np.asarray(c2.n_part)[:4], n_first,
                                rtol=1e-9)
+
+
+def test_wall_film_absorbs_and_conserves_mass():
+    """Parcels impinging on a 'film' wall deposit their mass into the
+    WallFilm (surfaceFilmModels parity); injected = in-flight + film."""
+    from deepflame_tpu.lagrangian.film import WallFilm
+    mesh = StructuredMesh.box([0.02, 0.02, 0.02], [8, 8, 8],
+                              origin=(-0.01, -0.01, -0.01))
+    inj = ConeInjector(position=(0.0, -0.006, 0.0), direction=(0, -1, 0),
+                       cone_angle_deg=4.0, u_mag=20.0, mdot=1e-4,
+                       t_start=0.0, t_end=1e-2, d_mean=4e-5,
+                       parcels_per_step=8)
+    cloud = SprayCloud(mesh=mesh, liquid=n_heptane(), injector=inj,
+                       max_parcels=1024, evaporation="none",
+                       wall_interaction=((1, 0, "film"),),
+                       films=(WallFilm(axis=1, side=0),))
+    c = cloud.init(jax.random.PRNGKey(3))
+    g = gas_fields(mesh, T=350.0)
+    dt = 2e-5
+    step = jax.jit(lambda c, t: cloud.evolve(c, g, dt, t))
+    for i in range(60):
+        c, src = step(c, jnp.asarray(i * dt))
+    stats = cloud.stats(c)
+    m_inj = float(c.m_injected)
+    m_flight = float(stats["liquid_mass"])
+    m_film = float(stats["film_mass"])
+    m_evap = float(stats["film_evaporated"])
+    assert m_film > 0.2 * m_inj          # wall actually collected parcels
+    # exact closure: in-flight + film + film-evaporated == injected
+    np.testing.assert_allclose(m_flight + m_film + m_evap, m_inj, rtol=1e-10)
+    # film landed under the injector, at the y=lo wall
+    fm = np.asarray(c.films[0].m)
+    assert fm.max() > 0
+    # film temperature stays near injection/gas range
+    fT = np.asarray(c.films[0].T)
+    assert np.all(fT[fm > 0] > 250.0) and np.all(fT[fm > 0] < 400.0)
+
+
+def test_wall_film_evaporates_into_gas():
+    """Hot gas over a deposited film: film mass decreases, Srho/Sh sources
+    appear in the wall-adjacent layer (thermoSingleLayer phase change)."""
+    from deepflame_tpu.lagrangian.film import WallFilm, WallFilmState
+    mesh = StructuredMesh.box([0.02, 0.02, 0.02], [8, 8, 8],
+                              origin=(-0.01, -0.01, -0.01))
+    inj = ConeInjector(position=(0.0, 0.008, 0.0), direction=(0, -1, 0),
+                       mdot=0.0, t_start=1.0, t_end=2.0,  # no injection
+                       parcels_per_step=4)
+    fl = WallFilm(axis=1, side=0)
+    cloud = SprayCloud(mesh=mesh, liquid=n_heptane(), injector=inj,
+                       max_parcels=64, evaporation="none",
+                       wall_interaction=((1, 0, "film"),), films=(fl,))
+    c = cloud.init(jax.random.PRNGKey(4))
+    # pre-load a film: 10 g/m^2 at 400 K on the wall
+    f0 = c.films[0]
+    f0 = WallFilmState(m=f0.m + 1e-2, mom=f0.mom, T=f0.T + 100.0,
+                       m_evap=f0.m_evap)
+    c = c._replace(films=(f0,))
+    g = gas_fields(mesh, T=900.0)
+    dt = 1e-5
+    step = jax.jit(lambda c, t: cloud.evolve(c, g, dt, t))
+    m0 = float(jnp.sum(c.films[0].m)) * fl.face_area(mesh)
+    vol = mesh.volume
+    evap_src = 0.0
+    for i in range(40):
+        c, src = step(c, jnp.asarray(i * dt))
+        evap_src += float(jnp.sum(src.Srho)) * vol * dt
+    m1 = float(jnp.sum(c.films[0].m)) * fl.face_area(mesh)
+    assert m1 < m0                       # film evaporating
+    # evaporated mass accounting closes: source integral == mass lost
+    np.testing.assert_allclose(evap_src, m0 - m1, rtol=1e-6)
+    np.testing.assert_allclose(float(c.films[0].m_evap), m0 - m1, rtol=1e-6)
+    # energy sink (latent) in the wall layer
+    assert float(jnp.sum(src.Sh)) < 0.0
+
+
+def test_devolatilisation_single_kinetic_rate():
+    """SingleKineticRateDevolatilisation parity: released volatile mass
+    follows dm = min(dt*A1*exp(-E/(R T))*m_vol, m_vol) and sources into the
+    gas; fast kinetics release everything."""
+    mesh = StructuredMesh.box([0.02, 0.1, 0.02], [8, 24, 8],
+                              origin=(-0.01, -0.1, -0.01))
+    inj = ConeInjector(position=(0.0, -0.001, 0.0), direction=(0, -1, 0),
+                       u_mag=5.0, mdot=1e-4, t_start=0.0, t_end=2.5e-5,
+                       d_mean=5e-5, parcels_per_step=8)
+    A1, E, Y0 = 2e4, 5e7, 0.4            # E in J/kmol (reference units)
+    cloud = SprayCloud(mesh=mesh, liquid=n_heptane(), injector=inj,
+                       max_parcels=256, evaporation="none",
+                       devolatilisation=((A1, E, Y0),))
+    c = cloud.init(jax.random.PRNGKey(5))
+    g = gas_fields(mesh, T=1200.0)
+    dt = 1e-5
+    step = jax.jit(lambda c, t: cloud.evolve(c, g, dt, t))
+    c, _ = step(c, jnp.asarray(0.0))     # inject
+    mv0 = float(jnp.sum(c.m_vol * c.n_part[None]))
+    np.testing.assert_allclose(mv0, Y0 * float(c.m_injected), rtol=1e-6)
+    vol = mesh.volume
+    released = 0.0
+    for i in range(200):
+        c, src = step(c, jnp.asarray((i + 1) * dt))
+        released += float(jnp.sum(src.Srho)) * vol * dt
+    m_inj = float(c.m_injected)          # includes all injection steps
+    mv1 = float(jnp.sum(c.m_vol * c.n_part[None] * c.active[None]))
+    # kinetics at parcel T (~300-400 K heating toward 1200 K): some release
+    assert released > 0.0
+    # released + remaining volatile == total injected volatile
+    np.testing.assert_allclose(released + mv1, Y0 * m_inj, rtol=5e-3)
+    # droplet mass shrank accordingly
+    stats = cloud.stats(c)
+    np.testing.assert_allclose(float(stats["liquid_mass"]),
+                               m_inj - released, rtol=5e-3)
