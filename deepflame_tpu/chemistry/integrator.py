@@ -44,16 +44,50 @@ class RosenbrockOptions(NamedTuple):
     shrink: float = 0.2
 
 
+def _gj_inverse(W):
+    """Row-equilibrated unpivoted Gauss-Jordan inverse of a small matrix.
+
+    TPU-first replacement for pivoted LU: `jax.scipy.linalg.lu_factor`'s
+    row-pivot search lowers to sequential scalar work that is ~60x slower on
+    TPU than the whole Jacobian evaluation (measured: 311 ms vs 5 ms for
+    110k x 10x10 f32 batch). Gauss-Jordan with rank-1 updates is n fori_loop
+    iterations of pure vector ops — fully batchable under vmap. No pivoting:
+    W = I - gamma*dt*J from the Rosenbrock step is row-equilibrated first,
+    and a numerically bad solve surfaces as a large embedded-error estimate,
+    so the controller rejects the step and retries with smaller dt (W -> I,
+    perfectly conditioned) — the same self-healing CVODE relies on for its
+    own occasional bad Newton solves."""
+    n = W.shape[-1]
+    s = 1.0 / jnp.maximum(jnp.max(jnp.abs(W), axis=-1), 1e-30)
+    A = W * s[:, None]
+    M = jnp.concatenate([A, jnp.eye(n, dtype=W.dtype)], axis=-1)
+
+    def body(k, M):
+        row_k = jax.lax.dynamic_slice_in_dim(M, k, 1, axis=0)[0]   # (2n,)
+        pv = jax.lax.dynamic_index_in_dim(row_k, k, keepdims=False)
+        row_k = row_k / jnp.where(jnp.abs(pv) > 1e-30, pv,
+                                  jnp.asarray(1e-30, W.dtype))
+        col_k = jax.lax.dynamic_slice_in_dim(M, k, 1, axis=1)[:, 0]  # (n,)
+        onehot = jax.nn.one_hot(k, n, dtype=W.dtype)
+        # eliminate column k everywhere, then restore the normalized pivot row
+        M = M - jnp.outer(col_k, row_k) + jnp.outer(onehot, row_k)
+        return M
+
+    M = jax.lax.fori_loop(0, n, body, M)
+    # A = S W  =>  W^-1 = A^-1 S: scale the COLUMNS of A^-1 by s
+    return M[:, n:] * s[None, :]
+
+
 def _step(rhs: Callable, y, dt, jac, f0):
     """One ode23s Rosenbrock step (autonomous system).
 
-    Returns (y_new, err_vec). One LU factorization, three solves. f0 = rhs(y)
+    Returns (y_new, err_vec). One matrix inverse, three matvecs. f0 = rhs(y)
     comes from the caller (free byproduct of jax.linearize)."""
     n = y.shape[-1]
     eye = jnp.eye(n, dtype=y.dtype)
     W = eye - (dt * _ROS_D) * jac
-    lu, piv = jax.scipy.linalg.lu_factor(W)
-    solve = lambda b: jax.scipy.linalg.lu_solve((lu, piv), b)
+    W_inv = _gj_inverse(W)
+    solve = lambda b: W_inv @ b
 
     k1 = solve(f0)
     f1 = rhs(y + 0.5 * dt * k1)
