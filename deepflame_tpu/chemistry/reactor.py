@@ -99,7 +99,7 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
                     T, p, Y, dt,
                     opts: RosenbrockOptions = RosenbrockOptions(),
                     T_threshold: float = 200.0,
-                    n_bins: int = 16) -> ChemistryResult:
+                    n_bins: int = 32) -> ChemistryResult:
     """Advance chemistry in every cell by dt at constant pressure.
 
     T, p: (...,); Y: (..., ns); dt: scalar or per-cell array (EDC integrates
