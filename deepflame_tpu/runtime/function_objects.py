@@ -19,7 +19,8 @@ import numpy as np
 from ..mesh.structured import StructuredMesh
 
 __all__ = ["FieldMinMax", "Probes", "LineSample", "FieldAverage",
-           "FunctionObjectSet"]
+           "FunctionObjectSet", "Histogram", "FieldCalculus",
+           "write_cell_centres", "write_cell_volumes"]
 
 
 class FieldMinMax:
@@ -145,6 +146,124 @@ class FieldAverage:
                 self.mean[name] = f.copy()
             else:
                 self.mean[name] = (1 - w) * self.mean[name] + w * f
+
+
+class Histogram:
+    """Volume-weighted histogram of a field (histogram function-object
+    parity): per write time, bin counts over [lo, hi]."""
+
+    def __init__(self, field: str, n_bins: int = 50, lo=None, hi=None,
+                 out_dir: str = "postProcessing/histogram"):
+        self.field = field
+        self.n_bins = n_bins
+        self.lo, self.hi = lo, hi
+        self.out_dir = out_dir
+        self.snapshots: dict[float, tuple] = {}
+
+    def __call__(self, time: float, fields: dict):
+        f = np.asarray(fields[self.field]).ravel()
+        lo = self.lo if self.lo is not None else float(f.min())
+        hi = self.hi if self.hi is not None else float(f.max())
+        counts, edges = np.histogram(f, bins=self.n_bins, range=(lo, hi))
+        self.snapshots[time] = (counts, edges)
+
+    def write(self):
+        os.makedirs(self.out_dir, exist_ok=True)
+        paths = []
+        for t, (counts, edges) in self.snapshots.items():
+            mid = 0.5 * (edges[:-1] + edges[1:])
+            p = os.path.join(self.out_dir, f"{self.field}_{t:.9g}.dat")
+            np.savetxt(p, np.stack([mid, counts], axis=1))
+            paths.append(p)
+        return paths
+
+
+class FieldCalculus:
+    """The reference's field-expression family (add/subtract/scale/mag/
+    magSqr/components/log/grad/div/ddt, functionObjects/field Make list) as
+    one DerivedFields-compatible spec factory: each classmethod returns a
+    callable(fields_dict) -> array usable in DerivedFields specs."""
+
+    @staticmethod
+    def mag(name):
+        return lambda f: np.sqrt(np.sum(np.asarray(f[name]) ** 2, axis=0)) \
+            if np.asarray(f[name]).ndim == 4 else abs(np.asarray(f[name]))
+
+    @staticmethod
+    def mag_sqr(name):
+        def _f(f):
+            a = np.asarray(f[name])
+            return np.sum(a * a, axis=0) if a.ndim == 4 else a * a
+        return _f
+
+    @staticmethod
+    def component(name, c):
+        return lambda f: np.asarray(f[name])[c]
+
+    @staticmethod
+    def add(a, b):
+        return lambda f: np.asarray(f[a]) + np.asarray(f[b])
+
+    @staticmethod
+    def subtract(a, b):
+        return lambda f: np.asarray(f[a]) - np.asarray(f[b])
+
+    @staticmethod
+    def scale(name, factor):
+        return lambda f: factor * np.asarray(f[name])
+
+    @staticmethod
+    def log(name, floor=1e-300):
+        return lambda f: np.log(np.maximum(np.asarray(f[name]), floor))
+
+    @staticmethod
+    def grad(name, bcs, mesh):
+        from ..ops.fv import grad as _grad
+        import jax.numpy as jnp
+        return lambda f: np.stack(
+            [np.asarray(g) for g in _grad(jnp.asarray(f[name]), bcs, mesh)])
+
+    @staticmethod
+    def div(name, bcs, mesh):
+        from ..ops.fv import grad as _grad
+        import jax.numpy as jnp
+
+        def _f(f):
+            v = jnp.asarray(f[name])
+            return np.asarray(sum(_grad(v[c], bcs[c], mesh)[c]
+                                  for c in range(3)))
+        return _f
+
+    @staticmethod
+    def ddt(name, dt):
+        prev = {}
+
+        def _f(f):
+            cur = np.asarray(f[name])
+            out = (cur - prev.get("v", cur)) / dt
+            prev["v"] = cur
+            return out
+        return _f
+
+
+def write_cell_centres(mesh: StructuredMesh,
+                       out_dir: str = "postProcessing/mesh"):
+    """writeCellCentres parity."""
+    os.makedirs(out_dir, exist_ok=True)
+    X, Y, Z = (np.asarray(a) for a in mesh.cell_centers())
+    path = os.path.join(out_dir, "cellCentres.dat")
+    np.savetxt(path, np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1))
+    return path
+
+
+def write_cell_volumes(mesh: StructuredMesh,
+                       out_dir: str = "postProcessing/mesh"):
+    """writeCellVolumes parity (uniform on the structured block)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = int(np.prod(mesh.shape))
+    path = os.path.join(out_dir, "cellVolumes.dat")
+    np.savetxt(path, np.full((n,), mesh.volume))
+    return path
 
 
 @dataclasses.dataclass

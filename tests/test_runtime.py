@@ -250,3 +250,114 @@ def test_derived_field_objects():
     der = DerivedFields({"Q": lambda f: q_criterion(f["U"], bU, mesh)}, fmm)
     der(0.0, {"U": U})
     assert len(fmm.rows) == 1
+
+
+def test_extended_derived_fields():
+    """CourantNo/PecletNo/Lambda2/wallShearStress/turbulenceIntensity/
+    flowType/streamFunction (function-object long-tail parity) analytic
+    checks."""
+    import jax.numpy as jnp
+    from deepflame_tpu.mesh import StructuredMesh, cyclic, empty
+    from deepflame_tpu.runtime.derived import (
+        courant_no, peclet_no, lambda2, wall_shear_stress,
+        turbulence_intensity, flow_type, stream_function_2d,
+        wall_heat_transfer_coeff)
+    n = 16
+    L = 1.0
+    mesh = StructuredMesh.box([L, L, L / n], [n, n, 1])
+    b = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
+    bU = (b, b, b)
+    X, Y, _ = mesh.cell_centers()
+    interior = (slice(2, -2), slice(2, -2), slice(None))
+
+    # Courant: uniform U = (2, 1, 0), dt = dx/4 -> Co = dt*(2+1)/h
+    U = jnp.stack([jnp.full(mesh.shape, 2.0), jnp.full(mesh.shape, 1.0),
+                   jnp.zeros(mesh.shape)])
+    dt = mesh.dx / 4.0
+    co = courant_no(U, dt, mesh)
+    np.testing.assert_allclose(np.asarray(co), dt * 3.0 / mesh.dx, rtol=1e-12)
+
+    # Peclet: |U| h rho / gamma
+    pe = peclet_no(U, jnp.full(mesh.shape, 1.2), jnp.full(mesh.shape, 1e-3),
+                   mesh)
+    np.testing.assert_allclose(np.asarray(pe),
+                               np.sqrt(5.0) * mesh.dx * 1.2 / 1e-3, rtol=1e-6)
+
+    # Lambda2 for solid-body rotation about z, Omega: S=0, W^2 has
+    # eigenvalues (-Om^2, -Om^2, 0) -> middle eigenvalue = -Om^2 < 0 (vortex)
+    Om = 3.0
+    Urot = jnp.stack([-Om * (Y - L / 2), Om * (X - L / 2),
+                      jnp.zeros(mesh.shape)])
+    l2 = lambda2(Urot, bU, mesh)
+    np.testing.assert_allclose(np.asarray(l2[interior]), -Om * Om, rtol=1e-5)
+
+    # flowType: pure rotation -> 0; simple shear -> 1
+    ft = flow_type(Urot, bU, mesh)
+    np.testing.assert_allclose(np.asarray(ft[interior]), 0.0, atol=1e-6)
+    Ushear = jnp.stack([5.0 * (Y - L / 2), jnp.zeros(mesh.shape),
+                        jnp.zeros(mesh.shape)])
+    ft2 = flow_type(Ushear, bU, mesh)
+    np.testing.assert_allclose(np.asarray(ft2[interior]), 1.0, atol=1e-6)
+
+    # wallShearStress on linear shear over y=0 wall: tau = mu * u(y0)/(h/2)
+    mu = jnp.full(mesh.shape, 1.8e-5)
+    tau = wall_shear_stress(Ushear, None, mu, mesh, wall=(1, 0))
+    u_first = 5.0 * (0.5 * mesh.dy - L / 2)
+    np.testing.assert_allclose(np.asarray(tau[0]),
+                               1.8e-5 * u_first / (0.5 * mesh.dy), rtol=1e-6)
+
+    # turbulence intensity: k = 1.5 -> sqrt(2k/3)=1; |U|=sqrt(5)
+    ti = turbulence_intensity(U, jnp.full(mesh.shape, 1.5))
+    np.testing.assert_allclose(np.asarray(ti), 1.0 / np.sqrt(5.0), rtol=1e-6)
+
+    # wall heat transfer coefficient: q_w / (T_wall - T_ref)
+    T = jnp.full(mesh.shape, 350.0)
+    kap = jnp.full(mesh.shape, 0.026)
+    h_c = wall_heat_transfer_coeff(T, kap, mesh, (1, 0), T_wall=400.0,
+                                   T_ref=300.0)
+    qw = 0.026 * (350.0 - 400.0) / (0.5 * mesh.dy)
+    np.testing.assert_allclose(np.asarray(h_c), qw / 100.0, rtol=1e-12)
+
+    # stream function of uniform flow u=(1,0): psi = y -> corner rows differ
+    # by dy * flux; fluxes: phi_x (nx+1,ny,1) = dy*dz*1 (area-weighted here
+    # taken as unit-depth velocity flux), phi_y = 0
+    fx = jnp.full((n + 1, n, 1), mesh.dy)
+    fy = jnp.zeros((n, n + 1, 1))
+    psi = stream_function_2d(fx, fy, mesh)
+    d_psi = np.diff(np.asarray(psi), axis=1)
+    np.testing.assert_allclose(d_psi, mesh.dy, rtol=1e-12)
+
+
+def test_histogram_and_field_calculus(tmp_path):
+    import jax.numpy as jnp
+    from deepflame_tpu.mesh import StructuredMesh
+    from deepflame_tpu.runtime.function_objects import (
+        Histogram, FieldCalculus, write_cell_centres, write_cell_volumes)
+    mesh = StructuredMesh.box([1.0, 1.0, 0.25], [4, 4, 1])
+    f = {"T": jnp.linspace(300.0, 400.0, 16).reshape(4, 4, 1),
+         "U": jnp.ones((3, 4, 4, 1)) * 2.0}
+    h = Histogram("T", n_bins=4, lo=300.0, hi=400.0,
+                  out_dir=str(tmp_path / "hist"))
+    h(0.0, f)
+    paths = h.write()
+    data = np.loadtxt(paths[0])
+    assert data[:, 1].sum() == 16
+
+    assert np.allclose(FieldCalculus.mag("U")(f), np.sqrt(12.0))
+    assert np.allclose(FieldCalculus.mag_sqr("U")(f), 12.0)
+    assert np.allclose(FieldCalculus.component("U", 1)(f), 2.0)
+    assert np.allclose(FieldCalculus.add("T", "T")(f),
+                       2 * np.asarray(f["T"]))
+    assert np.allclose(FieldCalculus.subtract("T", "T")(f), 0.0)
+    assert np.allclose(FieldCalculus.scale("T", 2.0)(f),
+                       2 * np.asarray(f["T"]))
+    assert np.allclose(FieldCalculus.log("T")(f), np.log(np.asarray(f["T"])))
+    ddt = FieldCalculus.ddt("T", 0.1)
+    assert np.allclose(ddt(f), 0.0)            # first call: no history
+    f2 = {"T": f["T"] + 1.0}
+    assert np.allclose(ddt(f2), 10.0)
+
+    p1 = write_cell_centres(mesh, str(tmp_path / "mesh"))
+    p2 = write_cell_volumes(mesh, str(tmp_path / "mesh"))
+    assert np.loadtxt(p1).shape == (16, 3)
+    np.testing.assert_allclose(np.loadtxt(p2), mesh.volume)
