@@ -42,6 +42,27 @@ from ..ops.linsolve import cg, solve_fvmatrix
 __all__ = ["LowMachConfig", "LowMachState", "LowMachSolver"]
 
 
+def _same_bcs(*bc_sets):
+    """True when the given FieldBCs are structurally identical (same kinds,
+    same *scalar* values on every axis/side), so the fields can share one
+    vmapped batched Krylov solve. This is a trace-time (Python) check; BCs
+    carrying array values conservatively return False."""
+    ref = bc_sets[0]
+    for other in bc_sets[1:]:
+        for ax in range(3):
+            for side in (0, 1):
+                a, b = ref[ax][side], other[ax][side]
+                if a.kind != b.kind:
+                    return False
+                if isinstance(a.value, (int, float)) \
+                        and isinstance(b.value, (int, float)):
+                    if a.value != b.value:
+                        return False
+                else:
+                    return False
+    return True
+
+
 class LowMachState(NamedTuple):
     """Conserved/primitive fields. Vectors are (3, nx, ny, nz); species are
     (ns, nx, ny, nz); phi is a per-axis tuple of face mass-flux densities
@@ -276,29 +297,63 @@ class LowMachSolver:
                     interpolate(pad_field(sumYDiff[ax], self.bcs_coeff, mesh),
                                 ax)
                     for ax in range(3))
-                Y_new = []
-                for i in range(ns):
-                    if cfg.inert_index is not None and i == cfg.inert_index:
-                        Y_new.append(Y[i])
-                        continue
-                    bcs_i = self._species_bcs(i)
-                    D_f = tuple(interpolate(
-                        pad_field(rhoD[i], self.bcs_coeff, mesh), ax)
-                                for ax in range(3))
-                    eqn = (fvm_ddt(rho, Y_old[i], dt, mesh, bcs_i,
-                                   coeff_old=rho_old)
-                           + fvm_div(phi, Y[i], mesh, bcs_i, cfg.div_scheme)
-                           + fvm_div(phiUc, Y[i], mesh, bcs_i, "upwind")
-                           + fvm_laplacian(D_f, mesh, bcs_i, dtype=dtype,
-                                           sign=-1.0))
-                    src_i = RR[i]
-                    if sources is not None and i == sources.get("SY_index"):
-                        src_i = src_i + sources["SY"]
-                    eqn = eqn.with_source(src_i)
-                    res = solve_fvmatrix(eqn, Y[i], tol=cfg.y_tol,
-                                         max_iter=cfg.max_iter_u)
-                    Y_new.append(jnp.clip(res.x, 0.0, 1.0))
-                Y = jnp.stack(Y_new)
+                srcs = RR
+                if sources is not None and sources.get("SY_index") is not None:
+                    srcs = srcs.at[sources["SY_index"]].add(sources["SY"])
+                if not isinstance(self.bcs_Y, list):
+                    # fast path: one vmapped batched solve over the species
+                    # axis (shared BCs). All ns Krylov solves advance in
+                    # lock-step — iterations cost max-over-species instead of
+                    # sum-over-species, and each iteration is one fused
+                    # batched stencil op (the TPU replacement for the
+                    # reference's per-species sequential AmgX solves,
+                    # dfYEqn.cu:443-702).
+                    bcs_y = self.bcs_Y
+
+                    def _solve_species(rhoD_i, y_i, y_old_i, src_i):
+                        D_f = tuple(interpolate(
+                            pad_field(rhoD_i, self.bcs_coeff, mesh), ax)
+                            for ax in range(3))
+                        eqn = (fvm_ddt(rho, y_old_i, dt, mesh, bcs_y,
+                                       coeff_old=rho_old)
+                               + fvm_div(phi, y_i, mesh, bcs_y,
+                                         cfg.div_scheme)
+                               + fvm_div(phiUc, y_i, mesh, bcs_y, "upwind")
+                               + fvm_laplacian(D_f, mesh, bcs_y, dtype=dtype,
+                                               sign=-1.0)).with_source(src_i)
+                        res = solve_fvmatrix(eqn, y_i, tol=cfg.y_tol,
+                                             max_iter=cfg.max_iter_u)
+                        return jnp.clip(res.x, 0.0, 1.0)
+
+                    Y_in = Y
+                    Y = jax.vmap(_solve_species)(rhoD, Y, Y_old, srcs)
+                    if cfg.inert_index is not None:
+                        # inert solved as a throwaway lane; restored (the
+                        # 1-sumY closure below overwrites it anyway)
+                        Y = Y.at[cfg.inert_index].set(Y_in[cfg.inert_index])
+                else:
+                    Y_new = []
+                    for i in range(ns):
+                        if cfg.inert_index is not None \
+                                and i == cfg.inert_index:
+                            Y_new.append(Y[i])
+                            continue
+                        bcs_i = self._species_bcs(i)
+                        D_f = tuple(interpolate(
+                            pad_field(rhoD[i], self.bcs_coeff, mesh), ax)
+                                    for ax in range(3))
+                        eqn = (fvm_ddt(rho, Y_old[i], dt, mesh, bcs_i,
+                                       coeff_old=rho_old)
+                               + fvm_div(phi, Y[i], mesh, bcs_i,
+                                         cfg.div_scheme)
+                               + fvm_div(phiUc, Y[i], mesh, bcs_i, "upwind")
+                               + fvm_laplacian(D_f, mesh, bcs_i, dtype=dtype,
+                                               sign=-1.0))
+                        eqn = eqn.with_source(srcs[i])
+                        res = solve_fvmatrix(eqn, Y[i], tol=cfg.y_tol,
+                                             max_iter=cfg.max_iter_u)
+                        Y_new.append(jnp.clip(res.x, 0.0, 1.0))
+                    Y = jnp.stack(Y_new)
                 if cfg.inert_index is not None:
                     others = jnp.sum(Y, axis=0) - Y[cfg.inert_index]
                     Y = Y.at[cfg.inert_index].set(jnp.clip(1.0 - others, 0.0, 1.0))
@@ -402,22 +457,43 @@ class LowMachSolver:
             gUc = grad(U[c], self.bcs_U[c], mesh)
             gU.append(gUc)
             divU = divU + gUc[c]
+        # dev2 correction: d/dxj [ mu (dUj/dxi - 2/3 delta_ij divU) ]
+        corrs = [(grad(mu * gU[0][c], self.bcs_coeff, mesh)[0]
+                  + grad(mu * gU[1][c], self.bcs_coeff, mesh)[1]
+                  + grad(mu * gU[2][c], self.bcs_coeff, mesh)[2]
+                  - grad(mu * divU, self.bcs_coeff, mesh)[c] * (2.0 / 3.0))
+                 for c in range(3)]
+        srcs = jnp.stack([-gp[c] + corrs[c]
+                          + (SU[c] if SU is not None else 0.0)
+                          for c in range(3)])
+        if _same_bcs(self.bcs_U[0], self.bcs_U[1], self.bcs_U[2]):
+            # fast path: one vmapped batched solve over the 3 components
+            # (shared BCs) — iterations cost max-over-components
+            bcs_u = self.bcs_U[0]
+
+            def _solve_comp(u_c, u_old_c, src_c):
+                eqn = (fvm_ddt(rho, u_old_c, dt, mesh, bcs_u,
+                               coeff_old=rho_old)
+                       + fvm_div(phi, u_c, mesh, bcs_u, cfg.div_scheme)
+                       + fvm_laplacian(mu_f, mesh, bcs_u, dtype=dtype,
+                                       sign=-1.0)).with_source(src_c)
+                res = solve_fvmatrix(eqn, u_c, tol=cfg.u_tol,
+                                     max_iter=cfg.max_iter_u)
+                return res.x, eqn.H(res.x), eqn.diag()
+
+            U_st, H_st, d_st = jax.vmap(_solve_comp)(U, U_old, srcs)
+            u_diags = d_st[0]                       # same for all comps
+            return U_st, [H_st[c] / u_diags for c in range(3)], 1.0 / u_diags
         U_new = []
         u_diags = None
         HbyA = []
         for c in range(3):
-            # dev2 correction: d/dxj [ mu (dUj/dxi - 2/3 delta_ij divU) ]
-            corr = (grad(mu * gU[0][c], self.bcs_coeff, mesh)[0]
-                    + grad(mu * gU[1][c], self.bcs_coeff, mesh)[1]
-                    + grad(mu * gU[2][c], self.bcs_coeff, mesh)[2]
-                    - grad(mu * divU, self.bcs_coeff, mesh)[c] * (2.0 / 3.0))
             eqn = (fvm_ddt(rho, U_old[c], dt, mesh, self.bcs_U[c],
                            coeff_old=rho_old)
                    + fvm_div(phi, U[c], mesh, self.bcs_U[c], cfg.div_scheme)
                    + fvm_laplacian(mu_f, mesh, self.bcs_U[c], dtype=dtype,
                                    sign=-1.0))
-            eqn = eqn.with_source(-gp[c] + corr
-                                  + (SU[c] if SU is not None else 0.0))
+            eqn = eqn.with_source(srcs[c])
             res = solve_fvmatrix(eqn, U[c], tol=cfg.u_tol,
                                  max_iter=cfg.max_iter_u)
             U_new.append(res.x)
