@@ -93,13 +93,14 @@ class ChemistryResult(NamedTuple):
     Y: jax.Array       # (..., ns) new mass fractions
     RR: jax.Array      # (..., ns) rho (Y_new - Y_old)/dt [kg/m^3/s]
     Qdot: jax.Array    # (...,) heat release rate [J/m^3/s]
+    dt_next: jax.Array | None = None   # (...,) warm-start step suggestion
 
 
 def solve_chemistry(thermo: ThermoData, kin: KineticsData,
                     T, p, Y, dt,
                     opts: RosenbrockOptions = RosenbrockOptions(),
                     T_threshold: float = 200.0,
-                    n_bins: int = 32) -> ChemistryResult:
+                    n_bins: int = 32, dt_start=None) -> ChemistryResult:
     """Advance chemistry in every cell by dt at constant pressure.
 
     T, p: (...,); Y: (..., ns); dt: scalar or per-cell array (EDC integrates
@@ -122,12 +123,18 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
     s0 = jnp.concatenate([Tf[:, None], Yf], axis=1)
     dt_f = jnp.broadcast_to(jnp.asarray(dt, Tf.dtype), batch_shape).reshape(-1)
 
-    def one_cell(s, p_cell, t_end):
+    def one_cell(s, p_cell, t_end, dt0):
         rhs = constant_pressure_rhs(thermo, kin, p_cell)
-        return rosenbrock_integrate(rhs, s, t_end, opts)
+        return rosenbrock_integrate(rhs, s, t_end, opts, dt_start=dt0,
+                                    return_dt=True)
 
     active = Tf > T_threshold
     t_ends = jnp.where(active, dt_f, 0.0)
+    if dt_start is None:
+        dt0_f = jnp.full_like(Tf, opts.dt_init)
+    else:
+        dt0_f = jnp.broadcast_to(
+            jnp.asarray(dt_start, Tf.dtype), batch_shape).reshape(-1)
 
     n = Tf.shape[0]
     if n_bins > 1 and n >= 2 * n_bins:
@@ -142,16 +149,20 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
                                 pf[order]])
         te_s = jnp.concatenate([jnp.zeros((pad,), t_ends.dtype),
                                 t_ends[order]])
-        out = jax.lax.map(
+        d0_s = jnp.concatenate([jnp.full((pad,), opts.dt_init, dt0_f.dtype),
+                                dt0_f[order]])
+        out, dtn = jax.lax.map(
             lambda args: jax.vmap(one_cell)(*args),
             (s0_s.reshape(n_bins, chunk, ns + 1),
              pf_s.reshape(n_bins, chunk),
-             te_s.reshape(n_bins, chunk)))
-        s1_sorted = out.reshape(n_bins * chunk, ns + 1)[pad:]
+             te_s.reshape(n_bins, chunk),
+             d0_s.reshape(n_bins, chunk)))
         inv = jnp.argsort(order)
-        s1 = s1_sorted[inv]
+        s1 = out.reshape(n_bins * chunk, ns + 1)[pad:][inv]
+        dt_next = dtn.reshape(n_bins * chunk)[pad:][inv]
     else:
-        s1 = jax.vmap(one_cell, in_axes=(0, 0, 0))(s0, pf, t_ends)
+        s1, dt_next = jax.vmap(one_cell, in_axes=(0, 0, 0, 0))(
+            s0, pf, t_ends, dt0_f)
 
     T1 = s1[:, 0]
     Y1 = jnp.clip(s1[:, 1:], 0.0, 1.0)
@@ -165,4 +176,5 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
         Y=Y1.reshape(batch_shape + (ns,)),
         RR=RR.reshape(batch_shape + (ns,)),
         Qdot=Qdot.reshape(batch_shape),
+        dt_next=dt_next.reshape(batch_shape),
     )

@@ -30,7 +30,7 @@ class CombustionModel:
     ode_opts: RosenbrockOptions = RosenbrockOptions(rtol=1e-6, atol=1e-12)
     T_threshold: float = 280.0
 
-    def correct(self, T, p, Y, dt, turb=None) -> ChemistryResult:
+    def correct(self, T, p, Y, dt, turb=None, dt_start=None) -> ChemistryResult:
         raise NotImplementedError
 
     def kappa(self, turb) -> Any:
@@ -42,16 +42,17 @@ class CombustionModel:
 class Laminar(CombustionModel):
     """No turbulence-chemistry interaction: RR straight from the integrator."""
 
-    def correct(self, T, p, Y, dt, turb=None) -> ChemistryResult:
+    def correct(self, T, p, Y, dt, turb=None, dt_start=None) -> ChemistryResult:
         return solve_chemistry(self.thermo, self.kinetics, T, p, Y, dt,
                                opts=self.ode_opts,
-                               T_threshold=self.T_threshold)
+                               T_threshold=self.T_threshold,
+                               dt_start=dt_start)
 
 
 @dataclasses.dataclass(frozen=True)
 class NoCombustion(CombustionModel):
     """Chemistry disabled (the reference's noCombustion stub)."""
 
-    def correct(self, T, p, Y, dt, turb=None) -> ChemistryResult:
+    def correct(self, T, p, Y, dt, turb=None, dt_start=None) -> ChemistryResult:
         zeros = jnp.zeros_like(Y)
         return ChemistryResult(T=T, Y=Y, RR=zeros, Qdot=jnp.zeros_like(T))

@@ -29,17 +29,20 @@ class DNNChemistry(CombustionModel):
     T_valid_min: float = 0.0
     T_valid_max: float = 1e9
 
-    def correct(self, T, p, Y, dt, turb=None) -> ChemistryResult:
+    def correct(self, T, p, Y, dt, turb=None, dt_start=None) -> ChemistryResult:
         assert self.net is not None, "DNNChemistry requires a DFODENet"
         rho = self.thermo.rho(p, T, Y)
         RR = self.net.rates(T, p, Y, rho)
         if self.hybrid:
             ode = solve_chemistry(self.thermo, self.kinetics, T, p, Y, dt,
                                   opts=self.ode_opts,
-                                  T_threshold=self.T_threshold)
+                                  T_threshold=self.T_threshold,
+                                  dt_start=dt_start)
             outside = ((T < self.T_valid_min) | (T > self.T_valid_max))[..., None]
             RR = jnp.where(outside, ode.RR, RR)
         Y_new = jnp.clip(Y + RR * dt / rho[..., None], 0.0, 1.0)
         Y_new = Y_new / jnp.sum(Y_new, axis=-1, keepdims=True)
         Qdot = -jnp.einsum("...s,s->...", RR, self.thermo.h_formation)
-        return ChemistryResult(T=T, Y=Y_new, RR=RR, Qdot=Qdot)
+        dt_next = ode.dt_next if self.hybrid else None
+        return ChemistryResult(T=T, Y=Y_new, RR=RR, Qdot=Qdot,
+                               dt_next=dt_next)

@@ -34,7 +34,7 @@ class EDC(CombustionModel):
     C1: float = 0.05774      # v2016
     C2: float = 0.5          # v2016
 
-    def correct(self, T, p, Y, dt, turb=None) -> ChemistryResult:
+    def correct(self, T, p, Y, dt, turb=None, dt_start=None) -> ChemistryResult:
         if turb is None:
             raise ValueError("EDC requires turbulence quantities (k, epsilon, nu)")
         k = turb["k"]
@@ -69,6 +69,7 @@ class EDC(CombustionModel):
         # integrate chemistry over the fine-structure residence time
         tau_star = jnp.clip(tau_star, 1e-10, 0.1)
         res = solve_chemistry(self.thermo, self.kinetics, T, p, Y, tau_star,
+                              dt_start=dt_start,
                               opts=self.ode_opts, T_threshold=self.T_threshold)
         return res._replace(RR=res.RR * kappa[..., None],
                             Qdot=res.Qdot * kappa)

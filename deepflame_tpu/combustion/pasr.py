@@ -139,7 +139,7 @@ class PaSR(CombustionModel):
         Chi = jnp.clip(Chi, 1e-8, self.max_chi)
         return (Z, Zvar, Chi)
 
-    def correct(self, T, p, Y, dt, turb=None) -> ChemistryResult:
+    def correct(self, T, p, Y, dt, turb=None, dt_start=None) -> ChemistryResult:
         if turb is None:
             raise ValueError("PaSR requires turbulence quantities (k, epsilon, nu)")
         k = turb["k"]
@@ -162,6 +162,7 @@ class PaSR(CombustionModel):
         tmix = jnp.clip(tmix, 0.0, self.tmix_max)
 
         res = solve_chemistry(self.thermo, self.kinetics, T, p, Y, dt,
+                              dt_start=dt_start,
                               opts=self.ode_opts, T_threshold=self.T_threshold)
 
         rho = self.thermo.rho(p, T, Y)

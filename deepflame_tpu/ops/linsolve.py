@@ -69,17 +69,32 @@ def cg(A: Callable, b: jax.Array, x0: jax.Array, M_inv: Callable | None = None,
                                jnp.logical_and(res > tol, res > rel_tol * res0))
 
     def body(c):
-        x, r, p, rz, it, _ = c
+        x, r, p, rz, it, res_in = c
+        # Freeze converged lanes: under vmap, while_loop's batching rule keeps
+        # applying the body to EVERY lane until the slowest lane's cond turns
+        # false. Iterating a converged lane past convergence breaks the
+        # recurrences down in f32 (residual dot products underflow), so make
+        # such iterations exact no-ops.
+        act = jnp.logical_and(res_in > tol, res_in > rel_tol * res0)
         Ap = A(p)
         alpha = _safe_div(rz, _dot(p, Ap))
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = M_inv(r)
-        rz_new = _dot(r, z)
+        x_n = x + alpha * p
+        r_n = r - alpha * Ap
+        z = M_inv(r_n)
+        rz_new = _dot(r_n, z)
         beta = _safe_div(rz_new, rz)
-        p = z + beta * p
-        res = jnp.sum(jnp.abs(r)) / norm
-        return (x, r, p, rz_new, it + 1, res)
+        p_n = z + beta * p
+        res = jnp.sum(jnp.abs(r_n)) / norm
+        # breakdown guard: a non-finite step keeps the last good x and exits
+        # (res = -1) — the outer corrector loop re-solves from there
+        ok = jnp.isfinite(res)
+        upd = jnp.logical_and(act, ok)
+        x = jnp.where(upd, x_n, x)
+        r = jnp.where(upd, r_n, r)
+        p = jnp.where(upd, p_n, p)
+        rz = jnp.where(upd, rz_new, rz)
+        res = jnp.where(act, jnp.where(ok, res, -1.0), res_in)
+        return (x, r, p, rz, it + 1, res)
 
     x, r, p, rz, it, res = jax.lax.while_loop(
         cond, body, (x0, r, p, rz, jnp.asarray(0), res0))
@@ -104,21 +119,35 @@ def bicgstab(A: Callable, b: jax.Array, x0: jax.Array,
                                jnp.logical_and(res > tol, res > rel_tol * res0))
 
     def body(c):
-        x, r, p, v, rho, alpha, omega, it, _ = c
+        x, r, p, v, rho, alpha, omega, it, res_in = c
+        # Freeze converged lanes (see cg.body: vmap's while_loop batching
+        # iterates every lane until the slowest finishes; post-convergence
+        # BiCGStab iterations break down in f32).
+        act = jnp.logical_and(res_in > tol, res_in > rel_tol * res0)
         rho_new = _dot(r_hat, r)
         beta = _safe_div(rho_new, rho) * _safe_div(alpha, omega)
-        p = r + beta * (p - omega * v)
-        p_hat = M_inv(p)
-        v = A(p_hat)
-        alpha = _safe_div(rho_new, _dot(r_hat, v))
-        s = r - alpha * v
+        p_n = r + beta * (p - omega * v)
+        p_hat = M_inv(p_n)
+        v_n = A(p_hat)
+        alpha_n = _safe_div(rho_new, _dot(r_hat, v_n))
+        s = r - alpha_n * v_n
         s_hat = M_inv(s)
         t = A(s_hat)
-        omega = _safe_div(_dot(t, s), _dot(t, t))
-        x = x + alpha * p_hat + omega * s_hat
-        r = s - omega * t
-        res = jnp.sum(jnp.abs(r)) / norm
-        return (x, r, p, v, rho_new, alpha, omega, it + 1, res)
+        omega_n = _safe_div(_dot(t, s), _dot(t, t))
+        x_n = x + alpha_n * p_hat + omega_n * s_hat
+        r_n = s - omega_n * t
+        res = jnp.sum(jnp.abs(r_n)) / norm
+        ok = jnp.isfinite(res)
+        upd = jnp.logical_and(act, ok)
+        x = jnp.where(upd, x_n, x)
+        r = jnp.where(upd, r_n, r)
+        p = jnp.where(upd, p_n, p)
+        v = jnp.where(upd, v_n, v)
+        rho = jnp.where(upd, rho_new, rho)
+        alpha = jnp.where(upd, alpha_n, alpha)
+        omega = jnp.where(upd, omega_n, omega)
+        res = jnp.where(act, jnp.where(ok, res, -1.0), res_in)
+        return (x, r, p, v, rho, alpha, omega, it + 1, res)
 
     z = jnp.zeros_like(b)
     x, r, p, v, rho, alpha, omega, it, res = jax.lax.while_loop(

@@ -79,6 +79,8 @@ class LowMachState(NamedTuple):
     turb: tuple = ()         # RAS fields (k, eps) when a RAS model is active
     cscalars: tuple = ()     # combustion-model-owned fields (e.g. PaSR
                              # dynamicScale Z/Zvar/Chi, PaSR.H:96-122)
+    chem_dt: Any = ()        # per-cell warm-start chemistry step (CVODE-style
+                             # carried step size; () when chemistry is off)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,10 +202,13 @@ class LowMachSolver:
         cscalars = ()
         if getattr(self.combustion, "n_aux", 0):
             cscalars = self.combustion.aux_init(sh, dtype, Z0)
+        chem_dt = ()
+        if self.config.chemistry and hasattr(self.combustion, "ode_opts"):
+            chem_dt = jnp.full(sh, self.combustion.ode_opts.dt_init, dtype)
         return LowMachState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
                             dpdt=jnp.zeros(sh, dtype),
                             time=jnp.asarray(time, dtype), turb=turb,
-                            cscalars=cscalars)
+                            cscalars=cscalars, chem_dt=chem_dt)
 
     # ----------------------------------------------------------------- step
     def step(self, s: LowMachState, dt, sources=None) -> tuple[LowMachState, dict]:
@@ -252,14 +257,19 @@ class LowMachSolver:
                         mu_t0, turb_q["k"], turb_q["epsilon"], dt, mesh,
                         bz, self.bcs_U, self.bcs_coeff, cfg.div_scheme)
                     turb_q["Zvar"], turb_q["Chi"] = cscalars[1], cscalars[2]
-            chem = self.combustion.correct(T, p, Yt,
-                                           dt * cfg.chemistry_dt_scale, turb_q)
+            chem = self.combustion.correct(
+                T, p, Yt, dt * cfg.chemistry_dt_scale, turb_q,
+                dt_start=s.chem_dt if not isinstance(s.chem_dt, tuple)
+                else None)
+            chem_dt_new = chem.dt_next if chem.dt_next is not None \
+                else s.chem_dt
             # splittingStrategy (YEqn_RR.H): the 2x-dt fractional chemistry
             # step applies its full change within this transport step
             RR = jnp.moveaxis(chem.RR, -1, 0) * cfg.chemistry_dt_scale
             diag["Qdot_max"] = jnp.max(chem.Qdot)
         else:
             RR = jnp.zeros_like(Y)
+            chem_dt_new = s.chem_dt
 
         src_rho = sources["Srho"] if sources else 0.0
         for outer in range(cfg.n_outer):
@@ -282,7 +292,8 @@ class LowMachSolver:
             # ===== UEqn (UEqn.H:4-30)
             U, HbyA, rAU = self._momentum(rho, rho_old, U, U_old, phi, p, mu,
                                           dt,
-                                          SU=sources["SU"] if sources else None)
+                                          SU=sources["SU"] if sources else None,
+                                          stats=diag)
 
             # ===== YEqn (YEqn.H:1-130)
             if ns > 1:
@@ -323,10 +334,11 @@ class LowMachSolver:
                                                sign=-1.0)).with_source(src_i)
                         res = solve_fvmatrix(eqn, y_i, tol=cfg.y_tol,
                                              max_iter=cfg.max_iter_u)
-                        return jnp.clip(res.x, 0.0, 1.0)
+                        return jnp.clip(res.x, 0.0, 1.0), res.iterations
 
                     Y_in = Y
-                    Y = jax.vmap(_solve_species)(rhoD, Y, Y_old, srcs)
+                    Y, it_y = jax.vmap(_solve_species)(rhoD, Y, Y_old, srcs)
+                    diag["iters_Y"] = jnp.max(it_y)
                     if cfg.inert_index is not None:
                         # inert solved as a throwaway lane; restored (the
                         # 1-sumY closure below overwrites it anyway)
@@ -392,6 +404,7 @@ class LowMachSolver:
                 res_h = solve_fvmatrix(eqn_h, ha, tol=cfg.h_tol,
                                        max_iter=cfg.max_iter_u)
                 ha = res_h.x
+                diag["iters_h"] = res_h.iterations
 
             # ===== correctThermo (dfChemistryModel.C:419): T from (ha, Y)
             Yt = jnp.moveaxis(Y, 0, -1)
@@ -403,7 +416,8 @@ class LowMachSolver:
             p_prev, U_prev = p, U
             p, phi, U, dpdt, rho, p_res = self._pressure_loop(
                 p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old=rho_old,
-                phi_old=s.phi, rhoU_old_f=self._face_flux(rho_old, U_old))
+                phi_old=s.phi, rhoU_old_f=self._face_flux(rho_old, U_old),
+                stats=diag)
             diag[f"p_res_{outer}"] = p_res
             if outer < cfg.n_outer - 1:
                 # inter-outer under-relaxation: the outer loop is a fixed-
@@ -431,7 +445,7 @@ class LowMachSolver:
 
         return LowMachState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
                             dpdt=dpdt, time=s.time + dt, turb=turb,
-                            cscalars=cscalars), diag
+                            cscalars=cscalars, chem_dt=chem_dt_new), diag
 
     def courant(self, s: LowMachState, dt) -> jax.Array:
         """Max Courant number (compressibleCourantNo.H parity)."""
@@ -441,7 +455,8 @@ class LowMachSolver:
         return co
 
     # ---------------------------------------------- shared PIMPLE blocks
-    def _momentum(self, rho, rho_old, U, U_old, phi, p, mu, dt, SU=None):
+    def _momentum(self, rho, rho_old, U, U_old, phi, p, mu, dt, SU=None,
+                  stats=None):
         """Implicit momentum predictor (UEqn.H:4-30): returns (U, HbyA, rAU).
         Shared by the species solver and the FGM solver."""
         mesh = self.mesh
@@ -466,12 +481,21 @@ class LowMachSolver:
         srcs = jnp.stack([-gp[c] + corrs[c]
                           + (SU[c] if SU is not None else 0.0)
                           for c in range(3)])
+        # H/HbyA must EXCLUDE the pressure-gradient source (OpenFOAM builds
+        # UEqn without it and only adds -fvc::grad(p) at solve time, so
+        # UEqn.H(U_solved) strips the pressure force back out of the solved
+        # velocity). Our matrix carries -grad(p) inside its source for the
+        # solve, so add it back here: otherwise the pEqn corrector applies
+        # the pressure force twice (once wide-stencil inside HbyA/phiHbyA,
+        # once compact through snGrad), leaving a high-k wide-minus-compact
+        # remnant in the flux that pumps an acoustic instability at flame
+        # fronts (2D reacting TGV blow-up by step ~78).
         if _same_bcs(self.bcs_U[0], self.bcs_U[1], self.bcs_U[2]):
             # fast path: one vmapped batched solve over the 3 components
             # (shared BCs) — iterations cost max-over-components
             bcs_u = self.bcs_U[0]
 
-            def _solve_comp(u_c, u_old_c, src_c):
+            def _solve_comp(u_c, u_old_c, src_c, gp_c):
                 eqn = (fvm_ddt(rho, u_old_c, dt, mesh, bcs_u,
                                coeff_old=rho_old)
                        + fvm_div(phi, u_c, mesh, bcs_u, cfg.div_scheme)
@@ -479,9 +503,12 @@ class LowMachSolver:
                                        sign=-1.0)).with_source(src_c)
                 res = solve_fvmatrix(eqn, u_c, tol=cfg.u_tol,
                                      max_iter=cfg.max_iter_u)
-                return res.x, eqn.H(res.x), eqn.diag()
+                return res.x, eqn.H(res.x) + gp_c, eqn.diag(), res.iterations
 
-            U_st, H_st, d_st = jax.vmap(_solve_comp)(U, U_old, srcs)
+            U_st, H_st, d_st, it_u = jax.vmap(_solve_comp)(
+                U, U_old, srcs, jnp.stack(gp))
+            if stats is not None:
+                stats["iters_U"] = jnp.max(it_u)
             u_diags = d_st[0]                       # same for all comps
             return U_st, [H_st[c] / u_diags for c in range(3)], 1.0 / u_diags
         U_new = []
@@ -499,7 +526,7 @@ class LowMachSolver:
             U_new.append(res.x)
             if u_diags is None:
                 u_diags = eqn.diag()                # same for all comps
-            HbyA.append(eqn.H(res.x) / u_diags)
+            HbyA.append((eqn.H(res.x) + gp[c]) / u_diags)
         return jnp.stack(U_new), HbyA, 1.0 / u_diags
 
     def _fix_boundary_fluxes(self, phi, rho_f):
@@ -524,7 +551,8 @@ class LowMachSolver:
         return tuple(out)
 
     def _pressure_loop(self, p, p_old, psi, rho_fn, HbyA, rAU, dt,
-                       rho_old=None, phi_old=None, rhoU_old_f=None):
+                       rho_old=None, phi_old=None, rhoU_old_f=None,
+                       stats=None):
         """Compressible pressure correctors (pEqn.H:1-120): returns
         (p, phi, U, dpdt, rho, last initial residual).
 
@@ -548,20 +576,36 @@ class LowMachSolver:
             rho = rho_fn(p)
             rho_f = tuple(interpolate(pad_field(rho, self.bcs_rho, mesh), ax)
                           for ax in range(3))
-            rAU_f = tuple(interpolate(
-                pad_field(rAU, self.bcs_coeff, mesh), ax)
-                          for ax in range(3))
             phiHbyA = tuple(
                 rho_f[ax] * interpolate(
                     pad_field(HbyA[ax], self.bcs_U[ax], mesh), ax)
                 for ax in range(3))
-            rhorAUf = tuple(rho_f[ax] * rAU_f[ax] for ax in range(3))
+            # rhorAUf MUST be the face interpolation of the PRODUCT rho*rAU
+            # (OpenFOAM: fvc::interpolate(rho*rAU), pEqn.H:11). Interpolating
+            # rho and rAU separately gives interp(rho)*interp(1/rho)*dt >= dt
+            # across density jumps (AM-HM inequality, ~1.9*dt at a 5x flame
+            # density ratio) — and since rhorAUf/dt is the gain of the
+            # ddtCorr transient-consistency recursion, a gain > 1 at hot-front
+            # faces pumps an exponential acoustic instability (x1.3/step on
+            # the 2D reacting TGV, blow-up by step ~78).
+            rhorAUf = tuple(interpolate(
+                pad_field(rho * rAU, self.bcs_coeff, mesh), ax)
+                for ax in range(3))
             if phi_old is not None and rhoU_old_f is not None:
-                # fvc::ddtCorr transient consistency (Rhie-Chow memory)
-                phiHbyA = tuple(
-                    phiHbyA[ax] + rhorAUf[ax]
-                    * (phi_old[ax] - rhoU_old_f[ax]) / dt
-                    for ax in range(3))
+                # fvc::ddtCorr transient consistency (Rhie-Chow memory) with
+                # OpenFOAM's ddtCouplingCoeff limiter: coeff = 1 - min(
+                # |phiCorr|/|phi|, 1) (src_gpu/dfpEqn.cu:156). Unlimited, the
+                # correction feeds back on itself once face-flux oscillations
+                # grow to the size of the flux — a ~x1.35/step exponential
+                # pressure-checkerboard instability on the reacting TGV.
+                def _ddt_corr(ax):
+                    corr = phi_old[ax] - rhoU_old_f[ax]
+                    small = jnp.asarray(1e-15, corr.dtype)
+                    coeff = 1.0 - jnp.minimum(
+                        jnp.abs(corr) / (jnp.abs(phi_old[ax]) + small), 1.0)
+                    return rhorAUf[ax] * coeff * corr / dt
+                phiHbyA = tuple(phiHbyA[ax] + _ddt_corr(ax)
+                                for ax in range(3))
             phiHbyA = self._fix_boundary_fluxes(phiHbyA, rho_f)
             rho_prev = rho_old if rho_old is not None else psi * p_old
             eqn_p = (fvm_source_implicit(psi / dt, mesh, self.bcs_p,
@@ -597,6 +641,8 @@ class LowMachSolver:
                            max_iter=cfg.max_iter_p)
             p = res_p.x
             p_res = res_p.initial_residual
+            if stats is not None:
+                stats["iters_p"] = stats.get("iters_p", 0) + res_p.iterations
             # flux reconstruction: phi = phiHbyA - rhorAUf * snGrad(p)
             Pp = pad_field(p, self.bcs_p, mesh)
             phi = tuple(
@@ -607,7 +653,18 @@ class LowMachSolver:
             gp = grad(p, self.bcs_p, mesh)
             U = jnp.stack([HbyA[c] - rAU * gp[c] for c in range(3)])
             dpdt = (p - p_old) / dt
-        rho = rho_fn(p)
+        # Density going forward is the CONTINUITY-consistent one (the
+        # reference's `#include rhoEqn.H` right after the p solve,
+        # pEqn.H:104): rho must satisfy ddt(rho)+div(phi)=0 with the
+        # corrected flux. Using the EOS density (psi p) here leaves a
+        # (rho_eos - rho_cont)/dt imbalance that the NEXT step's pEqn must
+        # absorb — an acoustic source alternating sign step to step, which
+        # grows exponentially at acoustic CFL >~ 10 (observed on the 2D
+        # reacting TGV at dt = 1e-6: x1.3/step p-checkerboard growth).
+        if rho_old is not None:
+            rho = rho_old - dt * div_flux(phi, mesh)
+        else:
+            rho = rho_fn(p)
         return p, phi, U, dpdt, rho, p_res
 
 

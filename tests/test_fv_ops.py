@@ -213,3 +213,52 @@ def test_extended_limiter_family():
             err_up = e
         else:
             assert e < err_up * 0.85, (scheme, e, err_up)
+
+
+def test_vmapped_krylov_converged_lane_overrun_f32():
+    """Under vmap, while_loop batching iterates EVERY lane until the slowest
+    finishes; a converged BiCGStab/CG lane must freeze instead of breaking
+    down (f32 residual underflow -> NaN; seen in the 2D reacting TGV run as
+    whole-field species NaNs at ignition)."""
+    from deepflame_tpu.ops.linsolve import bicgstab, cg
+
+    n = 64
+    rng = np.random.default_rng(0)
+    # lane 0: trivially conditioned (converges in ~1 iter); lane 1: stiff
+    # tridiagonal system needing many iterations
+    def make_A(eps):
+        def A(x):
+            xm = jnp.roll(x, 1)
+            xp = jnp.roll(x, -1)
+            return (2.0 + eps) * x - xm - xp
+        return A
+
+    b0 = jnp.asarray(rng.normal(size=n), jnp.float32)
+    x0 = jnp.zeros(n, jnp.float32)
+
+    def solve_one(eps, b, solver):
+        def A(x):
+            xm = jnp.roll(x, 1)
+            xp = jnp.roll(x, -1)
+            return (2.0 + eps) * x - xm - xp
+        return solver(A, b, x0, None, 1e-6, 0.0, 2000)
+
+    for solver in (bicgstab, cg):
+        eps = jnp.asarray([100.0, 1e-4], jnp.float32)   # easy + hard lanes
+        # the easy lane's RHS sits at trace-species scale: its raw residual
+        # dot products underflow f32 once converged, which is exactly the
+        # breakdown regime
+        bb = jnp.stack([b0 * 1e-18, b0])
+        res = jax.vmap(lambda e, b: solve_one(e, b, solver))(eps, bb)
+        assert bool(jnp.all(jnp.isfinite(res.x))), solver.__name__
+        # both lanes actually solved their system
+        for k in range(2):
+            A = make_A(float(eps[k]))
+            bk = np.asarray(bb[k])
+            r = np.asarray(A(res.x[k]) - bk)
+            # lane 0 sits at the f32 underflow floor by design — only a
+            # loose relative accuracy is meaningful there; the hard lane
+            # must be properly solved
+            tol_k = 5e-2 if k == 0 else 5e-3
+            assert np.abs(r).max() < tol_k * np.abs(bk).max(), \
+                (solver.__name__, k)
