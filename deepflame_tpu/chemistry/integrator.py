@@ -101,6 +101,132 @@ def _step(rhs: Callable, y, dt, jac, f0):
     return y_new, err
 
 
+def _gj_inverse_batched(W):
+    """Batched row-equilibrated unpivoted Gauss-Jordan inverse.
+
+    W: (L, n, n) lanes-first. Internally the tableau is held lanes-LAST,
+    (n, 2n, L): the minor-most two axes of every intermediate are then
+    (2n, L) / (n, L), which tile the TPU's (sublane, lane) registers with
+    ~1.2x padding — lanes-first tableaus pad (n, 2n) = e.g. (10, 20) up to
+    (16, 128), ~10x wasted vector work, and this inverse dominates the
+    stiff-chemistry substep cost."""
+    L, n, _ = W.shape
+    Wt = jnp.moveaxis(W, 0, -1)                       # (n, n, L)
+    s = 1.0 / jnp.maximum(jnp.max(jnp.abs(Wt), axis=1), 1e-30)   # (n, L)
+    A = Wt * s[:, None, :]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=W.dtype)[:, :, None],
+                           (n, n, L))
+    M = jnp.concatenate([A, eye], axis=1)             # (n, 2n, L)
+    for k in range(n):
+        row_k = M[k]                                  # (2n, L)
+        pv = row_k[k]                                 # (L,)
+        row_k = row_k / jnp.where(jnp.abs(pv) > 1e-30, pv,
+                                  jnp.asarray(1e-30, W.dtype))[None, :]
+        col_k = M[:, k, :]                            # (n, L)
+        onehot = jnp.zeros((n,), W.dtype).at[k].set(1.0)
+        M = M - col_k[:, None, :] * row_k[None, :, :] \
+            + onehot[:, None, None] * row_k[None, :, :]
+    # A = S W  =>  W^-1 = A^-1 S: scale the COLUMNS of A^-1 by s
+    W_inv = M[:, n:, :] * s[None, :, :]               # (n, n, L)
+    return W_inv                                      # lanes-last
+
+
+def rosenbrock_integrate_batched(rhs_b: Callable, y0: jax.Array,
+                                 t_end: jax.Array,
+                                 opts: RosenbrockOptions = RosenbrockOptions(),
+                                 dt_start=None):
+    """Manually batched adaptive ode23s over a lane batch.
+
+    rhs_b: batched RHS (L, n) -> (L, n). y0: (L, n); t_end, dt_start: (L,).
+    Each lane carries its own adaptive controller; finished lanes freeze
+    (their state no longer changes) while the batch drains. Returns
+    (y_final (L, n), dt_suggestion (L,)).
+
+    Equivalent to vmap(rosenbrock_integrate) but with the Gauss-Jordan
+    tableau held lanes-last (see _gj_inverse_batched) — vmap cannot express
+    that layout change, and it is worth ~an order of magnitude on TPU.
+    """
+    dtype = y0.dtype
+    L, n = y0.shape
+    basis = jnp.eye(n, dtype=dtype)
+
+    def jac_and_f(y):
+        f0, jvp = jax.linearize(rhs_b, y)
+        # tangent e_i broadcast across lanes: column i of every lane's J
+        J_cols = jax.vmap(lambda e: jvp(jnp.broadcast_to(e, (L, n))))(basis)
+        return f0, jnp.moveaxis(J_cols, 0, -1)        # (L, n, n)
+
+    def cond(carry):
+        y, t, dt, nstep = carry
+        return jnp.logical_and(jnp.any(t < t_end * (1.0 - 1e-12)),
+                               nstep < opts.max_steps)
+
+    def body(carry):
+        y, t, dt, nstep = carry
+        act = t < t_end * (1.0 - 1e-12)               # (L,)
+        dt_c = jnp.minimum(dt, t_end - t)
+        dt_c = jnp.maximum(dt_c, jnp.asarray(opts.dt_min, dtype))
+        f0, jac = jac_and_f(y)
+        eye = jnp.eye(n, dtype=dtype)
+        W = eye[None] - (dt_c[:, None, None] * _ROS_D) * jac
+        W_inv = _gj_inverse_batched(W)                # (n, n, L)
+        solve = lambda b: jnp.einsum("nml,lm->ln", W_inv, b)
+        k1 = solve(f0)
+        f1 = rhs_b(y + (0.5 * dt_c)[:, None] * k1)
+        k2 = solve(f1 - k1) + k1
+        y_new = y + dt_c[:, None] * k2
+        f2 = rhs_b(y_new)
+        k3 = solve(f2 - _ROS_E32 * (k2 - f1) - 2.0 * (k1 - f0))
+        err = (dt_c / 6.0)[:, None] * (k1 - 2.0 * k2 + k3)
+        scale = opts.atol + opts.rtol * jnp.maximum(jnp.abs(y),
+                                                    jnp.abs(y_new))
+        enorm = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=1))
+        enorm = jnp.maximum(enorm, 1e-30)
+        accept = jnp.logical_and(enorm <= 1.0,
+                                 jnp.all(jnp.isfinite(y_new), axis=1))
+        accept = jnp.logical_and(accept, act)
+        factor = jnp.clip(opts.safety * enorm ** (-1.0 / 3.0),
+                          opts.shrink, opts.grow)
+        dt_next = jnp.maximum(dt_c * factor, jnp.asarray(opts.dt_min, dtype))
+        dt = jnp.where(act, dt_next, dt)
+        y = jnp.where(accept[:, None], y_new, y)
+        t = jnp.where(accept, t + dt_c, t)
+        return (y, t, dt, nstep + 1)
+
+    t0 = jnp.zeros((L,), dtype)
+    if dt_start is None:
+        dt0 = jnp.minimum(jnp.full((L,), opts.dt_init, dtype), t_end)
+    else:
+        dt0 = jnp.clip(jnp.asarray(dt_start, dtype), opts.dt_min, None)
+    y_f, t_f, dt_f, n_f = jax.lax.while_loop(cond, body, (y0, t0, dt0, 0))
+    return y_f, dt_f
+
+
+def rosenbrock_attempt(rhs: Callable, y: jax.Array, dt: jax.Array,
+                       opts: RosenbrockOptions = RosenbrockOptions()):
+    """ONE error-controlled ode23s step over [0, dt] (vmap for a batch).
+
+    Returns (y_new, accepted, dt_suggestion). Used as the wide single-launch
+    fast tier of `solve_chemistry`: the ~97% of cells whose stable step
+    exceeds the CFD step finish here in one fused batched substep instead of
+    paying the serialized per-bin while_loop launch latency. Lanes whose
+    embedded error fails tolerance are NOT advanced (accepted=False) and
+    fall through to the adaptive tier. dt=0 lanes return y unchanged,
+    accepted."""
+    n = y.shape[-1]
+    basis = jnp.eye(n, dtype=y.dtype)
+    f0, jvp = jax.linearize(rhs, y)
+    jac = jax.vmap(jvp)(basis).T
+    y_new, err = _step(rhs, y, dt, jac, f0)
+    scale = opts.atol + opts.rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+    enorm = jnp.maximum(jnp.sqrt(jnp.mean((err / scale) ** 2)), 1e-30)
+    accept = jnp.logical_and(enorm <= 1.0, jnp.all(jnp.isfinite(y_new)))
+    factor = jnp.clip(opts.safety * enorm ** (-1.0 / 3.0),
+                      opts.shrink, opts.grow)
+    dt_sugg = jnp.maximum(dt * factor, jnp.asarray(opts.dt_min, y.dtype))
+    return y_new, accept, dt_sugg
+
+
 def rosenbrock_integrate(rhs: Callable, y0: jax.Array, t_end: jax.Array,
                          opts: RosenbrockOptions = RosenbrockOptions(),
                          dt_start=None, return_dt: bool = False):

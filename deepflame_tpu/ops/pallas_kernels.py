@@ -23,11 +23,16 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["helmholtz_apply", "fits_vmem"]
 
 
-def fits_vmem(shape, dtype, budget_bytes: int = 13 * 2**20) -> bool:
+def fits_vmem(shape, dtype, budget_bytes: int = 10 * 2**20) -> bool:
     """Whole-array kernel feasibility, accounting for TPU tile padding: the
     last dim pads to the 128-lane width and the second-to-last to the
     sublane count — a (128,128,1) array occupies (128,128,128) in VMEM, so
-    thin-z 2D fields must NOT take this path."""
+    thin-z 2D fields must NOT take this path.
+
+    Budget is the sum of the named operands; Mosaic's stencil-slice
+    temporaries add ~50% on top, and the scoped-vmem limit is 16 MiB —
+    measured: 64^3 f32 (named ~13 MiB) OOMs at 18.9 MiB scoped, 48^3
+    (named ~7.6 MiB) fits. 10 MiB keeps the real usage under the limit."""
     import numpy as np
     per = np.dtype(dtype).itemsize
     sub = {4: 8, 2: 16, 1: 32}.get(per, 8)
