@@ -20,7 +20,57 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["helmholtz_apply", "fits_vmem"]
+__all__ = ["helmholtz_apply", "fits_vmem", "gj_inverse_lanes"]
+
+
+def _gj_kernel(W_ref, out_ref, *, n):
+    """Batched row-equilibrated unpivoted Gauss-Jordan inverse, one VMEM
+    block of lanes. W_ref/out_ref: (n, n, B) — matrix dims leading, lanes
+    last, so every row op is a well-tiled (2n, B)/(B,) vector op and the
+    whole tableau stays VMEM-resident across the n elimination steps
+    (the XLA path rewrites the full tableau through HBM n times)."""
+    W = W_ref[:]                                     # (n, n, B)
+    s = 1.0 / jnp.maximum(jnp.max(jnp.abs(W), axis=1), 1e-30)   # (n, B)
+    A = W * s[:, None, :]
+    B_lanes = W.shape[-1]
+    eye = jnp.broadcast_to(
+        jnp.eye(n, dtype=W.dtype)[:, :, None], (n, n, B_lanes))
+    M = jnp.concatenate([A, eye], axis=1)            # (n, 2n, B)
+    for k in range(n):
+        row_k = M[k]                                 # (2n, B)
+        pv = row_k[k]
+        row_k = row_k / jnp.where(jnp.abs(pv) > 1e-30, pv,
+                                  jnp.asarray(1e-30, W.dtype))[None, :]
+        col_k = M[:, k, :]                           # (n, B)
+        rowsel = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0) == k
+        M = M - col_k[:, None, :] * row_k[None, :, :] \
+            + jnp.where(rowsel, row_k[None, :, :], 0.0)
+    out_ref[:] = M[:, n:, :] * s[None, :, :]
+
+
+def gj_inverse_lanes(W_t: jax.Array, block: int = 2048,
+                     interpret: bool = False) -> jax.Array:
+    """W_t: (n, n, L) lanes-last batch of small matrices -> (n, n, L)
+    inverses (row-equilibrated unpivoted Gauss-Jordan; see the integrator's
+    notes on why no pivoting). L must be a multiple of `block` — callers
+    pad. VMEM per block at n=16: 16*32*2048*4 B = 4 MiB."""
+    n = W_t.shape[0]
+    L = W_t.shape[-1]
+    assert L % block == 0, (L, block)
+    import functools
+    kern = functools.partial(_gj_kernel, n=n)
+    return pl.pallas_call(
+        kern,
+        grid=(L // block,),
+        in_specs=[pl.BlockSpec((n, n, block), lambda i: (0, 0, i),
+                               memory_space=pl.ANY if interpret
+                               else pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n, n, block), lambda i: (0, 0, i),
+                               memory_space=pl.ANY if interpret
+                               else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(W_t.shape, W_t.dtype),
+        interpret=interpret,
+    )(W_t)
 
 
 def fits_vmem(shape, dtype, budget_bytes: int = 10 * 2**20) -> bool:

@@ -57,3 +57,25 @@ def test_fits_vmem():
     # (a (128,128,1) operand occupies as much VMEM as (128,128,128))
     assert not fits_vmem((128, 128, 1), np.float32)
     assert not fits_vmem((64, 64, 64), np.float64)
+
+
+def test_gj_inverse_lanes_interpret():
+    """Pallas Gauss-Jordan batch inverse == jnp reference (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from deepflame_tpu.ops.pallas_kernels import gj_inverse_lanes
+    from deepflame_tpu.chemistry.integrator import _gj_inverse_batched
+
+    rng = np.random.default_rng(3)
+    L, n = 512, 10
+    W = jnp.asarray(rng.normal(size=(L, n, n)), jnp.float32) \
+        + 5.0 * jnp.eye(n, dtype=jnp.float32)[None]
+    ref = _gj_inverse_batched(W)                       # (n, n, L)
+    out = gj_inverse_lanes(jnp.moveaxis(W, 0, -1), block=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # genuinely inverts
+    inv = np.moveaxis(np.asarray(out), -1, 0)
+    eye = np.einsum("lij,ljk->lik", np.asarray(W), inv)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(n), (L, n, n)),
+                               atol=5e-3)
