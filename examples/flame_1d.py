@@ -23,7 +23,11 @@ def main():
     ap.add_argument("--length", type=float, default=0.012)
     ap.add_argument("--T-u", type=float, default=300.0)
     ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--dt", type=float, default=2e-7)
+    ap.add_argument("--dt", type=float, default=None,
+                    help="default: acoustic CFL ~7 (0.35*dx/1200; the "
+                         "PIMPLE core is stable to aCFL ~12 cyclic, ~15+ "
+                         "open-boundary blow-ups were observed at 1024 "
+                         "cells with dt=2e-7)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--dtype", default="f64")
     args = ap.parse_args()
@@ -79,7 +83,8 @@ def main():
     Y = jnp.asarray(np.tile(Yu[:, None, None, None], (1,) + mesh.shape), dtype)
     s = solver.initial_state(p, T, Y)
 
-    step = jax.jit(lambda st: solver.step(st, args.dt))
+    dt = args.dt if args.dt is not None else min(2e-7, 0.35 * mesh.dx / 1200.0)
+    step = jax.jit(lambda st: solver.step(st, dt))
     xs = np.asarray(X).squeeze()
     times, fronts = [], []
     import time as _time
