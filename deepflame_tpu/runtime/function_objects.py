@@ -20,6 +20,7 @@ from ..mesh.structured import StructuredMesh
 
 __all__ = ["FieldMinMax", "Probes", "LineSample", "FieldAverage",
            "FunctionObjectSet", "Histogram", "FieldCalculus",
+           "VolFieldValue", "SurfaceFieldValue",
            "write_cell_centres", "write_cell_volumes"]
 
 
@@ -244,6 +245,121 @@ class FieldCalculus:
             prev["v"] = cur
             return out
         return _f
+
+
+class VolFieldValue:
+    """Volume-region reductions (volFieldValue parity,
+    /root/reference/src/functionObjects/field Make/files): per-step
+    sum / volIntegrate / average / volAverage / min / max / CoV of named
+    fields over an axis-aligned box region (whole domain by default).
+
+    ops: any of "sum", "volIntegrate", "average", "volAverage", "min",
+    "max", "CoV". The volume-weighted variants match OpenFOAM's
+    definitions (uniform cell volume on a structured box makes
+    average == volAverage; both kept for dictionary parity)."""
+
+    def __init__(self, mesh: StructuredMesh, fields: Sequence[str],
+                 ops: Sequence[str] = ("volAverage",), box=None,
+                 out_dir: str = "postProcessing/volFieldValue"):
+        self.mesh = mesh
+        self.fields = tuple(fields)
+        self.ops = tuple(ops)
+        self.out_dir = out_dir
+        self.rows: list[tuple] = []
+        if box is None:
+            self.mask = None
+        else:
+            (x0, x1), (y0, y1), (z0, z1) = box
+            X, Y, Z = (np.asarray(a) for a in mesh.cell_centers())
+            self.mask = ((X >= x0) & (X <= x1) & (Y >= y0) & (Y <= y1)
+                         & (Z >= z0) & (Z <= z1))
+
+    def _reduce(self, op: str, f: np.ndarray) -> float:
+        v = self.mesh.volume
+        if op == "sum":
+            return float(f.sum())
+        if op == "volIntegrate":
+            return float((f * v).sum())
+        if op in ("average", "volAverage"):
+            return float(f.mean())
+        if op == "min":
+            return float(f.min())
+        if op == "max":
+            return float(f.max())
+        if op == "CoV":
+            m = f.mean()
+            return float(f.std() / m) if m != 0.0 else 0.0
+        raise ValueError(op)
+
+    def __call__(self, time: float, fields: dict):
+        row = [time]
+        for name in self.fields:
+            f = np.asarray(fields[name])
+            if self.mask is not None:
+                f = f[self.mask]
+            row += [self._reduce(op, f) for op in self.ops]
+        self.rows.append(tuple(row))
+
+    def write(self):
+        os.makedirs(self.out_dir, exist_ok=True)
+        hdr = ["time"] + [f"{op}({name})" for name in self.fields
+                          for op in self.ops]
+        path = os.path.join(self.out_dir, "volFieldValue.dat")
+        np.savetxt(path, np.asarray(self.rows), header=" ".join(hdr))
+        return path
+
+
+class SurfaceFieldValue:
+    """Face-plane reductions (surfaceFieldValue parity): areaAverage /
+    areaIntegrate / sum of a FACE field on one constant-index plane of a
+    face array (e.g. outlet mass flow = sum of phi*A on the last x-plane).
+
+    axis: face-normal axis; index: face-plane index into the (n+1)-sized
+    face arrays (0 = low boundary, n = high boundary)."""
+
+    def __init__(self, mesh: StructuredMesh, fields: Sequence[str],
+                 axis: int = 0, index: int = 0,
+                 ops: Sequence[str] = ("areaAverage",),
+                 out_dir: str = "postProcessing/surfaceFieldValue"):
+        self.mesh = mesh
+        self.fields = tuple(fields)
+        self.axis = axis
+        self.index = index
+        self.ops = tuple(ops)
+        self.out_dir = out_dir
+        self.rows: list[tuple] = []
+        spac = [mesh.dx, mesh.dy, mesh.dz]
+        spac.pop(axis)
+        self.face_area = spac[0] * spac[1]
+
+    def _reduce(self, op: str, f: np.ndarray) -> float:
+        if op == "areaAverage":
+            return float(f.mean())
+        if op == "areaIntegrate":
+            return float(f.sum() * self.face_area)
+        if op == "sum":
+            return float(f.sum())
+        if op == "min":
+            return float(f.min())
+        if op == "max":
+            return float(f.max())
+        raise ValueError(op)
+
+    def __call__(self, time: float, fields: dict):
+        row = [time]
+        for name in self.fields:
+            f = np.asarray(fields[name])      # face array for self.axis
+            plane = np.take(f, self.index, axis=self.axis)
+            row += [self._reduce(op, plane) for op in self.ops]
+        self.rows.append(tuple(row))
+
+    def write(self):
+        os.makedirs(self.out_dir, exist_ok=True)
+        hdr = ["time"] + [f"{op}({name})" for name in self.fields
+                          for op in self.ops]
+        path = os.path.join(self.out_dir, "surfaceFieldValue.dat")
+        np.savetxt(path, np.asarray(self.rows), header=" ".join(hdr))
+        return path
 
 
 def write_cell_centres(mesh: StructuredMesh,

@@ -361,3 +361,42 @@ def test_histogram_and_field_calculus(tmp_path):
     p2 = write_cell_volumes(mesh, str(tmp_path / "mesh"))
     assert np.loadtxt(p1).shape == (16, 3)
     np.testing.assert_allclose(np.loadtxt(p2), mesh.volume)
+
+
+def test_vol_and_surface_field_values(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+    from deepflame_tpu.mesh import StructuredMesh
+    from deepflame_tpu.runtime.function_objects import (VolFieldValue,
+                                                        SurfaceFieldValue)
+
+    mesh = StructuredMesh.box([1.0, 1.0, 1.0], [8, 8, 8])
+    X, _, _ = mesh.cell_centers()
+    f = np.asarray(X)                                # mean 0.5
+    vol = VolFieldValue(mesh, ["f"], ops=("sum", "volIntegrate",
+                                          "volAverage", "min", "max", "CoV"),
+                        out_dir=str(tmp_path / "vol"))
+    vol(0.0, {"f": f})
+    s, vi, va, mn, mx, cov = vol.rows[0][1:]
+    assert abs(va - 0.5) < 1e-12
+    assert abs(vi - 0.5) < 1e-12                     # integral over unit box
+    assert abs(mn - 1 / 16) < 1e-12 and abs(mx - 15 / 16) < 1e-12
+    # box-restricted region
+    vol2 = VolFieldValue(mesh, ["f"], ops=("volAverage",),
+                         box=((0.0, 0.5), (0.0, 1.0), (0.0, 1.0)),
+                         out_dir=str(tmp_path / "vol2"))
+    vol2(0.0, {"f": f})
+    assert abs(vol2.rows[0][1] - 0.25) < 1e-12
+
+    # face-plane reduction: uniform face flux 2.0 on the high-x plane
+    phi_x = np.full((9, 8, 8), 2.0)
+    sv = SurfaceFieldValue(mesh, ["phi"], axis=0, index=8,
+                           ops=("areaAverage", "areaIntegrate"),
+                           out_dir=str(tmp_path / "surf"))
+    sv(0.0, {"phi": phi_x})
+    aavg, aint = sv.rows[0][1:]
+    assert abs(aavg - 2.0) < 1e-12
+    assert abs(aint - 2.0) < 1e-12                   # area = 1
+    p1 = vol.write(); p2 = sv.write()
+    assert (tmp_path / "vol" / "volFieldValue.dat").exists()
+    assert (tmp_path / "surf" / "surfaceFieldValue.dat").exists()
