@@ -131,6 +131,36 @@ def _gj_inverse_batched(W):
     return W_inv                                      # lanes-last
 
 
+def rk23_attempt_batched(rhs_b: Callable, y: jax.Array, dt: jax.Array,
+                         opts: RosenbrockOptions = RosenbrockOptions()):
+    """ONE explicit Bogacki-Shampine 3(2) step over [0, dt] per lane.
+
+    The cheap tier for NON-stiff lanes: 4 batched RHS evaluations, no
+    Jacobian, no matrix inversion (~4x cheaper than a Rosenbrock substep).
+    Returns (y_new, accepted, dt_suggestion). Acceptance uses the embedded
+    2nd-order error against the SAME atol/rtol the implicit controller
+    enforces — a stiff lane blows through the error test (explicit
+    instability shows up as a large embedded error) and falls back to the
+    implicit tier, the LSODA-style auto-switch. dt = 0 lanes return y
+    unchanged, accepted."""
+    dtv = dt[:, None]
+    k1 = rhs_b(y)
+    k2 = rhs_b(y + 0.5 * dtv * k1)
+    k3 = rhs_b(y + 0.75 * dtv * k2)
+    y3 = y + dtv * ((2.0 / 9.0) * k1 + (1.0 / 3.0) * k2 + (4.0 / 9.0) * k3)
+    k4 = rhs_b(y3)
+    err = dtv * ((-5.0 / 72.0) * k1 + (1.0 / 12.0) * k2
+                 + (1.0 / 9.0) * k3 + (-1.0 / 8.0) * k4)
+    scale = opts.atol + opts.rtol * jnp.maximum(jnp.abs(y), jnp.abs(y3))
+    enorm = jnp.maximum(jnp.sqrt(jnp.mean((err / scale) ** 2, axis=1)), 1e-30)
+    accept = jnp.logical_and(enorm <= 1.0,
+                             jnp.all(jnp.isfinite(y3), axis=1))
+    factor = jnp.clip(opts.safety * enorm ** (-1.0 / 3.0),
+                      opts.shrink, opts.grow)
+    dt_sugg = jnp.maximum(dt * factor, jnp.asarray(opts.dt_min, y.dtype))
+    return y3, accept, dt_sugg
+
+
 def _inverse_batched_dispatch(W):
     """(L, n, n) -> lanes-last (n, n, L) inverses. On TPU, a Pallas kernel
     keeps the Gauss-Jordan tableau VMEM-resident (the XLA path streams it

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 from ..constants import GAS_CONSTANT
 from .kinetics import KineticsData, production_rates
 from .thermo import ThermoData
-from .integrator import (RosenbrockOptions, rosenbrock_attempt,
-                         rosenbrock_integrate, rosenbrock_integrate_batched)
+from .integrator import (RosenbrockOptions, rk23_attempt_batched,
+                         rosenbrock_attempt, rosenbrock_integrate,
+                         rosenbrock_integrate_batched)
 
 __all__ = ["constant_pressure_rhs", "constant_volume_rhs", "ignite",
            "solve_chemistry", "ChemistryResult"]
@@ -118,7 +119,8 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
                     T, p, Y, dt,
                     opts: RosenbrockOptions = RosenbrockOptions(),
                     T_threshold: float = 200.0,
-                    n_bins: int = 32, dt_start=None) -> ChemistryResult:
+                    n_bins: int = 32, dt_start=None,
+                    fast_tier: bool = True) -> ChemistryResult:
     """Advance chemistry in every cell by dt at constant pressure.
 
     T, p: (...,); Y: (..., ns); dt: scalar or per-cell array (EDC integrates
@@ -154,19 +156,36 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
         dt0_f = jnp.broadcast_to(
             jnp.asarray(dt_start, Tf.dtype), batch_shape).reshape(-1)
 
+    # ---- explicit fast tier (LSODA-style auto-switch): one wide embedded
+    # RK23 attempt over the whole CFD step for every lane — 4 batched RHS
+    # evals, no Jacobian/inversion. Non-stiff lanes (the bulk of a reacting
+    # domain) finish here; lanes failing the SAME atol/rtol error test
+    # (incl. explicitly-unstable stiff lanes, whose error estimate blows
+    # up) fall through to the adaptive implicit tier below.
+    if fast_tier:
+        rhs_all = constant_pressure_rhs_batched(thermo, kin, pf)
+        y_fast, acc_f, dt_sugg = rk23_attempt_batched(rhs_all, s0, t_ends,
+                                                      opts)
+        accepted = acc_f
+        dt_fast = jnp.where(t_ends > 0, dt_sugg, dt0_f)
+        t_ends_rem = jnp.where(accepted, 0.0, t_ends)
+    else:
+        accepted = None
+        t_ends_rem = t_ends
+
     n = Tf.shape[0]
     if n_bins > 1 and n >= 2 * n_bins:
         chunk = -(-n // n_bins)                      # ceil
         pad = chunk * n_bins - n
-        # sort by temperature: similar stiffness -> same chunk; padding goes
-        # to the cold end with t_end = 0 (no-op lanes)
-        order = jnp.argsort(Tf)
+        # sort by temperature: similar stiffness -> same chunk; padding and
+        # fast-tier-finished lanes go to the cold end as no-op lanes
+        order = jnp.argsort(jnp.where(t_ends_rem > 0, Tf, -1.0))
         s0_s = jnp.concatenate([jnp.zeros((pad, ns + 1), s0.dtype)
                                 .at[:, 0].set(300.0), s0[order]])
         pf_s = jnp.concatenate([jnp.full((pad,), 101325.0, pf.dtype),
                                 pf[order]])
         te_s = jnp.concatenate([jnp.zeros((pad,), t_ends.dtype),
-                                t_ends[order]])
+                                t_ends_rem[order]])
         d0_s = jnp.concatenate([jnp.full((pad,), opts.dt_init, dt0_f.dtype),
                                 dt0_f[order]])
         # Unrolled (Python-level) bin loop: each bin is its own while_loop
@@ -178,18 +197,38 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
         te_b = te_s.reshape(n_bins, chunk)
         d0_b = d0_s.reshape(n_bins, chunk)
         outs, dtns = [], []
-        for b in range(n_bins):
+        if fast_tier and n_bins >= 4:
+            # The cold half of the sorted array is (almost always) entirely
+            # fast-tier-finished: fold its bins into ONE wide slab whose
+            # while_loop exits immediately, and keep narrow bins (same
+            # width as before) only over the hot half where the stiff
+            # rejects live. Cuts the serialized per-bin launch overhead
+            # roughly in half without widening any hot bin.
+            n_cold = n_bins // 2
+            o_c, d_c = integrate_chunk(
+                s0_b[:n_cold].reshape(n_cold * chunk, ns + 1),
+                pf_b[:n_cold].reshape(-1), te_b[:n_cold].reshape(-1),
+                d0_b[:n_cold].reshape(-1))
+            outs.append(o_c.reshape(n_cold, chunk, ns + 1))
+            dtns.append(d_c.reshape(n_cold, chunk))
+            start = n_cold
+        else:
+            start = 0
+        for b in range(start, n_bins):
             o_b, d_b = integrate_chunk(s0_b[b], pf_b[b], te_b[b], d0_b[b])
-            outs.append(o_b)
-            dtns.append(d_b)
-        out = jnp.stack(outs)
-        dtn = jnp.stack(dtns)
+            outs.append(o_b[None] if o_b.ndim == 2 else o_b)
+            dtns.append(d_b[None] if d_b.ndim == 1 else d_b)
+        out = jnp.concatenate(outs, axis=0)
+        dtn = jnp.concatenate(dtns, axis=0)
         inv = jnp.argsort(order)
         s1 = out.reshape(n_bins * chunk, ns + 1)[pad:][inv]
         dt_next = dtn.reshape(n_bins * chunk)[pad:][inv]
     else:
-        s1, dt_next = integrate_chunk(s0, pf, t_ends, dt0_f)
+        s1, dt_next = integrate_chunk(s0, pf, t_ends_rem, dt0_f)
 
+    if fast_tier:
+        s1 = jnp.where(accepted[:, None], y_fast, s1)
+        dt_next = jnp.where(accepted, dt_fast, dt_next)
     T1 = s1[:, 0]
     Y1 = jnp.clip(s1[:, 1:], 0.0, 1.0)
     Y1 = Y1 / jnp.sum(Y1, axis=-1, keepdims=True)
