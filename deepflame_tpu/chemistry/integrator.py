@@ -83,8 +83,12 @@ def _gj_inverse(W):
 def _step(rhs: Callable, y, dt, jac, f0):
     """One ode23s Rosenbrock step (autonomous system).
 
-    Returns (y_new, err_vec). One matrix inverse, three matvecs. f0 = rhs(y)
-    comes from the caller (free byproduct of jax.linearize)."""
+    Returns (y_new, err_vec, solve_res). One matrix inverse, three matvecs.
+    f0 = rhs(y) comes from the caller (free byproduct of jax.linearize).
+    solve_res is the relative residual ||W k1 - f0|| / ||f0|| of the
+    unpivoted Gauss-Jordan solve — an accept-time guard: a consistently
+    wrong inverse can corrupt k1/k2/k3 AND the embedded error estimate the
+    same way, so the error test alone cannot be trusted to catch it."""
     n = y.shape[-1]
     eye = jnp.eye(n, dtype=y.dtype)
     W = eye - (dt * _ROS_D) * jac
@@ -92,13 +96,20 @@ def _step(rhs: Callable, y, dt, jac, f0):
     solve = lambda b: W_inv @ b
 
     k1 = solve(f0)
+    f0n = jnp.sqrt(jnp.mean(f0 * f0))
+    solve_res = jnp.sqrt(jnp.mean((W @ k1 - f0) ** 2)) / (f0n + 1e-300)
     f1 = rhs(y + 0.5 * dt * k1)
     k2 = solve(f1 - k1) + k1
     y_new = y + dt * k2
     f2 = rhs(y_new)
     k3 = solve(f2 - _ROS_E32 * (k2 - f1) - 2.0 * (k1 - f0))
     err = (dt / 6.0) * (k1 - 2.0 * k2 + k3)
-    return y_new, err
+    return y_new, err, solve_res
+
+
+# relative residual above which a Gauss-Jordan solve is deemed bad and the
+# step rejected outright (dt shrinks, W -> I, conditioning recovers)
+_SOLVE_RES_MAX = 1e-3
 
 
 def _gj_inverse_batched(W):
@@ -167,7 +178,10 @@ def _inverse_batched_dispatch(W):
     through HBM n times — measured ~45% of the whole stiff substep);
     elsewhere, the jnp path."""
     L, n, _ = W.shape
-    if jax.devices()[0].platform != "cpu":
+    # Pallas kernel uses pltpu VMEM BlockSpecs — TPU only; GPU and CPU
+    # backends take the XLA path. Mosaic has no 64-bit support, so the f64
+    # accuracy mode also falls back to XLA.
+    if jax.devices()[0].platform == "tpu" and W.dtype.itemsize <= 4:
         from ..ops.pallas_kernels import gj_inverse_lanes
         cap = max((1 * 2**20) // (n * 2 * n * W.dtype.itemsize), 256)
         block = min(1 << (int(cap).bit_length() - 1), 2048)
@@ -222,6 +236,11 @@ def rosenbrock_integrate_batched(rhs_b: Callable, y0: jax.Array,
         W_inv = _inverse_batched_dispatch(W)          # (n, n, L)
         solve = lambda b: jnp.einsum("nml,lm->ln", W_inv, b)
         k1 = solve(f0)
+        # accept-time guard on the unpivoted solve (see _step docstring)
+        Wk1 = jnp.einsum("lnm,lm->ln", W, k1)
+        f0n = jnp.sqrt(jnp.mean(f0 * f0, axis=1))
+        solve_ok = (jnp.sqrt(jnp.mean((Wk1 - f0) ** 2, axis=1))
+                    <= _SOLVE_RES_MAX * (f0n + 1e-300))
         f1 = rhs_b(y + (0.5 * dt_c)[:, None] * k1)
         k2 = solve(f1 - k1) + k1
         y_new = y + dt_c[:, None] * k2
@@ -234,9 +253,12 @@ def rosenbrock_integrate_batched(rhs_b: Callable, y0: jax.Array,
         enorm = jnp.maximum(enorm, 1e-30)
         accept = jnp.logical_and(enorm <= 1.0,
                                  jnp.all(jnp.isfinite(y_new), axis=1))
+        accept = jnp.logical_and(accept, solve_ok)
         accept = jnp.logical_and(accept, act)
         factor = jnp.clip(opts.safety * enorm ** (-1.0 / 3.0),
                           opts.shrink, opts.grow)
+        # a bad solve also poisons the error estimate: force shrink
+        factor = jnp.where(solve_ok, factor, opts.shrink)
         dt_next = jnp.maximum(dt_c * factor, jnp.asarray(opts.dt_min, dtype))
         dt = jnp.where(act, dt_next, dt)
         y = jnp.where(accept[:, None], y_new, y)
@@ -256,21 +278,20 @@ def rosenbrock_attempt(rhs: Callable, y: jax.Array, dt: jax.Array,
                        opts: RosenbrockOptions = RosenbrockOptions()):
     """ONE error-controlled ode23s step over [0, dt] (vmap for a batch).
 
-    Returns (y_new, accepted, dt_suggestion). Used as the wide single-launch
-    fast tier of `solve_chemistry`: the ~97% of cells whose stable step
-    exceeds the CFD step finish here in one fused batched substep instead of
-    paying the serialized per-bin while_loop launch latency. Lanes whose
-    embedded error fails tolerance are NOT advanced (accepted=False) and
-    fall through to the adaptive tier. dt=0 lanes return y unchanged,
-    accepted."""
+    Returns (y_new, accepted, dt_suggestion). A single-attempt implicit
+    probe: utility/testing API (the production fast tier in
+    `solve_chemistry` is the cheaper explicit `rk23_attempt_batched`).
+    Lanes whose embedded error fails tolerance are NOT advanced
+    (accepted=False). dt=0 lanes return y unchanged, accepted."""
     n = y.shape[-1]
     basis = jnp.eye(n, dtype=y.dtype)
     f0, jvp = jax.linearize(rhs, y)
     jac = jax.vmap(jvp)(basis).T
-    y_new, err = _step(rhs, y, dt, jac, f0)
+    y_new, err, solve_res = _step(rhs, y, dt, jac, f0)
     scale = opts.atol + opts.rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
     enorm = jnp.maximum(jnp.sqrt(jnp.mean((err / scale) ** 2)), 1e-30)
     accept = jnp.logical_and(enorm <= 1.0, jnp.all(jnp.isfinite(y_new)))
+    accept = jnp.logical_and(accept, solve_res <= _SOLVE_RES_MAX)
     factor = jnp.clip(opts.safety * enorm ** (-1.0 / 3.0),
                       opts.shrink, opts.grow)
     dt_sugg = jnp.maximum(dt * factor, jnp.asarray(opts.dt_min, y.dtype))
@@ -310,13 +331,15 @@ def rosenbrock_integrate(rhs: Callable, y0: jax.Array, t_end: jax.Array,
         y, t, dt, nstep = carry
         dt = jnp.minimum(dt, t_end - t)
         f0, jac = jac_and_f(y)
-        y_new, err = _step(rhs, y, dt, jac, f0)
+        y_new, err, solve_res = _step(rhs, y, dt, jac, f0)
         scale = opts.atol + opts.rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
         # rms error norm
         enorm = jnp.sqrt(jnp.mean((err / scale) ** 2))
         enorm = jnp.maximum(enorm, 1e-30)
         accept = jnp.logical_and(enorm <= 1.0, jnp.all(jnp.isfinite(y_new)))
+        accept = jnp.logical_and(accept, solve_res <= _SOLVE_RES_MAX)
         factor = jnp.clip(opts.safety * enorm ** (-1.0 / 3.0), opts.shrink, opts.grow)
+        factor = jnp.where(solve_res <= _SOLVE_RES_MAX, factor, opts.shrink)
         dt_next = jnp.maximum(dt * factor, jnp.asarray(opts.dt_min, dtype))
         y = jnp.where(accept, y_new, y)
         t = jnp.where(accept, t + dt, t)

@@ -27,8 +27,7 @@ from ..constants import GAS_CONSTANT
 from .kinetics import KineticsData, production_rates
 from .thermo import ThermoData
 from .integrator import (RosenbrockOptions, rk23_attempt_batched,
-                         rosenbrock_attempt, rosenbrock_integrate,
-                         rosenbrock_integrate_batched)
+                         rosenbrock_integrate, rosenbrock_integrate_batched)
 
 __all__ = ["constant_pressure_rhs", "constant_volume_rhs", "ignite",
            "solve_chemistry", "ChemistryResult"]

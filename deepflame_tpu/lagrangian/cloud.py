@@ -60,9 +60,18 @@ class CloudSources(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class ConeInjector:
-    """Cone-nozzle injection (aachenBomb unitInjector parity): constant mass
-    flow over [t0, t1] from a point, direction +axis with cone angle,
-    Rosin-Rammler-ish diameter sampling."""
+    """Cone-nozzle injection (coneInjection parity, the aachenBomb
+    injector: /root/reference/test/aachenBomb_2D/constant/
+    sprayCloudProperties `coneInjection` with `flowRateAndDischarge` +
+    RosinRammler size distribution + `flowRateProfile` table).
+
+    cone_angle_deg is the FULL cone angle (2x thetaOuter).
+    mdot_profile: optional ((t, relative_rate), ...) table — normalized at
+    construction so the integral over [t_start, t_end] equals mass_total
+    (OpenFOAM flowRateProfile semantics). u_from_flow: injection speed from
+    the instantaneous volumetric flow through the discharge orifice,
+    U = mdot / (rho_l Cd A), A = pi/4 (d_outer^2 - d_inner^2)
+    (InjectionModel flowType flowRateAndDischarge)."""
     position: tuple       # (x, y, z)
     direction: tuple = (0.0, -1.0, 0.0)
     cone_angle_deg: float = 10.0
@@ -74,15 +83,55 @@ class ConeInjector:
     d_spread: float = 0.3         # relative spread
     parcels_per_step: int = 8
     T_inject: float = 320.0
+    # flowRateProfile table (relative rates; normalized by mass_total)
+    mdot_profile: tuple = ()
+    mass_total: float | None = None
+    # size distribution: lognormal (d_mean/d_spread) | RosinRammler
+    size_dist: str = "lognormal"
+    rr_d: float = 1.5e-4
+    rr_n: float = 3.0
+    rr_min: float = 1e-6
+    rr_max: float = 1.5e-4
+    # flowRateAndDischarge velocity
+    u_from_flow: bool = False
+    Cd: float = 0.9
+    d_outer: float = 1.2e-4
+    d_inner: float = 0.0
+    rho_liquid: float = 680.0     # liquid density at T_inject
+
+    def _mdot_now(self, time, dtype):
+        """Instantaneous mass flow rate [kg/s]."""
+        if not self.mdot_profile:
+            return jnp.asarray(self.mdot, dtype)
+        import numpy as _np
+        tab = _np.asarray(self.mdot_profile, dtype=_np.float64)
+        ts, rs = tab[:, 0], tab[:, 1]
+        if self.mass_total is not None:
+            # normalize: integral of the profile over the table = mass_total
+            integral = _np.trapezoid(rs, ts)
+            rs = rs * (self.mass_total / integral)
+        return jnp.interp(jnp.asarray(time, dtype),
+                          jnp.asarray(ts, dtype), jnp.asarray(rs, dtype))
 
     def sample(self, keys, time, dt, dtype):
         """Per-step parcel samples: (pos (3,K), vel (3,K), d (K,),
         mass_this_step, injecting)."""
         k1, k2, k3 = keys
         K = self.parcels_per_step
-        dm = self.d_mean * jnp.exp(self.d_spread
-                                   * jax.random.normal(k1, (K,), dtype))
-        dm = jnp.clip(dm, 0.2 * self.d_mean, 4.0 * self.d_mean)
+        if self.size_dist == "RosinRammler":
+            # truncated Rosin-Rammler by renormalized inverse CDF:
+            # F(d) = 1 - exp(-(d/d_rr)^n) restricted to [rr_min, rr_max]
+            import math
+            u = jax.random.uniform(k1, (K,), dtype)
+            Fmin = 1.0 - math.exp(-(self.rr_min / self.rr_d) ** self.rr_n)
+            Fmax = 1.0 - math.exp(-(self.rr_max / self.rr_d) ** self.rr_n)
+            F = Fmin + u * (Fmax - Fmin)
+            dm = self.rr_d * (-jnp.log1p(-F)) ** (1.0 / self.rr_n)
+            dm = jnp.clip(dm, self.rr_min, self.rr_max)
+        else:
+            dm = self.d_mean * jnp.exp(self.d_spread
+                                       * jax.random.normal(k1, (K,), dtype))
+            dm = jnp.clip(dm, 0.2 * self.d_mean, 4.0 * self.d_mean)
         half = jnp.deg2rad(self.cone_angle_deg / 2.0)
         axis = jnp.asarray(self.direction, dtype)
         axis = axis / jnp.linalg.norm(axis)
@@ -101,7 +150,13 @@ class ConeInjector:
                 + a2[:, None] * (sin_t * jnp.sin(phi))[None, :])
         pos = jnp.asarray(self.position, dtype)[:, None] + 0.0 * dirs
         injecting = jnp.logical_and(time >= self.t_start, time < self.t_end)
-        return pos, self.u_mag * dirs, dm, self.mdot * dt, injecting
+        mdot_now = self._mdot_now(time, dtype)
+        if self.u_from_flow:
+            A = jnp.pi / 4.0 * (self.d_outer ** 2 - self.d_inner ** 2)
+            u_mag = mdot_now / (self.rho_liquid * self.Cd * A)
+        else:
+            u_mag = jnp.asarray(self.u_mag, dtype)
+        return pos, u_mag * dirs, dm, mdot_now * dt, injecting
 
 
 @dataclasses.dataclass(frozen=True)

@@ -128,11 +128,15 @@ class WallFilm:
         mom_new = jnp.where(m_new[None] > 1e-14, mom_new,
                             jnp.zeros_like(mom_new))
 
+        # sensible heat the film absorbed while relaxing toward the gas T
+        # (the gas side of the convective coupling; reference
+        # thermoSingleLayer debits both sides) — per unit area
+        q_conv = f.m * cp_l * (T_new - f.T) / dt
         src = {
             "Srho": dm / dt,                                  # kg/m^2/s
             "SY": dm / dt,
-            # latent heat drawn from the gas + vapor leaves at film T
-            "Sh": -(dm / dt) * L,
+            # latent heat drawn from the gas + convective heat into the film
+            "Sh": -(dm / dt) * L - q_conv,
         }
         f_new = WallFilmState(m=m_new, mom=mom_new, T=T_new,
                               m_evap=f.m_evap + jnp.sum(dm) * face_area)

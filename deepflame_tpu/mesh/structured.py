@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 __all__ = ["StructuredMesh", "BC", "FieldBCs", "pad_field",
            "fixed_value", "zero_gradient", "cyclic", "fixed_gradient",
-           "symmetry", "empty"]
+           "symmetry", "empty", "processor", "processor_parts"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,6 +129,83 @@ def empty() -> BC:
     return BC("empty")
 
 
+def processor(axis_name: str, global_bc: BC) -> BC:
+    """Processor (inter-shard) boundary for a mesh axis partitioned over a
+    `shard_map` device-mesh axis `axis_name`.
+
+    Role parity: OpenFOAM processor patches / the reference's NCCL halo
+    exchange (/root/reference/src_gpu/dfMatrixOpBase.H:139-155,
+    dfNcclBase.cu:23-60). Ghost layers come from the neighbouring shard via
+    `lax.ppermute` over ICI; the first/last shard fall back to `global_bc`
+    (the physical domain-edge BC) — unless `global_bc` is cyclic, in which
+    case the ppermute ring IS the periodic wrap.
+    """
+    return BC("processor", (axis_name, global_bc))
+
+
+def processor_parts(bc: BC) -> tuple[str, BC]:
+    """(mesh-axis name, domain-edge BC) of a processor BC."""
+    assert bc.kind == "processor"
+    return bc.value
+
+
+def _ring_planes(plane_lo: jax.Array, plane_hi: jax.Array, axis_name: str):
+    """Halo exchange of one boundary plane per side over the shard ring.
+
+    Returns (ghost_lo, ghost_hi): ghost_lo = LEFT neighbour's plane_hi,
+    ghost_hi = RIGHT neighbour's plane_lo (ring-wrapped at the ends).
+    """
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return plane_hi, plane_lo
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    g_lo = jax.lax.ppermute(plane_hi, axis_name, fwd)
+    g_hi = jax.lax.ppermute(plane_lo, axis_name, bwd)
+    return g_lo, g_hi
+
+
+def _edge_masks(axis_name: str):
+    """(is_first_shard, is_last_shard) booleans for the shard ring."""
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    return idx == 0, idx == n - 1
+
+
+def _pad_axis_processor(out, axis: int, lo: BC, hi: BC, h: float,
+                        homogeneous: bool, bc_only: bool) -> jax.Array:
+    """Pad one sharded axis with halo planes from neighbouring shards,
+    overriding with the physical BC ghost at the domain edges."""
+    axis_name, gbc_lo = processor_parts(lo)
+    axis_name_hi, gbc_hi = processor_parts(hi)
+    assert axis_name == axis_name_hi, "processor axis names must match"
+    n = out.shape[axis]
+    own_lo = jax.lax.slice_in_dim(out, 0, 1, axis=axis)
+    own_hi = jax.lax.slice_in_dim(out, n - 1, n, axis=axis)
+    g_lo, g_hi = _ring_planes(own_lo, own_hi, axis_name)
+    if gbc_lo.kind != "cyclic" or gbc_hi.kind != "cyclic":
+        first, last = _edge_masks(axis_name)
+    if gbc_lo.kind != "cyclic":
+        a, b = gbc_lo.coeffs(h, -1)
+        if homogeneous:
+            edge = a * own_lo
+        elif bc_only:
+            edge = jnp.zeros_like(own_lo) + b
+        else:
+            edge = a * own_lo + b
+        g_lo = jnp.where(first, edge, g_lo)
+    if gbc_hi.kind != "cyclic":
+        a, b = gbc_hi.coeffs(h, +1)
+        if homogeneous:
+            edge = a * own_hi
+        elif bc_only:
+            edge = jnp.zeros_like(own_hi) + b
+        else:
+            edge = a * own_hi + b
+        g_hi = jnp.where(last, edge, g_hi)
+    return jnp.concatenate([g_lo, out, g_hi], axis=axis)
+
+
 # FieldBCs: ((x_lo, x_hi), (y_lo, y_hi), (z_lo, z_hi))
 FieldBCs = tuple
 
@@ -150,6 +227,12 @@ def pad_field(f: jax.Array, bcs: FieldBCs, mesh: StructuredMesh,
     for axis in range(3):
         lo, hi = bcs[axis]
         h = spacing[axis]
+        if lo.kind == "processor" or hi.kind == "processor":
+            if lo.kind != hi.kind:
+                raise ValueError("processor BC must be paired on both sides")
+            out = _pad_axis_processor(out, axis, lo, hi, h,
+                                      homogeneous, bc_only)
+            continue
         if lo.kind == "cyclic" or hi.kind == "cyclic":
             if lo.kind != hi.kind:
                 raise ValueError("cyclic BC must be paired on both sides")
@@ -184,17 +267,39 @@ def pad_n(f: jax.Array, bcs: FieldBCs, mesh: StructuredMesh,
     (physical boundaries) — for wide stencils (WENO5 needs 3)."""
     P = pad_field(f, bcs, mesh)
     for axis in range(3):
-        cyc = bcs[axis][0].kind == "cyclic"
+        kind = bcs[axis][0].kind
+        cyc = kind == "cyclic"
+        proc = kind == "processor"
+        if proc:
+            axis_name, gbc_lo = processor_parts(bcs[axis][0])
+            _, gbc_hi = processor_parts(bcs[axis][1])
         for layer in range(1, n_ghost):
             n = P.shape[axis]
-            if cyc:
-                # padded = [g, c0..c_{m-1}, g] with m = n - 2*layer interior+
-                # previously added ghosts; exact wrap indexes from the
-                # original periodic sequence
+            if cyc or proc:
+                # padded = [g..., c0..c_{m-1}, ...g]; the next-lower wrap
+                # value sits at index n - 2*layer - 1 of the CURRENT padded
+                # array (for processor axes: of the NEIGHBOUR's identically
+                # shaped padded array — exchange the same slices)
                 lo = jax.lax.slice_in_dim(P, n - 2 * layer - 1,
                                           n - 2 * layer, axis=axis)
                 hi = jax.lax.slice_in_dim(P, 2 * layer, 2 * layer + 1,
                                           axis=axis)
+                if proc:
+                    g_lo, g_hi = _ring_planes(hi, lo, axis_name)
+                    # domain edges (non-cyclic global BC): replicate the BC
+                    # ghost — matches the unsharded branch below
+                    if gbc_lo.kind != "cyclic" or gbc_hi.kind != "cyclic":
+                        first, last = _edge_masks(axis_name)
+                    if gbc_lo.kind != "cyclic":
+                        g_lo = jnp.where(
+                            first,
+                            jax.lax.slice_in_dim(P, 0, 1, axis=axis), g_lo)
+                    if gbc_hi.kind != "cyclic":
+                        g_hi = jnp.where(
+                            last,
+                            jax.lax.slice_in_dim(P, n - 1, n, axis=axis),
+                            g_hi)
+                    lo, hi = g_lo, g_hi
             else:
                 lo = jax.lax.slice_in_dim(P, 0, 1, axis=axis)
                 hi = jax.lax.slice_in_dim(P, n - 1, n, axis=axis)
@@ -215,6 +320,22 @@ def extend_padded(P: jax.Array, axis: int, bcs: FieldBCs):
         # padded indices: [ghost=c_{n-1}, c_0..c_{n-1}, ghost=c_0]
         far_lo = jax.lax.slice_in_dim(P, n - 3, n - 2, axis=axis)  # c_{n-2}
         far_hi = jax.lax.slice_in_dim(P, 2, 3, axis=axis)          # c_1
+    elif bcs[axis][0].kind == "processor":
+        axis_name, gbc_lo = processor_parts(bcs[axis][0])
+        _, gbc_hi = processor_parts(bcs[axis][1])
+        # far-lo = LEFT neighbour's second-from-top cell c_{nl-2} (their
+        # P[n-3]); far-hi = RIGHT neighbour's c_1 (their P[2])
+        send_fwd = jax.lax.slice_in_dim(P, n - 3, n - 2, axis=axis)
+        send_bwd = jax.lax.slice_in_dim(P, 2, 3, axis=axis)
+        far_lo, far_hi = _ring_planes(send_bwd, send_fwd, axis_name)
+        if gbc_lo.kind != "cyclic" or gbc_hi.kind != "cyclic":
+            first, last = _edge_masks(axis_name)
+        if gbc_lo.kind != "cyclic":
+            far_lo = jnp.where(
+                first, jax.lax.slice_in_dim(P, 0, 1, axis=axis), far_lo)
+        if gbc_hi.kind != "cyclic":
+            far_hi = jnp.where(
+                last, jax.lax.slice_in_dim(P, n - 1, n, axis=axis), far_hi)
     else:
         far_lo = jax.lax.slice_in_dim(P, 0, 1, axis=axis)
         far_hi = jax.lax.slice_in_dim(P, n - 1, n, axis=axis)

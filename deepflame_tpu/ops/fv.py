@@ -285,7 +285,18 @@ class FvMatrix:
         periods = []
         for ax in range(3):
             n = shape[ax]
-            is_cyc = self.bcs[ax][0].kind == "cyclic"
+            kind = self.bcs[ax][0].kind
+            if kind == "processor":
+                # sharded axis: local period-2 coloring is globally
+                # consistent iff the local extent is even (then the global
+                # cell parity equals the local parity on every shard)
+                if n % 2 != 0:
+                    raise ValueError(
+                        "processor-sharded axis needs an even local extent "
+                        f"for diagonal coloring (got {n})")
+                periods.append(2)
+                continue
+            is_cyc = kind == "cyclic"
             if not is_cyc or n % 2 == 0 or n == 1:
                 periods.append(2 if n > 1 else 1)
             elif n % 3 == 0:

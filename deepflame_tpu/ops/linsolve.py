@@ -20,6 +20,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..parallel.context import gsum, gmean
+
 __all__ = ["SolverResult", "cg", "bicgstab", "solve_fvmatrix"]
 
 
@@ -31,7 +33,9 @@ class SolverResult(NamedTuple):
 
 
 def _dot(a, b):
-    return jnp.sum(a * b)
+    # global over the shard axis when the step runs distributed (the MPI
+    # allreduce inside every OpenFOAM lduMatrix solver)
+    return gsum(a * b)
 
 
 def _safe_div(a, b):
@@ -44,9 +48,9 @@ def _safe_div(a, b):
 
 def _norm_factor(A, b, x):
     """OpenFOAM lduMatrix normFactor: ||A xref - b|| with xref = mean(x)."""
-    xbar = jnp.mean(x) * jnp.ones_like(x)
+    xbar = gmean(x) * jnp.ones_like(x)
     Axbar = A(xbar)
-    norm = jnp.sum(jnp.abs(A(x) - Axbar)) + jnp.sum(jnp.abs(b - Axbar))
+    norm = gsum(jnp.abs(A(x) - Axbar)) + gsum(jnp.abs(b - Axbar))
     return jnp.maximum(norm, jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype))
 
 
@@ -58,7 +62,7 @@ def cg(A: Callable, b: jax.Array, x0: jax.Array, M_inv: Callable | None = None,
         M_inv = lambda r: r
     norm = _norm_factor(A, b, x0)
     r = b - A(x0)
-    res0 = jnp.sum(jnp.abs(r)) / norm
+    res0 = gsum(jnp.abs(r)) / norm
     z = M_inv(r)
     p = z
     rz = _dot(r, z)
@@ -84,7 +88,7 @@ def cg(A: Callable, b: jax.Array, x0: jax.Array, M_inv: Callable | None = None,
         rz_new = _dot(r_n, z)
         beta = _safe_div(rz_new, rz)
         p_n = z + beta * p
-        res = jnp.sum(jnp.abs(r_n)) / norm
+        res = gsum(jnp.abs(r_n)) / norm
         # breakdown guard: a non-finite step keeps the last good x and exits
         # (res = -1) — the outer corrector loop re-solves from there
         ok = jnp.isfinite(res)
@@ -109,7 +113,7 @@ def bicgstab(A: Callable, b: jax.Array, x0: jax.Array,
         M_inv = lambda r: r
     norm = _norm_factor(A, b, x0)
     r = b - A(x0)
-    res0 = jnp.sum(jnp.abs(r)) / norm
+    res0 = gsum(jnp.abs(r)) / norm
     r_hat = r
     one = jnp.ones((), b.dtype)
 
@@ -136,7 +140,7 @@ def bicgstab(A: Callable, b: jax.Array, x0: jax.Array,
         omega_n = _safe_div(_dot(t, s), _dot(t, t))
         x_n = x + alpha_n * p_hat + omega_n * s_hat
         r_n = s - omega_n * t
-        res = jnp.sum(jnp.abs(r_n)) / norm
+        res = gsum(jnp.abs(r_n)) / norm
         ok = jnp.isfinite(res)
         upd = jnp.logical_and(act, ok)
         x = jnp.where(upd, x_n, x)

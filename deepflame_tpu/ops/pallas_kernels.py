@@ -85,6 +85,8 @@ def fits_vmem(shape, dtype, budget_bytes: int = 10 * 2**20) -> bool:
     (named ~7.6 MiB) fits. 10 MiB keeps the real usage under the limit."""
     import numpy as np
     per = np.dtype(dtype).itemsize
+    if per > 4:
+        return False        # Mosaic has no 64-bit support (f64 accuracy mode)
     sub = {4: 8, 2: 16, 1: 32}.get(per, 8)
 
     def padded_bytes(s):

@@ -1,0 +1,76 @@
+"""Distributed-collective context for SPMD domain decomposition.
+
+Role parity: the reference's MPI reduction layer — `reduce(...)` calls inside
+lduMatrix solvers (dot products, norm factors), `Pstream` gMax/gMin for
+Courant numbers and min/max(T) step logs
+(/root/reference/applications/solvers/dfLowMachFoam/dfLowMachFoam.C:478,
+compressibleCourantNo.H), and the MPI_Allreduce hidden inside every OpenFOAM
+`solve()`.
+
+TPU-first: the whole solver step runs inside ONE `jax.shard_map` over a device
+mesh; this module carries the mesh-axis name through the call stack so that
+scalar reductions (Krylov dot products, residual norms, diagnostics) become
+`lax.psum`/`lax.pmax` over ICI. When no axis is active (single-chip or GSPMD
+mode) every helper degrades to the plain local reduction — the same code path
+serves both.
+
+Usage: the distributed wrapper (parallel/distributed.py) traces the solver
+step under `with shard_axis(name): ...`; library code calls gsum/gmax/...
+unconditionally.
+"""
+from __future__ import annotations
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["shard_axis", "current_axis", "gsum", "gmax", "gmin", "gmean",
+           "gsize"]
+
+_AXIS: list[str | None] = [None]
+
+
+@contextlib.contextmanager
+def shard_axis(name: str | None):
+    """Activate a shard_map mesh axis for global reductions during tracing."""
+    _AXIS.append(name)
+    try:
+        yield
+    finally:
+        _AXIS.pop()
+
+
+def current_axis() -> str | None:
+    return _AXIS[-1]
+
+
+def gsum(x):
+    """Global sum of all elements (psum over the shard axis if active)."""
+    s = jnp.sum(x)
+    ax = current_axis()
+    return jax.lax.psum(s, ax) if ax is not None else s
+
+
+def gmax(x):
+    m = jnp.max(x)
+    ax = current_axis()
+    return jax.lax.pmax(m, ax) if ax is not None else m
+
+
+def gmin(x):
+    m = jnp.min(x)
+    ax = current_axis()
+    return jax.lax.pmin(m, ax) if ax is not None else m
+
+
+def gsize(x) -> jax.Array | int:
+    """Global element count (static per shard; psum over shards)."""
+    ax = current_axis()
+    if ax is None:
+        return x.size
+    return x.size * jax.lax.axis_size(ax)
+
+
+def gmean(x):
+    return gsum(x) / gsize(x)

@@ -38,8 +38,23 @@ from ..mesh.structured import (BC, StructuredMesh, cyclic, empty, pad_field,
 from ..ops.fv import (face_pair, fvm_ddt, fvm_div, fvm_laplacian,
                       fvm_source_implicit, grad, div_flux, interpolate)
 from ..ops.linsolve import cg, solve_fvmatrix
+from ..parallel.context import gmax, gmin, gmean
 
 __all__ = ["LowMachConfig", "LowMachState", "LowMachSolver"]
+
+
+def _same_bc_pair(a, b) -> bool:
+    if a.kind != b.kind:
+        return False
+    if a.kind == "processor":
+        # value = (mesh-axis name, domain-edge BC): equal iff same axis and
+        # structurally equal edge BCs
+        ax_a, ga = a.value
+        ax_b, gb = b.value
+        return ax_a == ax_b and _same_bc_pair(ga, gb)
+    if isinstance(a.value, (int, float)) and isinstance(b.value, (int, float)):
+        return a.value == b.value
+    return False
 
 
 def _same_bcs(*bc_sets):
@@ -51,14 +66,7 @@ def _same_bcs(*bc_sets):
     for other in bc_sets[1:]:
         for ax in range(3):
             for side in (0, 1):
-                a, b = ref[ax][side], other[ax][side]
-                if a.kind != b.kind:
-                    return False
-                if isinstance(a.value, (int, float)) \
-                        and isinstance(b.value, (int, float)):
-                    if a.value != b.value:
-                        return False
-                else:
+                if not _same_bc_pair(ref[ax][side], other[ax][side]):
                     return False
     return True
 
@@ -141,7 +149,22 @@ class LowMachSolver:
         for ax in range(3):
             pair = []
             for side in (0, 1):
-                k = self.bcs_p[ax][side].kind
+                bc = self.bcs_p[ax][side]
+                if bc.kind == "processor":
+                    # sharded axis: coefficient halos still come from the
+                    # neighbouring shard; only the domain-edge fallback is
+                    # value-neutralized
+                    from ..mesh.structured import processor, processor_parts
+                    axis_name, gbc = processor_parts(bc)
+                    if gbc.kind == "cyclic":
+                        inner = cyclic()
+                    elif gbc.kind == "empty":
+                        inner = empty()
+                    else:
+                        inner = zero_gradient()
+                    pair.append(processor(axis_name, inner))
+                    continue
+                k = bc.kind
                 if k == "cyclic":
                     pair.append(cyclic())
                 elif k == "empty":
@@ -266,7 +289,7 @@ class LowMachSolver:
             # splittingStrategy (YEqn_RR.H): the 2x-dt fractional chemistry
             # step applies its full change within this transport step
             RR = jnp.moveaxis(chem.RR, -1, 0) * cfg.chemistry_dt_scale
-            diag["Qdot_max"] = jnp.max(chem.Qdot)
+            diag["Qdot_max"] = gmax(chem.Qdot)
         else:
             RR = jnp.zeros_like(Y)
             chem_dt_new = s.chem_dt
@@ -417,7 +440,7 @@ class LowMachSolver:
             p, phi, U, dpdt, rho, p_res = self._pressure_loop(
                 p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old=rho_old,
                 phi_old=s.phi, rhoU_old_f=self._face_flux(rho_old, U_old),
-                stats=diag)
+                src_rho=src_rho, stats=diag)
             diag[f"p_res_{outer}"] = p_res
             if outer < cfg.n_outer - 1:
                 # inter-outer under-relaxation: the outer loop is a fixed-
@@ -435,16 +458,16 @@ class LowMachSolver:
                 turb[0], turb[1], rho, rho_old, phi, U, mu_mol, self.bcs_U,
                 self.bcs_coeff, mesh, dt)
             turb = (k_new, eps_new)
-            diag["k_max"] = jnp.max(k_new)
+            diag["k_max"] = gmax(k_new)
 
         # continuity is satisfied by construction (rho from rhoEqn after the
         # p solve); report the EOS consistency drift |psi p - rho|/rho
         # instead (compressibleContinuityErrs.H role)
         Yt_f = jnp.moveaxis(Y, 0, -1)
         rho_eos = self.thermo.rho(p, T, Yt_f)
-        diag["continuity_err"] = jnp.max(jnp.abs(rho_eos - rho)) / jnp.mean(rho)
-        diag["T_min"] = jnp.min(T)
-        diag["T_max"] = jnp.max(T)
+        diag["continuity_err"] = gmax(jnp.abs(rho_eos - rho)) / gmean(rho)
+        diag["T_min"] = gmin(T)
+        diag["T_max"] = gmax(T)
 
         return LowMachState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
                             dpdt=dpdt, time=s.time + dt, turb=turb,
@@ -454,7 +477,7 @@ class LowMachSolver:
         """Max Courant number (compressibleCourantNo.H parity)."""
         co = 0.0
         for ax, h in enumerate(self.mesh.spacing):
-            co = jnp.maximum(co, jnp.max(jnp.abs(s.U[ax])) * dt / h)
+            co = jnp.maximum(co, gmax(jnp.abs(s.U[ax])) * dt / h)
         return co
 
     # ---------------------------------------------- shared PIMPLE blocks
@@ -541,6 +564,16 @@ class LowMachSolver:
         for ax in range(3):
             for side in (0, 1):
                 bc = self.bcs_U[ax][ax][side]   # normal component, this axis
+                edge_mask = None
+                if bc.kind == "processor":
+                    # sharded axis: the physical-patch override applies only
+                    # on the first/last shard; interior shard-boundary faces
+                    # are interior faces
+                    from ..mesh.structured import (_edge_masks,
+                                                   processor_parts)
+                    axis_name, bc = processor_parts(bc)
+                    first, last = _edge_masks(axis_name)
+                    edge_mask = first if side == 0 else last
                 if bc.kind in ("fixedValue", "symmetryNegate", "inletOutlet"):
                     u_bc = 0.0 if bc.kind == "symmetryNegate" else bc.value
                     f = out[ax]
@@ -550,12 +583,15 @@ class LowMachSolver:
                     sl[ax] = slice(idx, idx + 1)
                     rho_b = jax.lax.slice_in_dim(rho_f[ax], idx, idx + 1,
                                                  axis=ax)
-                    out[ax] = f.at[tuple(sl)].set(rho_b * u_bc)
+                    val = rho_b * u_bc
+                    if edge_mask is not None:
+                        val = jnp.where(edge_mask, val, f[tuple(sl)])
+                    out[ax] = f.at[tuple(sl)].set(val)
         return tuple(out)
 
     def _pressure_loop(self, p, p_old, psi, rho_fn, HbyA, rAU, dt,
                        rho_old=None, phi_old=None, rhoU_old_f=None,
-                       stats=None):
+                       src_rho=0.0, stats=None):
         """Compressible pressure correctors (pEqn.H:1-120): returns
         (p, phi, U, dpdt, rho, last initial residual).
 
@@ -615,7 +651,11 @@ class LowMachSolver:
                                          dtype=dtype)
                      + fvm_laplacian(rhorAUf, mesh, self.bcs_p,
                                      dtype=dtype, sign=-1.0))
-            eqn_p = eqn_p.with_source(rho_prev / dt - div_flux(phiHbyA, mesh))
+            # src_rho: spray mass source (parcels.Srho in the reference pEqn,
+            # dfSprayFoam rhoEqn.H) — without it, evaporated mass is dropped
+            # from the carried density and re-enters as an acoustic imbalance
+            eqn_p = eqn_p.with_source(rho_prev / dt - div_flux(phiHbyA, mesh)
+                                      + src_rho)
             # fused Pallas kernel for the CG matvec (TPU, VMEM-resident)
             import jax as _jax
             apply_A = eqn_p.apply
@@ -665,7 +705,7 @@ class LowMachSolver:
         # grows exponentially at acoustic CFL >~ 10 (observed on the 2D
         # reacting TGV at dt = 1e-6: x1.3/step p-checkerboard growth).
         if rho_old is not None:
-            rho = rho_old - dt * div_flux(phi, mesh)
+            rho = rho_old - dt * div_flux(phi, mesh) + dt * src_rho
         else:
             rho = rho_fn(p)
         return p, phi, U, dpdt, rho, p_res
