@@ -20,7 +20,58 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["helmholtz_apply", "fits_vmem", "gj_inverse_lanes"]
+__all__ = ["helmholtz_apply", "helmholtz_apply_tiled", "fits_vmem",
+           "fits_vmem_tiled", "gj_inverse_lanes", "ell_matvec"]
+
+
+def ell_matvec(x: jax.Array, diag: jax.Array, nbr: jax.Array,
+               coef: jax.Array, block: int = 2048,
+               interpret: bool = False) -> jax.Array:
+    """ELLPACK SpMV: out[c] = diag[c] x[c] + sum_w coef[c,w] x[nbr[c,w]].
+
+    Prototype CSR/ELL gather kernel over face-cell connectivity (the
+    BASELINE north-star "gather/scatter Pallas kernels over CSR face-cell
+    connectivity"; reference SpMV: src_gpu CUDA + AmgX). The cell vector is
+    kept whole in VMEM (fits for <=~1M cells f32); per-block gathers and
+    the width-w reduction run on the VPU.
+    """
+    n = x.shape[0]
+    w = nbr.shape[1]
+    pad = (-n) % block
+    if pad:
+        xp = jnp.pad(x, (0, pad))
+        diag = jnp.pad(diag, (0, pad))
+        nbr = jnp.pad(nbr, ((0, pad), (0, 0)))
+        coef = jnp.pad(coef, ((0, pad), (0, 0)))
+    else:
+        xp = x
+    npad = n + pad
+
+    def kern(x_ref, xb_ref, d_ref, nbr_ref, coef_ref, out_ref):
+        xall = x_ref[:]
+        acc = d_ref[:] * xb_ref[:]
+        idx = nbr_ref[:]
+        cf = coef_ref[:]
+        for j in range(w):
+            acc = acc + cf[:, j] * jnp.take(xall, idx[:, j], axis=0)
+        out_ref[:] = acc
+
+    ms = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kern,
+        grid=(npad // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=ms),                       # full x
+            pl.BlockSpec((block,), lambda i: (i,), memory_space=ms),  # x blk
+            pl.BlockSpec((block,), lambda i: (i,), memory_space=ms),
+            pl.BlockSpec((block, w), lambda i: (i, 0), memory_space=ms),
+            pl.BlockSpec((block, w), lambda i: (i, 0), memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec((block,), lambda i: (i,), memory_space=ms),
+        out_shape=jax.ShapeDtypeStruct((npad,), x.dtype),
+        interpret=interpret,
+    )(xp, xp, diag, nbr, coef)
+    return out[:n]
 
 
 def _gj_kernel(W_ref, out_ref, *, n):
@@ -100,6 +151,99 @@ def fits_vmem(shape, dtype, budget_bytes: int = 10 * 2**20) -> bool:
              + padded_bytes((nx, ny, nz + 1))             # gamma_z
              + 2 * padded_bytes(shape))                   # diag + out
     return total < budget_bytes
+
+
+def _tiled_kernel(xp0_ref, xp1_ref, gx0_ref, gx1_ref, gy_ref, gz_ref,
+                  d_ref, out_ref, *, inv_h2, tx):
+    """One x-tile of the 7-point variable-coefficient Helmholtz operator.
+
+    The x halo arrives as TWO consecutive tx-plane blocks of the padded
+    field (Pallas blocked indexing cannot express overlapping windows, so
+    tile i reads blocks i and i+1 and uses planes [0, tx+2) of their
+    concatenation — the i+1 block's tail planes beyond the array end are
+    OOB padding that is never read). Same trick for the (nx+1)-plane
+    gamma_x face array."""
+    xp = jnp.concatenate([xp0_ref[:], xp1_ref[:2]], axis=0)   # (tx+2, .. )
+    x = xp[1:-1, 1:-1, 1:-1]                                  # (tx, ny, nz)
+    out = d_ref[:] * x
+    ih2x, ih2y, ih2z = inv_h2
+    if ih2x != 0.0:
+        gx = jnp.concatenate([gx0_ref[:], gx1_ref[:1]], axis=0)  # (tx+1,..)
+        flux_hi = gx[1:, :, :] * (xp[2:, 1:-1, 1:-1] - x)
+        flux_lo = gx[:-1, :, :] * (x - xp[:-2, 1:-1, 1:-1])
+        out = out - (flux_hi - flux_lo) * ih2x
+    if ih2y != 0.0:
+        gy = gy_ref[:]
+        flux_hi = gy[:, 1:, :] * (xp[1:-1, 2:, 1:-1] - x)
+        flux_lo = gy[:, :-1, :] * (x - xp[1:-1, :-2, 1:-1])
+        out = out - (flux_hi - flux_lo) * ih2y
+    if ih2z != 0.0:
+        gz = gz_ref[:]
+        flux_hi = gz[:, :, 1:] * (xp[1:-1, 1:-1, 2:] - x)
+        flux_lo = gz[:, :, :-1] * (x - xp[1:-1, 1:-1, :-2])
+        out = out - (flux_hi - flux_lo) * ih2z
+    out_ref[:] = out
+
+
+def fits_vmem_tiled(shape, dtype, tx: int = 8,
+                    budget_bytes: int = 10 * 2**20) -> bool:
+    """VMEM feasibility of ONE x-tile of the tiled Helmholtz kernel (the
+    per-program working set; Pallas double-buffers the pipeline, hence the
+    conservative budget)."""
+    import numpy as np
+    per = np.dtype(dtype).itemsize
+    if per > 4:
+        return False                      # Mosaic: no 64-bit
+    nx, ny, nz = shape
+    if nx % tx != 0:
+        return False
+    sub = {4: 8, 2: 16, 1: 32}.get(per, 8)
+
+    def padded_bytes(s):
+        d0, d1, d2 = s
+        return d0 * (-(-d1 // sub) * sub) * (-(-d2 // 128) * 128) * per
+
+    total = (2 * padded_bytes((tx, ny + 2, nz + 2))        # xp blocks i, i+1
+             + 2 * padded_bytes((tx, ny, nz))              # gx blocks
+             + padded_bytes((tx, ny + 1, nz))              # gy
+             + padded_bytes((tx, ny, nz + 1))              # gz
+             + 2 * padded_bytes((tx, ny, nz)))             # diag + out
+    return total < budget_bytes
+
+
+def helmholtz_apply_tiled(x_padded: jax.Array, gamma, diag: jax.Array,
+                          spacing, active_axes=None, tx: int = 8,
+                          interpret: bool = False) -> jax.Array:
+    """Tiled variant of `helmholtz_apply` for grids whose whole-array
+    working set exceeds VMEM (the production 96^3-128^3 LES meshes): grid
+    over nx/tx x-tiles, each program streams its (tx+2)-plane halo window
+    through VMEM. Requires tx | nx and tx >= 2."""
+    nx, ny, nz = diag.shape
+    assert nx % tx == 0 and tx >= 2, (nx, tx)
+    if active_axes is None:
+        active_axes = tuple(ax for ax, n in enumerate((nx, ny, nz)) if n > 1)
+    inv_h2 = tuple((1.0 / spacing[ax] ** 2) if ax in active_axes else 0.0
+                   for ax in range(3))
+    import functools
+    kern = functools.partial(_tiled_kernel, inv_h2=inv_h2, tx=tx)
+    ms = pl.ANY if interpret else pltpu.VMEM
+    bs = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=ms)
+    return pl.pallas_call(
+        kern,
+        grid=(nx // tx,),
+        in_specs=[
+            bs((tx, ny + 2, nz + 2), lambda i: (i, 0, 0)),      # xp blk i
+            bs((tx, ny + 2, nz + 2), lambda i: (i + 1, 0, 0)),  # xp blk i+1
+            bs((tx, ny, nz), lambda i: (i, 0, 0)),              # gx blk i
+            bs((tx, ny, nz), lambda i: (i + 1, 0, 0)),          # gx blk i+1
+            bs((tx, ny + 1, nz), lambda i: (i, 0, 0)),          # gy
+            bs((tx, ny, nz + 1), lambda i: (i, 0, 0)),          # gz
+            bs((tx, ny, nz), lambda i: (i, 0, 0)),              # diag
+        ],
+        out_specs=bs((tx, ny, nz), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(diag.shape, diag.dtype),
+        interpret=interpret,
+    )(x_padded, x_padded, gamma[0], gamma[0], gamma[1], gamma[2], diag)
 
 
 def _kernel(xp_ref, gx_ref, gy_ref, gz_ref, d_ref, out_ref, *, inv_h2):

@@ -661,12 +661,26 @@ class LowMachSolver:
             apply_A = eqn_p.apply
             if (cfg.use_pallas == "auto"
                     and _jax.devices()[0].platform != "cpu"):
-                from ..ops.pallas_kernels import fits_vmem, helmholtz_apply
+                from ..ops.pallas_kernels import (fits_vmem, fits_vmem_tiled,
+                                                 helmholtz_apply,
+                                                 helmholtz_apply_tiled)
+                coeff_d = psi / dt
                 if fits_vmem(mesh.shape, dtype):
-                    coeff_d = psi / dt
                     apply_A = lambda x: helmholtz_apply(
                         pad_field(x, self.bcs_p, mesh, homogeneous=True),
                         rhorAUf, coeff_d, mesh.spacing)
+                else:
+                    # production meshes (96^3+): x-tiled kernel, halo window
+                    # streamed through VMEM per tile
+                    for _tx in (8, 4, 2):
+                        if fits_vmem_tiled(mesh.shape, dtype, tx=_tx):
+                            apply_A = (lambda tx: lambda x:
+                                       helmholtz_apply_tiled(
+                                           pad_field(x, self.bcs_p, mesh,
+                                                     homogeneous=True),
+                                           rhorAUf, coeff_d, mesh.spacing,
+                                           tx=tx))(_tx)
+                            break
             if cfg.p_precond == "mg":
                 from ..ops.multigrid import make_mg_preconditioner
                 if M_inv_mg is None:   # hierarchy shared across correctors

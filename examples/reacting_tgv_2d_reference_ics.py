@@ -84,19 +84,41 @@ def main():
     s = solver.initial_state(p, T, jnp.asarray(Y, dtype), U)
 
     dt = 1e-6
-    # sample line: x = z = 3 mm -> cell column i = int(0.003 / dx)
+    # reference sampling (system/sample): lineUniform along y at
+    # x = z = 3 mm, 1000 points in y [0, 6] mm, interpolationScheme
+    # cellPoint; corrtest takes max(T) of that line. Emulate with bilinear
+    # interpolation of cell-center values at x = 3.000 mm exactly.
     i_line = int(0.003 / mesh.dx)
+    xq = 0.003
+    # columns straddling xq (cell centers at (i + 0.5) dx)
+    iL = int(np.floor(xq / mesh.dx - 0.5))
+    wR = (xq / mesh.dx - 0.5) - iL
+    ys = np.linspace(0.0, 0.006, 1000)
+    jf = ys / mesh.dy - 0.5
+    jL = np.floor(jf).astype(int)
+    wU = jf - jL
+    jLc = jL % mesh.ny
+    jUc = (jL + 1) % mesh.ny
+
+    def line_max_cellpoint(Tn):
+        col = (1.0 - wR) * Tn[iL, :, 0] + wR * Tn[iL + 1, :, 0]
+        vals = (1.0 - wU) * col[jLc] + wU * col[jUc]
+        return float(vals.max())
+
     step = jax.jit(lambda st: solver.step(st, dt)[0])
     import time as _t
     t0 = _t.perf_counter()
-    print(f"cell column i={i_line} (x = {(i_line + 0.5) * mesh.dx * 1e3:.3f} mm)")
+    print(f"sample x = 3.000 mm: blend of columns {iL}/{iL + 1} "
+          f"(w = {1 - wR:.3f}/{wR:.3f}); raw column i={i_line}")
     for i in range(args.steps):
         s = step(s)
         if (i + 1) % 25 == 0:
             Tn = np.asarray(s.T)
-            line_max = Tn[i_line, :, 0].max()
+            line_max = line_max_cellpoint(Tn)
+            raw_max = Tn[i_line, :, 0].max()
             msg = (f"step {i + 1:4d} t={float(s.time) * 1e6:6.1f} us  "
-                   f"maxT(line)={line_max:8.2f} K  maxT={Tn.max():8.2f}")
+                   f"maxT(line)={line_max:8.2f} K  (raw col {raw_max:8.2f}) "
+                   f"maxT={Tn.max():8.2f}")
             if (i + 1) in ANCHORS:
                 ref = ANCHORS[i + 1]
                 msg += f"  | anchor {ref:8.2f}  dev {100 * (line_max - ref) / ref:+6.2f}%"

@@ -1,0 +1,227 @@
+"""Face-list (CSR gather/scatter) FV backend == structured-shift backend.
+
+The two backends implement the same discrete operators (SURVEY.md §2.9
+dfMatrixOpBase contract); on a box mesh they must agree to roundoff. This is
+the validation bridge the round-1 review asked for before unstructured
+meshes land (VERDICT item 7)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepflame_tpu.mesh import (StructuredMesh, cyclic, fixed_value,
+                                zero_gradient, fixed_gradient, empty)
+from deepflame_tpu.mesh.facelist import from_structured, structured_face_maps
+from deepflame_tpu.ops import fv as fvs
+from deepflame_tpu.ops import fv_facelist as fvl
+from deepflame_tpu.ops.linsolve import cg
+
+
+BC_CASES = {
+    "cyclic": ((cyclic(), cyclic()),) * 3,
+    "mixed": ((fixed_value(1.3), zero_gradient()),
+              (cyclic(), cyclic()),
+              (zero_gradient(), fixed_gradient(0.7))),
+}
+
+
+def _setup(bcs, n=(8, 6, 4)):
+    mesh = StructuredMesh.box([1.0, 0.7, 0.5], list(n))
+    fl = from_structured(mesh, bcs)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=mesh.shape) + 2.0)
+    return mesh, fl, x
+
+
+def _to_fl_faces(mesh, bcs, phi_axes):
+    """Structured per-axis face arrays -> (interior (nf,), per-patch list)."""
+    per_axis, order = structured_face_maps(mesh, bcs)
+    parts = []
+    for ax in range(3):
+        if per_axis[ax] is None:
+            continue
+        parts.append(jnp.ravel(phi_axes[ax])[per_axis[ax]])
+    interior = jnp.concatenate(parts)[order]
+    patch_vals = []
+    for ax in range(3):
+        lo_bc, hi_bc = bcs[ax]
+        if lo_bc.kind in ("cyclic", "empty"):
+            continue
+        n_ax = mesh.shape[ax]
+        for side in (0, 1):
+            sl = [slice(None)] * 3
+            sl[ax] = slice(0, 1) if side == 0 else slice(n_ax, n_ax + 1)
+            sign = -1.0 if side == 0 else 1.0   # outward normal orientation
+            patch_vals.append(sign * jnp.ravel(phi_axes[ax][tuple(sl)]))
+    return interior, patch_vals
+
+
+@pytest.mark.parametrize("case", list(BC_CASES))
+def test_grad_parity(case):
+    bcs = BC_CASES[case]
+    mesh, fl, x = _setup(bcs)
+    g_s = fvs.grad(x, bcs, mesh)                       # (3, nx, ny, nz)
+    g_f = fvl.grad_fl(fl, x.ravel())                   # (n_cells, 3)
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(g_f[:, c]),
+                                   np.asarray(g_s[c]).ravel(),
+                                   rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("case", list(BC_CASES))
+def test_div_flux_parity(case):
+    bcs = BC_CASES[case]
+    mesh, fl, x = _setup(bcs)
+    rng = np.random.default_rng(5)
+    phi_axes = tuple(jnp.asarray(rng.normal(size=s)) for s in
+                     [(mesh.nx + 1, mesh.ny, mesh.nz),
+                      (mesh.nx, mesh.ny + 1, mesh.nz),
+                      (mesh.nx, mesh.ny, mesh.nz + 1)])
+    # structured cyclic faces must be consistent at the wrap
+    fixed = []
+    for ax, p in enumerate(phi_axes):
+        if bcs[ax][0].kind == "cyclic":
+            top = jax.lax.slice_in_dim(p, 0, 1, axis=ax)
+            n = p.shape[ax]
+            p = jnp.concatenate(
+                [jax.lax.slice_in_dim(p, 0, n - 1, axis=ax), top], axis=ax)
+        fixed.append(p)
+    phi_axes = tuple(fixed)
+    d_s = fvs.div_flux(phi_axes, mesh)
+    interior, patch_vals = _to_fl_faces(mesh, bcs, phi_axes)
+    d_f = fvl.div_flux_fl(fl, interior, patch_vals)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_s).ravel(),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("case", list(BC_CASES))
+@pytest.mark.parametrize("scheme", ["upwind", "linear"])
+def test_fvm_div_parity(case, scheme):
+    bcs = BC_CASES[case]
+    mesh, fl, x = _setup(bcs)
+    rng = np.random.default_rng(7)
+    phi_axes = []
+    for ax, s in enumerate([(mesh.nx + 1, mesh.ny, mesh.nz),
+                            (mesh.nx, mesh.ny + 1, mesh.nz),
+                            (mesh.nx, mesh.ny, mesh.nz + 1)]):
+        p = jnp.asarray(rng.normal(size=s))
+        if bcs[ax][0].kind == "cyclic":
+            n = s[ax]
+            top = jax.lax.slice_in_dim(p, 0, 1, axis=ax)
+            p = jnp.concatenate(
+                [jax.lax.slice_in_dim(p, 0, n - 1, axis=ax), top], axis=ax)
+        phi_axes.append(p)
+    phi_axes = tuple(phi_axes)
+    eqn_s = fvs.fvm_div(phi_axes, x, mesh, bcs, scheme=scheme)
+    interior, patch_vals = _to_fl_faces(mesh, bcs, phi_axes)
+    eqn_f = fvl.fvm_div_fl(fl, interior, patch_vals, scheme=scheme)
+    np.testing.assert_allclose(np.asarray(eqn_f.apply(x.ravel())),
+                               np.asarray(eqn_s.apply(x)).ravel(),
+                               rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(eqn_f.rhs()),
+                               np.asarray(eqn_s.rhs()).ravel(),
+                               rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(eqn_f.diag()),
+                               np.asarray(eqn_s.diag()).ravel(),
+                               rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("case", list(BC_CASES))
+def test_fvm_laplacian_parity(case):
+    bcs = BC_CASES[case]
+    mesh, fl, x = _setup(bcs)
+    rng = np.random.default_rng(9)
+    gam_axes = tuple(jnp.asarray(rng.uniform(0.5, 2.0, s)) for s in
+                     [(mesh.nx + 1, mesh.ny, mesh.nz),
+                      (mesh.nx, mesh.ny + 1, mesh.nz),
+                      (mesh.nx, mesh.ny, mesh.nz + 1)])
+    fixed = []
+    for ax, p in enumerate(gam_axes):
+        if bcs[ax][0].kind == "cyclic":
+            n = p.shape[ax]
+            top = jax.lax.slice_in_dim(p, 0, 1, axis=ax)
+            p = jnp.concatenate(
+                [jax.lax.slice_in_dim(p, 0, n - 1, axis=ax), top], axis=ax)
+        fixed.append(p)
+    gam_axes = tuple(fixed)
+    eqn_s = fvs.fvm_laplacian(gam_axes, mesh, bcs, sign=-1.0)
+    interior, _ = _to_fl_faces(mesh, bcs, gam_axes)
+    # patch gamma is unsigned (no outward-orientation flip): gather directly
+    patch_gam = []
+    for ax in range(3):
+        lo_bc, hi_bc = bcs[ax]
+        if lo_bc.kind in ("cyclic", "empty"):
+            continue
+        n_ax = mesh.shape[ax]
+        for side in (0, 1):
+            sl = [slice(None)] * 3
+            sl[ax] = slice(0, 1) if side == 0 else slice(n_ax, n_ax + 1)
+            patch_gam.append(jnp.ravel(gam_axes[ax][tuple(sl)]))
+    eqn_f = fvl.fvm_laplacian_fl(fl, interior, patch_gam, sign=-1.0)
+    np.testing.assert_allclose(np.asarray(eqn_f.apply(x.ravel())),
+                               np.asarray(eqn_s.apply(x)).ravel(),
+                               rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(eqn_f.rhs()),
+                               np.asarray(eqn_s.rhs()).ravel(),
+                               rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(eqn_f.diag()),
+                               np.asarray(eqn_s.diag()).ravel(),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_ell_matvec_parity():
+    """ELL layout apply == LDU apply == Pallas ell_matvec (interpret)."""
+    from deepflame_tpu.ops.pallas_kernels import ell_matvec
+    bcs = BC_CASES["mixed"]
+    mesh, fl, x = _setup(bcs)
+    rng = np.random.default_rng(13)
+    gam_i = jnp.asarray(rng.uniform(0.5, 2.0, fl.owner.shape))
+    gam_b = [jnp.full(p.owner.shape, 0.3) for p in fl.patches]
+    eqn = fvl.fvm_laplacian_fl(fl, gam_i, gam_b, sign=-1.0)
+    xf = x.ravel()
+    ref = eqn.apply(xf)
+    nbr, coef = eqn.ell()
+    np.testing.assert_allclose(np.asarray(eqn.apply_ell(xf, nbr, coef)),
+                               np.asarray(ref), rtol=1e-12, atol=1e-12)
+    got = ell_matvec(xf, eqn.diag_c, nbr, coef, block=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_advection_diffusion_solve_parity():
+    """Full implicit solve (ddt + div + laplacian) through CG matches the
+    structured backend solution — the FvMatrix contract end-to-end."""
+    bcs = BC_CASES["mixed"]
+    mesh, fl, x = _setup(bcs)
+    rng = np.random.default_rng(11)
+    phi_axes = tuple(jnp.asarray(rng.normal(size=s) * 0.3) for s in
+                     [(mesh.nx + 1, mesh.ny, mesh.nz),
+                      (mesh.nx, mesh.ny + 1, mesh.nz),
+                      (mesh.nx, mesh.ny, mesh.nz + 1)])
+    fixed = []
+    for ax, p in enumerate(phi_axes):
+        if bcs[ax][0].kind == "cyclic":
+            n = p.shape[ax]
+            top = jax.lax.slice_in_dim(p, 0, 1, axis=ax)
+            p = jnp.concatenate(
+                [jax.lax.slice_in_dim(p, 0, n - 1, axis=ax), top], axis=ax)
+        fixed.append(p)
+    phi_axes = tuple(fixed)
+    dt = 1e-3
+    rho = jnp.asarray(rng.uniform(0.8, 1.2, mesh.shape))
+    eqn_s = (fvs.fvm_ddt(rho, x, dt, mesh, bcs)
+             + fvs.fvm_div(phi_axes, x, mesh, bcs, scheme="upwind")
+             + fvs.fvm_laplacian(0.05, mesh, bcs, sign=-1.0))
+    interior, patch_vals = _to_fl_faces(mesh, bcs, phi_axes)
+    gam_i = jnp.full(fl.owner.shape, 0.05)
+    gam_b = [jnp.full(p.owner.shape, 0.05) for p in fl.patches]
+    eqn_f = (fvl.fvm_ddt_fl(fl, rho.ravel(), rho.ravel(), x.ravel(), dt)
+             + fvl.fvm_div_fl(fl, interior, patch_vals, scheme="upwind")
+             + fvl.fvm_laplacian_fl(fl, gam_i, gam_b, sign=-1.0))
+    sol_s = cg(eqn_s.apply, eqn_s.rhs(), x, tol=1e-12, rel_tol=0.0,
+               max_iter=500).x
+    sol_f = cg(eqn_f.apply, eqn_f.rhs(), x.ravel(), tol=1e-12, rel_tol=0.0,
+               max_iter=500).x
+    np.testing.assert_allclose(np.asarray(sol_f),
+                               np.asarray(sol_s).ravel(),
+                               rtol=1e-8, atol=1e-8)

@@ -50,6 +50,38 @@ def test_helmholtz_2d_empty_axis():
                                rtol=1e-12, atol=1e-12)
 
 
+def test_helmholtz_tiled_matches_fvmatrix():
+    """x-tiled kernel (halo via two adjacent blocks) == FvMatrix, incl. the
+    LAST tile whose i+1 input block extends past the array end."""
+    from deepflame_tpu.ops.pallas_kernels import (fits_vmem_tiled,
+                                                  helmholtz_apply_tiled)
+    rng = np.random.default_rng(2)
+    n = 16
+    mesh = StructuredMesh.box([1.0, 0.5, 0.25], [n, n, n])
+    bcs = ((fixed_value(0.3), zero_gradient()),
+           (cyclic(), cyclic()),
+           (zero_gradient(), fixed_value(1.2)))
+    gamma = (jnp.asarray(rng.uniform(0.5, 2.0, (n + 1, n, n))),
+             jnp.asarray(rng.uniform(0.5, 2.0, (n, n + 1, n))),
+             jnp.asarray(rng.uniform(0.5, 2.0, (n, n, n + 1))))
+    d = jnp.asarray(rng.uniform(0.1, 1.0, mesh.shape))
+    eqn = (fvm_source_implicit(d, mesh, bcs, dtype=jnp.float64)
+           + fvm_laplacian(gamma, mesh, bcs, dtype=jnp.float64, sign=-1.0))
+    x = jnp.asarray(rng.normal(size=mesh.shape))
+    ref = eqn.apply(x)
+    xp = pad_field(x, bcs, mesh, homogeneous=True)
+    for tx in (2, 4, 8):
+        ours = helmholtz_apply_tiled(xp, gamma, d, mesh.spacing, tx=tx,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
+    # feasibility: 128^3 f32 tiles fit where the whole array cannot
+    assert not fits_vmem((128, 128, 128), np.float32)
+    assert fits_vmem_tiled((128, 128, 128), np.float32, tx=8)
+    assert not fits_vmem_tiled((128, 128, 128), np.float64, tx=8)
+    assert not fits_vmem_tiled((100, 128, 128), np.float32, tx=8)  # 8∤100
+
+
 def test_fits_vmem():
     assert fits_vmem((48, 48, 48), np.float32)
     assert not fits_vmem((256, 256, 256), np.float32)
