@@ -29,10 +29,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    if args.dtype == "f64":
-        jax.config.update("jax_enable_x64", True)
+    from deepflame_tpu.runtime.platform import configure
+    configure(args.platform, args.dtype)
     import jax.numpy as jnp
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
 

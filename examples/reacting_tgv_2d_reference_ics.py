@@ -33,10 +33,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    if args.dtype == "f64":
-        jax.config.update("jax_enable_x64", True)
+    from deepflame_tpu.runtime.platform import configure
+    configure(args.platform, args.dtype)
     import jax.numpy as jnp
 
     from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
@@ -122,6 +120,7 @@ def main():
             if (i + 1) in ANCHORS:
                 ref = ANCHORS[i + 1]
                 msg += f"  | anchor {ref:8.2f}  dev {100 * (line_max - ref) / ref:+6.2f}%"
+                np.save(f"/tmp/tgv_T_{i + 1}.npy", Tn[:, :, 0])
             print(msg, flush=True)
     print(f"wall: {_t.perf_counter() - t0:.0f}s")
 

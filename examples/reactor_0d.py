@@ -31,9 +31,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_enable_x64", True)
+    from deepflame_tpu.runtime.platform import configure
+    configure(args.platform, "f64")
     import jax.numpy as jnp
 
     from deepflame_tpu.chemistry import (load_mechanism, make_thermo,

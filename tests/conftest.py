@@ -19,3 +19,12 @@ import jax  # noqa: E402
 # runs; override through jax.config (env vars alone are too late).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Build the native C++ components (csrc/ -> deepflame_tpu/_native/) so the
+# native parity tests run instead of skipping (round-1 review item 10).
+_here = os.path.dirname(os.path.abspath(__file__))
+_so = os.path.join(_here, "..", "deepflame_tpu", "_native", "libdfnative.so")
+if not os.path.exists(_so):
+    import subprocess
+    subprocess.run(["make", "-C", os.path.join(_here, "..", "csrc")],
+                   check=False, capture_output=True)
