@@ -1,0 +1,184 @@
+"""Moving-patch local refinement for the density-based solver.
+
+Role parity: the reference's AMR stack — dfDynamicRefineFvMesh multi-criteria
+refine/unrefine around the detonation front
+(/root/reference/src/dynamicFvMesh/dfDynamicRefineFvMesh.H:116-160,
+multiCritRefinement.H:105-158, driven from dfHighSpeedFoam.C:113-138 with
+refCri = max|grad rho|). The reference rebuilds unstructured topology every
+refineInterval; on TPU topology changes mean retraces, so this module uses
+the XLA-native equivalent: a FIXED-SIZE fine patch (static shapes, one
+compiled step) whose integer offset tracks the front via `dynamic_slice` —
+refine/unrefine becomes data movement, not topology.
+
+Structure (1-level Berger-Collela-style nesting, overwrite coupling):
+  - the COARSE solver advances the whole domain every step;
+  - the FINE patch (refinement ratio r along x, full extent in y/z) advances
+    r substeps at dt/r; its outer `buffer` cells are re-seeded from the
+    coarse solution each coarse step, so boundary contamination never
+    reaches the interior (buffer >= r * stencil width);
+  - coarse cells fully covered by the fine interior are overwritten by the
+    conservative restriction (mean) — the fine solution is authoritative;
+  - every step the patch recenters on max|grad rho| (the reference's
+    refCri), shifting by whole coarse cells inside jit.
+
+Conservation note: the overwrite coupling is not flux-telescoping at the
+patch edges; the edges sit in smooth flow (buffer + recentring keep the
+front in the interior), which holds the error below the anchor tolerance —
+the honest trade for a retrace-free static-shape design.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..solvers.high_speed import HighSpeedSolver, HighSpeedState
+from .structured import StructuredMesh
+
+__all__ = ["MovingPatchAMR", "PatchState"]
+
+
+class PatchState(NamedTuple):
+    coarse: HighSpeedState
+    fine: HighSpeedState
+    offset: jax.Array       # int32: coarse-cell index of the patch left edge
+
+
+def _repeat_x(q, r):
+    """Piecewise-constant prolongation along axis -3 (x)."""
+    return jnp.repeat(q, r, axis=-3)
+
+
+def _mean_x(q, r):
+    """Conservative restriction along axis -3."""
+    sh = q.shape
+    nx = sh[-3]
+    q4 = q.reshape(sh[:-3] + (nx // r, r) + sh[-2:])
+    return jnp.mean(q4, axis=-3)
+
+
+@dataclasses.dataclass(frozen=True)
+class MovingPatchAMR:
+    """One fine moving patch over a coarse HighSpeedSolver domain."""
+    coarse: HighSpeedSolver
+    fine: HighSpeedSolver            # mesh: (pc * r, ny, nz), dx/r spacing
+    ratio: int
+    pc: int                          # patch extent in coarse cells
+    buffer_c: int = 4                # buffer width in coarse cells (per side)
+
+    @staticmethod
+    def build(coarse: HighSpeedSolver, pc: int, ratio: int = 4,
+              buffer_c: int = 4) -> "MovingPatchAMR":
+        m = coarse.mesh
+        fine_mesh = StructuredMesh(pc * ratio, m.ny, m.nz,
+                                   m.dx / ratio, m.dy, m.dz,
+                                   m.x0, m.y0, m.z0)
+        fine = dataclasses.replace(coarse, mesh=fine_mesh)
+        return MovingPatchAMR(coarse=coarse, fine=fine, ratio=ratio, pc=pc,
+                              buffer_c=buffer_c)
+
+    # ------------------------------------------------------------ plumbing
+    def _cons(self, s: HighSpeedState):
+        return (s.rho, s.rhoU, s.rhoE, s.rhoY, s.T)
+
+    def _with(self, s: HighSpeedState, vals) -> HighSpeedState:
+        rho, rhoU, rhoE, rhoY, T = vals
+        return s._replace(rho=rho, rhoU=rhoU, rhoE=rhoE, rhoY=rhoY, T=T)
+
+    def _slice_c(self, q, off, n):
+        """x-window [off, off+n) of a coarse field (any leading dims)."""
+        z = jnp.zeros((), jnp.int32)
+        starts = (z,) * (q.ndim - 3) + (jnp.asarray(off, jnp.int32), z, z)
+        sizes = q.shape[:-3] + (n,) + q.shape[-2:]
+        return jax.lax.dynamic_slice(q, starts, sizes)
+
+    def _insert_c(self, q, patch, off):
+        z = jnp.zeros((), jnp.int32)
+        starts = (z,) * (q.ndim - 3) + (jnp.asarray(off, jnp.int32), z, z)
+        return jax.lax.dynamic_update_slice(q, patch, starts)
+
+    def prolong(self, sc: HighSpeedState, off) -> HighSpeedState:
+        """Fine-patch state from the coarse window (p.w. constant)."""
+        vals = tuple(_repeat_x(self._slice_c(q, off, self.pc), self.ratio)
+                     for q in self._cons(sc))
+        return HighSpeedState(rho=vals[0], rhoU=vals[1], rhoE=vals[2],
+                              rhoY=vals[3], T=vals[4], time=sc.time)
+
+    # ---------------------------------------------------------------- init
+    def initial_state(self, p, T, Y, U=None, time=0.0,
+                      offset: int = 0) -> PatchState:
+        sc = self.coarse.initial_state(p, T, Y, U, time)
+        off = jnp.asarray(offset, jnp.int32)
+        sf = self.prolong(sc, off)
+        return PatchState(coarse=sc, fine=sf, offset=off)
+
+    # ---------------------------------------------------------------- step
+    def step(self, ps: PatchState, dt) -> tuple[PatchState, dict]:
+        r = self.ratio
+        b = self.buffer_c
+        pc = self.pc
+        sc, sf, off = ps
+
+        # 1. coarse step over the whole domain
+        sc2, diag_c = self.coarse.step(sc, dt)
+
+        # 2. re-seed the fine buffer zones from the coarse state (start-of-
+        #    step values; the buffer absorbs the time-lag error)
+        seeded = []
+        for qf, qc in zip(self._cons(sf), self._cons(sc)):
+            proj = _repeat_x(self._slice_c(qc, off, pc), r)
+            nxf = qf.shape[-3]
+            ix = jnp.arange(nxf)
+            in_buf = (ix < b * r) | (ix >= nxf - b * r)
+            shape = [1] * qf.ndim
+            shape[-3] = nxf
+            mask = in_buf.reshape(shape)
+            seeded.append(jnp.where(mask, proj, qf))
+        sf = self._with(sf, seeded)
+
+        # 3. fine substeps (CFL-matched: dx/r at dt/r)
+        def sub(s, _):
+            s2, _ = self.fine.step(s, dt / r)
+            return s2, None
+        sf2, _ = jax.lax.scan(sub, sf, None, length=r)
+
+        # 4. conservative restriction of the fine INTERIOR onto the coarse
+        restricted = []
+        for qf, qc in zip(self._cons(sf2), self._cons(sc2)):
+            qr = _mean_x(qf, r)                       # (pc, ny, nz) window
+            inner = self._slice_c(qr, b, pc - 2 * b) if b > 0 else qr
+            restricted.append(self._insert_c(qc, inner, off + b))
+        sc2 = self._with(sc2, restricted)
+        # re-derive coarse T under the patch from the conserved variables
+        _, _, _, T_new, _ = self.coarse.primitives(sc2)
+        sc2 = sc2._replace(T=T_new)
+
+        # 5. recenter on the front: refCri = max|grad rho| on the coarse
+        #    grid (dfHighSpeedFoam.C:113-121)
+        g = jnp.abs(jnp.diff(sc2.rho, axis=0)).max(axis=(1, 2))   # (nxc-1,)
+        i_front = jnp.argmax(g).astype(jnp.int32)
+        nxc = self.coarse.mesh.nx
+        off_new = jnp.clip(i_front - pc // 2, 0, nxc - pc).astype(jnp.int32)
+        # shift fine data; newly exposed cells take the coarse prolongation
+        shift_f = (off_new - off) * r
+        fresh = self.prolong(sc2, off_new)
+        shifted = []
+        nxf = pc * r
+        ix = jnp.arange(nxf)
+        valid = (ix + shift_f >= 0) & (ix + shift_f < nxf)
+        for qf, qp in zip(self._cons(sf2), self._cons(fresh)):
+            rolled = jnp.roll(qf, -shift_f, axis=-3)
+            shape = [1] * qf.ndim
+            shape[-3] = nxf
+            m = valid.reshape(shape)
+            shifted.append(jnp.where(m, rolled, qp))
+        sf2 = self._with(fresh, shifted)
+        sf2 = sf2._replace(time=sc2.time)
+
+        diag = dict(diag_c)
+        diag["patch_offset"] = off_new
+        diag["T_max"] = jnp.maximum(diag_c["T_max"], jnp.max(sf2.T))
+        diag["p_max"] = diag_c["p_max"]
+        return PatchState(coarse=sc2, fine=sf2, offset=off_new), diag

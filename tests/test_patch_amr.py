@@ -1,0 +1,100 @@
+"""Moving-patch AMR (mesh/patch_amr.py) correctness.
+
+1. Freestream preservation: a uniform state passes through prolongation,
+   substepping, restriction, and recentring unchanged.
+2. A Sod-type shock crossing the domain matches a uniform-FINE reference in
+   the patch region (the patch tracks the discontinuity).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import os
+
+from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
+                                     make_kinetics)
+from deepflame_tpu.mesh import StructuredMesh, zero_gradient, empty
+from deepflame_tpu.mesh.patch_amr import MovingPatchAMR
+from deepflame_tpu.solvers.high_speed import (HighSpeedConfig,
+                                              HighSpeedSolver)
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _make(n_c=64, ratio=2, pc=16, buffer_c=2, L=1.0):
+    mech = load_mechanism(os.path.join(DATA, "air.yaml"))
+    th, kin = make_thermo(mech), make_kinetics(mech)
+    mesh = StructuredMesh.box([L, L / n_c, L / n_c], [n_c, 1, 1])
+    e = (empty(), empty())
+    b = ((zero_gradient(), zero_gradient()), e, e)
+    cfg = HighSpeedConfig(flux="HLLC", rk_order=2, limiter="vanLeer",
+                          chemistry="none")
+    coarse = HighSpeedSolver(mesh=mesh, thermo=th, kinetics=kin, bcs_rho=b,
+                             bcs_U=(b, b, b), bcs_p=b, bcs_Y=b, config=cfg)
+    return mech, coarse, MovingPatchAMR.build(coarse, pc=pc, ratio=ratio,
+                                              buffer_c=buffer_c)
+
+
+def test_freestream_preservation():
+    mech, coarse, amr = _make()
+    sh = coarse.mesh.shape
+    p = jnp.full(sh, 101325.0)
+    T = jnp.full(sh, 300.0)
+    Y = jnp.ones((1,) + sh)
+    ps = amr.initial_state(p, T, Y)
+    dt = 1e-6
+    for _ in range(5):
+        ps, diag = amr.step(ps, dt)
+    np.testing.assert_allclose(np.asarray(ps.coarse.rho),
+                               np.asarray(ps.coarse.rho).flat[0],
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ps.fine.rho),
+                               np.asarray(ps.coarse.rho).flat[0],
+                               rtol=1e-12)
+    assert np.all(np.abs(np.asarray(ps.coarse.rhoU)) < 1e-8)
+
+
+def test_shock_matches_uniform_fine():
+    """Sod-like pressure jump: the patch-resolved front matches a uniform-
+    fine run to a few % in the shocked region."""
+    n_c, ratio = 64, 2
+    mech, coarse, amr = _make(n_c=n_c, ratio=ratio, pc=24, buffer_c=3)
+    th = coarse.thermo
+    # uniform-fine reference solver
+    mf = StructuredMesh.box([1.0, 1.0 / (n_c * ratio), 1.0 / (n_c * ratio)],
+                            [n_c * ratio, 1, 1])
+    import dataclasses
+    fine_ref = dataclasses.replace(coarse, mesh=mf)
+
+    sh_c = coarse.mesh.shape
+    Xc, _, _ = coarse.mesh.cell_centers(jnp.float64)
+    p_c = jnp.where(Xc < 0.3, 4.0 * 101325.0, 101325.0)
+    T_c = jnp.full(sh_c, 300.0)
+    Y_c = jnp.ones((1,) + sh_c)
+    ps = amr.initial_state(p_c, T_c, Y_c, offset=24 - 12)  # centered on jump
+
+    Xf, _, _ = mf.cell_centers(jnp.float64)
+    p_f = jnp.where(Xf < 0.3, 4.0 * 101325.0, 101325.0)
+    T_f = jnp.full(mf.shape, 300.0)
+    Y_f = jnp.ones((1,) + mf.shape)
+    sref = fine_ref.initial_state(p_f, T_f, Y_f)
+
+    dt = 2e-5 / 40      # CFL ~ 0.2 on the coarse grid
+    n_steps = 40
+    step_a = jax.jit(lambda s: amr.step(s, dt)[0])
+    step_r = jax.jit(lambda s: fine_ref.step(s, dt / ratio)[0])
+    for _ in range(n_steps):
+        ps = step_a(ps)
+    for _ in range(n_steps * ratio):
+        sref = step_r(sref)
+
+    # compare the fine-patch interior against the reference on its window
+    off = int(ps.offset)
+    b = 3 * ratio
+    rho_patch = np.asarray(ps.fine.rho).squeeze()[b:-b]
+    rho_ref = np.asarray(sref.rho).squeeze()[
+        off * ratio + b: off * ratio + 24 * ratio - b]
+    # discontinuity tracking: allow small pointwise slip at the shock, but
+    # the profiles must agree closely in L1
+    l1 = np.abs(rho_patch - rho_ref).mean() / rho_ref.mean()
+    assert l1 < 0.02, l1
+    assert np.max(np.abs(rho_patch - rho_ref)) / rho_ref.mean() < 0.25
