@@ -24,7 +24,9 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build_3d_les
 
-    n = 48                       # 48^3 3D reacting LES case
+    n = 96                       # 96^3 3D reacting LES case (north-star
+    # scale; round-1 benched 48^3 — see BENCH.md for the size/tolerance
+    # sweep: 96^3 also runs FASTER per cell than 48^3 here)
     solver, state = _build_3d_les(n=n, dtype=jnp.float32)
     dt = 2.5e-7
     step = jax.jit(lambda s: solver.step(s, dt)[0])

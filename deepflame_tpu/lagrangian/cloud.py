@@ -33,8 +33,8 @@ import jax.numpy as jnp
 from ..mesh.structured import StructuredMesh
 from .liquids import Liquid
 
-__all__ = ["CloudState", "ConeInjector", "PatchFuncInjector", "SprayCloud",
-           "CloudSources"]
+__all__ = ["CloudState", "ConeInjector", "ManualInjector",
+           "PatchFuncInjector", "SprayCloud", "CloudSources"]
 
 
 class CloudState(NamedTuple):
@@ -56,6 +56,51 @@ class CloudSources(NamedTuple):
     SU: jax.Array         # (3, nx, ny, nz) momentum
     Sh: jax.Array         # (nx, ny, nz) energy [J/m^3/s]
     SY: jax.Array         # (nx, ny, nz) fuel-vapor species mass
+
+
+@dataclasses.dataclass(frozen=True)
+class ManualInjector:
+    """manualInjection parity (water-mist detonation cases:
+    /root/reference/examples/dfHighSpeedFoam/oneD_detH2WaterMist/constant/
+    sprayCloudProperties — positionsFile + fixed nParticle + uniform size,
+    one-shot release at SOI).
+
+    positions: (N0, 3) parcel positions; all released in the step containing
+    `soi`. The owning SprayCloud must have max_parcels >= N0.
+    """
+    positions: Any = ()           # (N0, 3) array-like
+    soi: float = 0.0
+    d0: float = 5e-6
+    n_particle: float = 275.0
+    T_inject: float = 300.0
+    U0: tuple = (0.0, 0.0, 0.0)
+    rho_liquid: float = 997.0
+
+    @property
+    def parcels_per_step(self) -> int:
+        import numpy as _np
+        return int(_np.asarray(self.positions).shape[0])
+
+    @property
+    def t_start(self) -> float:
+        return self.soi
+
+    @property
+    def t_end(self) -> float:
+        return self.soi          # one-shot
+
+    def sample(self, keys, time, dt, dtype):
+        import numpy as _np
+        pos_np = _np.asarray(self.positions, dtype=_np.float64)
+        K = pos_np.shape[0]
+        pos = jnp.asarray(pos_np.T, dtype)
+        vel = jnp.broadcast_to(jnp.asarray(self.U0, dtype)[:, None], (3, K))
+        dm = jnp.full((K,), self.d0, dtype)
+        m_drop = self.rho_liquid * jnp.pi / 6.0 * self.d0 ** 3
+        mass_step = K * self.n_particle * m_drop
+        # release exactly once: the step whose interval contains SOI
+        injecting = jnp.logical_and(time <= self.soi, time + dt > self.soi)
+        return pos, vel, dm, mass_step, injecting
 
 
 @dataclasses.dataclass(frozen=True)

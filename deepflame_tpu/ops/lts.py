@@ -61,3 +61,23 @@ def set_r_delta_t(phi, rho, bcs_p, mesh: StructuredMesh,
         # limit rate of increase: rDeltaT <= old * (1 + damping)
         r_dt = jnp.minimum(r_dt, r_delta_t_old * (1.0 + damping))
     return r_dt
+
+
+def set_r_delta_t_acoustic(U, c, bcs_p, mesh: StructuredMesh,
+                           max_co: float = 0.5, max_dt: float = 1.0,
+                           n_smooth: int = 3) -> jax.Array:
+    """rDeltaT [1/s] from the local ACOUSTIC Courant number — the
+    dfHighSpeedFoam LTS mode (setRDeltaT.H: rDeltaT = max(1/maxDeltaT,
+    surfaceSum(amaxSf)/(2 maxCo V)) with amaxSf = |phi_f| + c_f |Sf|,
+    rhoCentralFoam heritage; dfHighSpeedFoam.C:182-186).
+
+    U: (3, ...) velocity; c: sound speed cell field. Per-axis face wave
+    speed approximated cellwise (uniform grid): sum_ax (|u_ax| + c)/h_ax.
+    """
+    r_dt = 0.0
+    for ax, h in enumerate(mesh.spacing):
+        if mesh.shape[ax] == 1:
+            continue
+        r_dt = r_dt + (jnp.abs(U[ax]) + c) / h
+    r_dt = jnp.maximum(r_dt / (2.0 * max_co), 1.0 / max_dt)
+    return smooth_field(r_dt, bcs_p, mesh, n_smooth)

@@ -229,7 +229,10 @@ class HighSpeedSolver:
             s = self._chemistry_split(s, dt)
 
         rho, U, p, T, Y = self.primitives(s)
-        s = s._replace(T=T, time=s.time + dt)
+        # LTS (per-cell dt field): pseudo-time — advance the clock by the
+        # smallest local step (dfHighSpeedFoam LTS is steady-state marching)
+        dt_clock = jnp.min(jnp.asarray(dt)) if jnp.ndim(dt) > 0 else dt
+        s = s._replace(T=T, time=s.time + dt_clock)
         diag = dict(T_max=jnp.max(T), p_max=jnp.max(p),
                     u_max=jnp.max(jnp.abs(U)))
         return s, diag
@@ -243,7 +246,10 @@ class HighSpeedSolver:
         Yf = jnp.moveaxis(Y, 0, -1).reshape(-1, ns)
         st0 = jnp.concatenate([Tf[:, None], Yf], axis=1)
         active = Tf > self.config.T_threshold
-        t_ends = jnp.where(active, jnp.asarray(dt, Tf.dtype), 0.0)
+        dt_arr = jnp.asarray(dt, Tf.dtype)
+        # LTS: per-cell dt field (localEulerDdt role) — flatten to lanes
+        dt_flat = dt_arr.reshape(-1) if dt_arr.ndim > 0 else dt_arr
+        t_ends = jnp.where(active, dt_flat, 0.0)
 
         def one_cell(state, rho_c, t_end):
             rhs = constant_volume_rhs(self.thermo, self.kinetics, rho_c)

@@ -186,3 +186,81 @@ def test_weno5_periodic_conservation_and_accuracy(air):
     amp_weno = run("WENO5")
     amp_muscl = run("minmod")
     assert amp_weno > amp_muscl * 1.02, (amp_weno, amp_muscl)
+
+
+def test_lts_per_cell_dt(air):
+    """LTS machinery (dfHighSpeedFoam.C:182-186 parity): a per-cell dt field
+    equal to a uniform scalar reproduces the scalar-dt step; the acoustic
+    rDeltaT formula bounds the local CFL."""
+    from deepflame_tpu.ops.lts import set_r_delta_t_acoustic
+    mech, th, kin = air
+    n = 32
+    mesh = StructuredMesh.box([1.0, 1.0 / n, 1.0 / n], [n, 1, 1])
+    solver = make_solver(mech, th, kin, mesh)
+    X, _, _ = mesh.cell_centers(jnp.float64)
+    p = jnp.where(X < 0.5, 2.0 * 101325.0, 101325.0)
+    T = jnp.full(mesh.shape, 300.0)
+    Y = jnp.ones((1,) + mesh.shape)
+    s0 = solver.initial_state(p, T, Y)
+    dt = 1e-6
+    s_scalar, _ = solver.step(s0, dt)
+    s_field, _ = solver.step(s0, jnp.full(mesh.shape, dt))
+    np.testing.assert_allclose(np.asarray(s_field.rho),
+                               np.asarray(s_scalar.rho), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(s_field.rhoE),
+                               np.asarray(s_scalar.rhoE), rtol=1e-13)
+    assert float(s_field.time) == float(s_scalar.time)
+    # acoustic rDeltaT: local dt respects CFL against |u| + c
+    rho, U, pr, Tn, _ = solver.primitives(s0)
+    c = th.sound_speed(Tn, jnp.moveaxis(s0.rhoY / s0.rho[None], 0, -1))
+    bcs = solver.bcs_p
+    r_dt = set_r_delta_t_acoustic(U, c, bcs, mesh, max_co=0.5)
+    dt_loc = 1.0 / np.asarray(r_dt)
+    co = dt_loc * (np.abs(np.asarray(U[0])) + np.asarray(c)) / mesh.dx
+    assert co.max() <= 2.0 * 0.5 + 1e-9    # the 2*maxCo normalization
+
+
+def test_manual_injection_mist_sources(air):
+    """ManualInjector releases all parcels once at SOI; drag on a moving gas
+    extracts momentum (water-mist attenuation mechanism)."""
+    from deepflame_tpu.chemistry import make_transport
+    from deepflame_tpu.lagrangian.cloud import ManualInjector, SprayCloud
+    from deepflame_tpu.lagrangian.liquids import water
+    from deepflame_tpu.solvers.spray import HighSpeedSpraySolver
+    mech, th, kin = air
+    tr = make_transport(mech)
+    n = 32
+    mesh = StructuredMesh.box([1.0, 1.0 / n, 1.0 / n], [n, 1, 1])
+    gas = make_solver(mech, th, kin, mesh)
+    xs = np.linspace(0.4, 0.9, 64)
+    h = 0.5 / n
+    pos = np.stack([xs, np.full_like(xs, h), np.full_like(xs, h)], axis=1)
+    inj = ManualInjector(positions=pos, soi=2e-6, d0=5e-6, n_particle=1e4,
+                         T_inject=300.0, rho_liquid=997.0)
+    cloud = SprayCloud(mesh=mesh, liquid=water(), injector=inj,
+                       max_parcels=64, evaporation="Spalding",
+                       breakup="none", wall_interaction=())
+    solver = HighSpeedSpraySolver(gas_solver=gas, cloud=cloud, transport=tr,
+                                  vapor_index=0)
+    T = jnp.full(mesh.shape, 600.0)
+    p = jnp.full(mesh.shape, 101325.0)
+    Y = jnp.ones((1,) + mesh.shape)
+    U = jnp.stack([jnp.full(mesh.shape, 50.0), jnp.zeros(mesh.shape),
+                   jnp.zeros(mesh.shape)])
+    s = solver.initial_state(p, T, Y, U)
+    dt = 1e-6
+    step = jax.jit(lambda st: solver.step(st, dt)[0])
+    s = step(s)
+    assert int(np.asarray(s.cloud.active).sum()) == 0    # before SOI
+    s = step(s)
+    s = step(s)
+    n_act = int(np.asarray(s.cloud.active).sum())
+    assert n_act == 64                                   # one-shot release
+    # drag decelerates the gas where the mist sits; droplets accelerate
+    ux = np.asarray(s.gas.rhoU[0] / s.gas.rho).squeeze()
+    mist = (np.asarray(mesh.cell_centers(jnp.float64)[0]).squeeze() > 0.45) \
+        & (np.asarray(mesh.cell_centers(jnp.float64)[0]).squeeze() < 0.85)
+    assert ux[mist].mean() < 50.0 - 1e-6
+    assert float(np.asarray(s.cloud.vel[0])[
+        np.asarray(s.cloud.active) > 0].mean()) > 0.0
+    assert np.all(np.isfinite(np.asarray(s.gas.rhoE)))
