@@ -102,6 +102,10 @@ class BC:
         if self.kind == "inletOutlet":
             # treated as fixedValue here; convection schemes switch on flux sign
             return -1.0, 2.0 * self.value
+        if self.kind == "affine":
+            # precomputed (a, b), possibly array-valued (energy BCs resolve
+            # T-space conditions to these; mesh/energy_bcs.py)
+            return self.value
         raise ValueError(f"BC kind {self.kind} has no affine ghost")
 
 

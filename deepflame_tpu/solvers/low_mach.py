@@ -35,6 +35,7 @@ from ..chemistry.transport import TransportData
 from ..combustion.basic import CombustionModel
 from ..mesh.structured import (BC, StructuredMesh, cyclic, empty, pad_field,
                                zero_gradient)
+from ..mesh.energy_bcs import resolve_energy_bcs
 from ..ops.fv import (face_pair, fvm_ddt, fvm_div, fvm_laplacian,
                       fvm_source_implicit, grad, div_flux, interpolate)
 from ..ops.linsolve import cg, solve_fvmatrix
@@ -247,6 +248,11 @@ class LowMachSolver:
         rho_old, U_old, p_old, ha_old, Y_old = s.rho, s.U, s.p, s.ha, s.Y
         phi = s.phi
         rho, U, p, ha, Y, T = s.rho, s.U, s.p, s.ha, s.Y, s.T
+        # T-space energy BCs (fixedEnergy/gradientEnergy/mixedEnergy) ->
+        # concrete affine ha BCs from the start-of-step state (OpenFOAM
+        # updates these patch fields per time step the same way)
+        bcs_h = resolve_energy_bcs(self.bcs_h, T, Y, self.thermo, mesh,
+                                   self.bcs_Y)
         dpdt = s.dpdt
         turb = s.turb
         is_ras = getattr(self.turbulence, "is_ras", False)
@@ -416,10 +422,10 @@ class LowMachSolver:
                     interpolate(pad_field(hcorr[ax], self.bcs_coeff, mesh), ax)
                     for ax in range(3))
                 hcorr_div = div_flux(hcorr_f, mesh)
-            eqn_h = (fvm_ddt(rho, ha_old, dt, mesh, self.bcs_h,
+            eqn_h = (fvm_ddt(rho, ha_old, dt, mesh, bcs_h,
                              coeff_old=rho_old)
-                     + fvm_div(phi, ha, mesh, self.bcs_h, cfg.div_scheme)
-                     + fvm_laplacian(alpha_f, mesh, self.bcs_h, dtype=dtype,
+                     + fvm_div(phi, ha, mesh, bcs_h, cfg.div_scheme)
+                     + fvm_laplacian(alpha_f, mesh, bcs_h, dtype=dtype,
                                      sign=-1.0))
             src_h = sources["Sh"] if sources else 0.0
             eqn_h = eqn_h.with_source(dpdt - dKdt + hcorr_div + src_h)

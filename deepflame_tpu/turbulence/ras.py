@@ -13,6 +13,8 @@ wall-distance blending.
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 
@@ -59,6 +61,7 @@ class KEpsilon:
     Sc_t: float = 0.7
     k_min: float = 1e-10
     eps_min: float = 1e-12
+    wall_fns: Any = None        # WallFunctions (turbulence/wall_functions.py)
 
     @staticmethod
     def rng(**kw):
@@ -92,6 +95,13 @@ class KEpsilon:
                 Sij = 0.5 * (gU[i][j] + gU[j][i])
                 SS = SS + Sij * Sij
         P = mu_t * 2.0 * SS
+        wf = self.wall_fns
+        if wf is not None:
+            # wall-layer production + log-layer eddy viscosity
+            # (epsilonWallFunction::calculate + nutkWallFunction)
+            G_w = wf.production(rho, k, mu, mu_t, U, bcs_U, mesh)
+            P = wf.apply_mask(G_w, P)
+            mu_t = wf.apply_mask(rho * wf.nut(rho, k, mu), mu_t)
 
         def diff_face(gamma):
             return tuple(interpolate(pad_field(gamma, bcs_scalar, mesh), ax)
@@ -129,6 +139,10 @@ class KEpsilon:
                                              max_iter=max_iter).x,
                               self.eps_min)
         mu_t_new = self.mu_t_from(rho, k_new, eps_new)
+        if wf is not None:
+            # epsilonWallFunction fixed value + nutk eddy viscosity
+            eps_new = wf.apply_mask(wf.epsilon(k_new), eps_new)
+            mu_t_new = wf.apply_mask(rho * wf.nut(rho, k_new, mu), mu_t_new)
         return k_new, eps_new, mu_t_new
 
 
@@ -157,6 +171,7 @@ class KOmegaSST:
     Sc_t: float = 0.7
     k_min: float = 1e-10
     w_min: float = 1e-6
+    wall_fns: Any = None        # WallFunctions (turbulence/wall_functions.py)
 
     def k_eps(self, turb):
         k, w = turb
@@ -215,6 +230,11 @@ class KOmegaSST:
         mu_t = self.mu_t_from(rho, k, w, S_mag, F2)
         # production, limited to 10 beta* rho k omega (Menter limiter)
         Pk = jnp.minimum(mu_t * 2.0 * SS, 10.0 * self.beta_star * rho * k * w)
+        wf = self.wall_fns
+        if wf is not None:
+            Pk = wf.apply_mask(wf.production(rho, k, mu, mu_t, U, bcs_U,
+                                             mesh), Pk)
+            mu_t = wf.apply_mask(rho * wf.nut(rho, k, mu), mu_t)
 
         def diff_face(gamma):
             return tuple(interpolate(pad_field(gamma, bcs_scalar, mesh), ax)
@@ -250,5 +270,11 @@ class KOmegaSST:
         eqn_w = eqn_w.with_source(Pw + cross)
         w_new = jnp.maximum(solve_fvmatrix(eqn_w, w, tol=tol,
                                            max_iter=max_iter).x, self.w_min)
+        if wf is not None:
+            # omegaWallFunction blended fixed value
+            w_new = wf.apply_mask(wf.omega(rho, k_new, mu, self.beta1),
+                                  w_new)
         mu_t_new = self.mu_t_from(rho, k_new, w_new, S_mag, F2)
+        if wf is not None:
+            mu_t_new = wf.apply_mask(rho * wf.nut(rho, k_new, mu), mu_t_new)
         return k_new, w_new, mu_t_new
