@@ -15,7 +15,7 @@ from typing import Any
 import jax
 import numpy as np
 
-__all__ = ["save_state", "load_state", "latest_time"]
+__all__ = ["save_state", "load_state", "load_meta", "latest_time"]
 
 
 def save_state(directory: str, state: Any, time: float, meta: dict | None = None):
@@ -46,6 +46,18 @@ def load_state(directory: str, like: Any, time: float | str = "latest") -> Any:
                                     if hasattr(leaves[i], "dtype") else None)
                   for i in range(len(leaves))]
     return jax.tree.unflatten(treedef, new_leaves)
+
+
+def load_meta(directory: str, time: float | str = "latest") -> dict:
+    """Read a checkpoint's meta.json (carries e.g. the adjustable dt at
+    write time so restarts resume with the settled step size)."""
+    if time == "latest":
+        time = latest_time(directory)
+        if time is None:
+            raise FileNotFoundError(f"no checkpoints in {directory}")
+    tdir = os.path.join(directory, f"{float(time):.9g}")
+    with open(os.path.join(tdir, "meta.json")) as f:
+        return json.load(f)
 
 
 def latest_time(directory: str) -> float | None:

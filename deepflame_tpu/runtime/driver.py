@@ -15,7 +15,7 @@ from typing import Callable
 import jax
 import numpy as np
 
-from .checkpoint import save_state
+from .checkpoint import save_state, load_state, load_meta, latest_time
 from .config import ControlDict
 
 __all__ = ["run_case"]
@@ -27,18 +27,32 @@ def run_case(solver, state, control: ControlDict,
              splitting: bool = False,
              fields_fn: Callable | None = None,
              log_every: int = 10,
-             courant_fn: Callable | None = None):
+             courant_fn: Callable | None = None,
+             restart: bool = False):
     """Run a time loop to control.end_time.
 
     solver must expose step(state, dt) (or step(state, dt, chemistry_on) when
     splitting); fields_fn(state) -> dict feeds function objects; courant_fn
     (state, dt) -> Co enables adjustable dt (controlDict adjustTimeStep).
+    restart=True resumes from the latest checkpoint in checkpoint_dir
+    (OpenFOAM `startFrom latestTime`): state, time, the settled adjustable
+    dt, and the write schedule all continue where the previous run stopped.
     Returns the final state.
     """
     dt = control.delta_t
+    if restart:
+        if checkpoint_dir is None or latest_time(checkpoint_dir) is None:
+            print("restart requested but no checkpoint found; cold start")
+        else:
+            state = load_state(checkpoint_dir, state)
+            meta = load_meta(checkpoint_dir)
+            dt = float(meta.get("dt", dt))
+            print(f"restarting from t={meta['time']:.6e} (dt={dt:.3e})")
     t = float(np.asarray(state.time if hasattr(state, "time")
                          else state.gas.time))
-    next_write = t + control.write_interval
+    # align the write schedule to the global grid (restart lands mid-grid)
+    n_written = int(np.floor(t / control.write_interval + 1e-9))
+    next_write = (n_written + 1) * control.write_interval
     step_jit = jax.jit(lambda s, dt_: solver.step(s, dt_))
     if splitting:
         # chemistry every 2nd step with 2x dt (fractional-step splitting)
@@ -72,7 +86,7 @@ def run_case(solver, state, control: ControlDict,
             if function_objects is not None and fields_fn is not None:
                 function_objects(t, fields_fn(state))
             if checkpoint_dir is not None:
-                save_state(checkpoint_dir, state, t)
+                save_state(checkpoint_dir, state, t, meta={"dt": dt})
             next_write += control.write_interval
     if function_objects is not None:
         function_objects.write()

@@ -79,3 +79,57 @@ def test_driver_with_splitting(tmp_path):
     assert float(final.T.max()) > 2300.0     # chemistry fired under splitting
     assert len(fmm.rows) >= 2
     assert latest_time(str(tmp_path / "ckpt")) is not None
+
+
+def test_driver_warm_restart(tmp_path):
+    """run_case(restart=True) resumes from the latest checkpoint: the
+    interrupted-then-resumed trajectory is bit-identical to an uninterrupted
+    run (OpenFOAM `startFrom latestTime` parity), the write schedule stays on
+    the global grid, and the adjustable dt persists via checkpoint meta."""
+    from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
+                                         make_kinetics, make_transport)
+    from deepflame_tpu.combustion import NoCombustion
+    from deepflame_tpu.runtime import ControlDict
+    from deepflame_tpu.runtime.checkpoint import load_meta
+    from deepflame_tpu.runtime.driver import run_case
+    from deepflame_tpu.solvers.low_mach import LowMachSolver, LowMachConfig
+
+    DATA = os.path.join(os.path.dirname(__file__), "data")
+    mech = load_mechanism(os.path.join(DATA, "air.yaml"))
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    n = 10
+    L = 0.1
+    mesh = StructuredMesh.box([L, L, L / n], [n, n, 1])
+    b = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
+    solver = LowMachSolver(
+        mesh=mesh, thermo=th, transport=tr, combustion=NoCombustion(th, kin),
+        bcs_U=(b, b, b), bcs_p=b, bcs_h=b, bcs_Y=b, bcs_rho=b,
+        config=LowMachConfig(chemistry=False))
+    X, Yg, _ = mesh.cell_centers()
+    T0 = 300.0 + 50.0 * jnp.sin(2 * jnp.pi * X / L)
+    p0 = jnp.full(mesh.shape, 101325.0)
+    Y0 = jnp.ones((1,) + mesh.shape)
+    state0 = solver.initial_state(p0, T0, Y0)
+
+    dt = 1e-5
+    # uninterrupted: 10 steps to 1e-4
+    ref = run_case(solver, state0, ControlDict(end_time=1e-4, delta_t=dt,
+                                               write_interval=1e-3),
+                   log_every=100)
+    # interrupted at 5e-5, then restarted
+    ck = str(tmp_path / "ckpt")
+    mid = run_case(solver, state0,
+                   ControlDict(end_time=5e-5, delta_t=dt,
+                               write_interval=5e-5),
+                   checkpoint_dir=ck, log_every=100)
+    assert load_meta(ck)["dt"] == pytest.approx(dt)
+    fin = run_case(solver, state0,          # state0 is only the template
+                   ControlDict(end_time=1e-4, delta_t=dt,
+                               write_interval=5e-5),
+                   checkpoint_dir=ck, restart=True, log_every=100)
+    assert float(fin.time) == pytest.approx(1e-4)
+    np.testing.assert_array_equal(np.asarray(fin.T), np.asarray(ref.T))
+    np.testing.assert_array_equal(np.asarray(fin.U), np.asarray(ref.U))
+    # write schedule stayed on the global grid: checkpoints at 5e-5 and 1e-4
+    from deepflame_tpu.runtime import latest_time
+    assert latest_time(ck) == pytest.approx(1e-4)
