@@ -159,11 +159,26 @@ def main():
     fos.write()
     Tn = np.asarray(s.gas.T)
     print(f"wall: {_t.perf_counter() - t0:.1f}s")
+    # reference-matched sampling (system/sample): lineUniform x=0, 100 pts
+    # over y in [0, 0.1], interpolated from the x = 0 cell column (the TGV
+    # anchor showed matched sampling matters in steep gradients)
+    ix0 = nx // 2                                   # x = 0 column (odd nx)
+    y_cells = (np.arange(ny) + 0.5) * 0.1 / ny
+    T_col = Tn[ix0, :, 0]
+    y_line = np.arange(100) * 0.1 / 99
+    T_line = np.interp(y_line, y_cells, T_col)
+    os.makedirs(args.out, exist_ok=True)
+    np.savetxt(os.path.join(args.out, "data_T.xy"),
+               np.stack([y_line, T_line], 1), fmt="%.6g")
+    print("y-profile (x=0): " + " ".join(
+        f"{y_line[i]*1e3:.0f}mm:{T_line[i]:.0f}" for i in range(55, 100, 4)))
     print("station results at t = %.4f ms:" % (float(s.gas.time) * 1e3))
     for k, (i_st, ref) in enumerate(zip(STATIONS_I, ANCHORS)):
-        Tk = float(Tn[probes.idx[k]])
+        Tk = float(T_line[i_st])
+        Tp = float(Tn[probes.idx[k]])
         print(f"  y={i_st * 0.1 / 99 * 1e3:6.2f} mm: T = {Tk:8.2f} K "
-              f"| reference {ref:8.2f} K  dev {100 * (Tk - ref) / ref:+7.2f}%")
+              f"(cell {Tp:8.2f}) | reference {ref:8.2f} K  "
+              f"dev {100 * (Tk - ref) / ref:+7.2f}%")
 
 
 if __name__ == "__main__":

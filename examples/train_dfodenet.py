@@ -32,12 +32,22 @@ def main():
     ap.add_argument("--out", default="dfodenet.npz")
     ap.add_argument("--pre-burn-max", type=float, default=1e-4)
     ap.add_argument("--rtol", type=float, default=1e-7)
+    ap.add_argument("--t-lo", type=float, default=800.0,
+                    help="lower bound of sampled initial temperatures")
+    ap.add_argument("--t-hi", type=float, default=2600.0)
+    ap.add_argument("--manifold", default=None,
+                    help="npz of (T,p,Y) states harvested from a flame run "
+                         "(examples/flame_dnn_closed_loop.py --dump-states) "
+                         "appended to the random-ignition dataset, x3 with "
+                         "perturbations (the DeePCK manifold-sampling role)")
+    ap.add_argument("--dtype", default="f64",
+                    help="dataset-generation precision (f32 for TPU)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
     import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from deepflame_tpu.runtime.platform import configure
+    configure(args.platform, args.dtype)
     import jax.numpy as jnp
     import optax
 
@@ -48,9 +58,12 @@ def main():
     from deepflame_tpu.chemistry.integrator import RosenbrockOptions
     from deepflame_tpu.chemistry.reactor import solve_chemistry
 
+    gen_dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    if args.dtype == "f32" and args.rtol < 1e-5:
+        args.rtol = 1e-5
     mech = load_mechanism(args.mech)
-    th = make_thermo(mech, jnp.float64)
-    kin = make_kinetics(mech, jnp.float64)
+    th = make_thermo(mech, gen_dtype)
+    kin = make_kinetics(mech, gen_dtype)
     ns = mech.n_species
     print(f"mechanism: {mech.name} ({ns} species)")
 
@@ -61,7 +74,7 @@ def main():
     iO2 = mech.species_index("O2")
     iN2 = mech.species_index("N2") if "N2" in mech.species_names else ns - 1
     phi = rng.uniform(0.4, 2.0, n)
-    T0 = rng.uniform(800.0, 2600.0, n)
+    T0 = rng.uniform(args.t_lo, args.t_hi, n)
     p0 = rng.uniform(0.5, 3.0, n) * 101325.0
     W = mech.molecular_weights
     Y = np.zeros((n, ns))
@@ -71,11 +84,33 @@ def main():
     Y[:, iH2], Y[:, iO2], Y[:, iN2] = mH2 / tot, mO2 / tot, mN2 / tot
     # perturb with partially-burnt states: advance a random time first
     pre_t = rng.uniform(0.0, args.pre_burn_max, n)
-    opts = RosenbrockOptions(rtol=args.rtol, atol=1e-13, max_steps=100000)
+    opts = RosenbrockOptions(rtol=args.rtol,
+                             atol=1e-13 if args.dtype == "f64" else 1e-9,
+                             max_steps=100000)
     print("generating dataset (pre-burn)...")
     pre = solve_chemistry(th, kin, jnp.asarray(T0), jnp.asarray(p0),
                           jnp.asarray(Y), jnp.asarray(pre_t), opts=opts)
     T_in, Y_in = np.asarray(pre.T), np.asarray(pre.Y)
+    if args.manifold:
+        man = np.load(args.manifold)
+        Tm, pm, Ym = (np.asarray(man[k], np.float64) for k in ("T", "p", "Y"))
+        keep = Tm > min(args.t_lo, 500.0)     # frozen cells train nothing
+        Tm, pm, Ym = Tm[keep], pm[keep], Ym[keep]
+        reps = [(Tm, pm, Ym)]
+        for scale in (0.01, 0.03):            # perturbed copies off-manifold
+            rT = Tm * (1.0 + scale * rng.standard_normal(Tm.shape))
+            rY = Ym * np.exp(scale * rng.standard_normal(Ym.shape))
+            rY = rY / rY.sum(axis=1, keepdims=True)
+            reps.append((rT, pm, rY))
+        Tm = np.concatenate([r[0] for r in reps])
+        pm = np.concatenate([r[1] for r in reps])
+        Ym = np.concatenate([r[2] for r in reps])
+        print(f"manifold augmentation: +{Tm.shape[0]} states "
+              f"(T in [{Tm.min():.0f}, {Tm.max():.0f}] K)")
+        T_in = np.concatenate([T_in, Tm])
+        p0 = np.concatenate([p0, pm])
+        Y_in = np.concatenate([Y_in, Ym])
+        n = T_in.shape[0]
     print("generating dataset (targets)...")
     tgt = solve_chemistry(th, kin, jnp.asarray(T_in), jnp.asarray(p0),
                           jnp.asarray(Y_in), args.delta_t, opts=opts)
