@@ -53,8 +53,9 @@ class CombustionProperties:
 
 @dataclasses.dataclass(frozen=True)
 class TurbulenceProperties:
-    simulation_type: str = "laminar"      # laminar | LES
+    simulation_type: str = "laminar"      # laminar | LES | RAS
     les_model: str = "Smagorinsky"        # Smagorinsky | WALE | Sigma | dynamicSmagorinsky
+    ras_model: str = "kEpsilon"           # kEpsilon | RNGkEpsilon | kOmegaSST
     Pr_t: float = 0.85
     Sc_t: float = 0.7
 

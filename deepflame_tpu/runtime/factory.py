@@ -76,7 +76,14 @@ def build_turbulence(case: CaseConfig):
     if t.simulation_type == "LES":
         return _LES[t.les_model](Pr_t=t.Pr_t, Sc_t=t.Sc_t)
     if t.simulation_type == "RAS":
-        return KEpsilon(Pr_t=t.Pr_t, Sc_t=t.Sc_t)
+        if t.ras_model == "kEpsilon":
+            return KEpsilon(Pr_t=t.Pr_t, Sc_t=t.Sc_t)
+        if t.ras_model == "RNGkEpsilon":
+            return KEpsilon.rng(Pr_t=t.Pr_t, Sc_t=t.Sc_t)
+        if t.ras_model == "kOmegaSST":
+            from ..turbulence import KOmegaSST
+            return KOmegaSST(Pr_t=t.Pr_t, Sc_t=t.Sc_t)
+        raise ValueError(f"unknown RAS model {t.ras_model!r}")
     raise ValueError(t.simulation_type)
 
 
