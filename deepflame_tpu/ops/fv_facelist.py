@@ -154,6 +154,11 @@ class FvMatrixFL:
     def diag(self) -> jax.Array:
         return self.diag_c
 
+    def H(self, x: jax.Array) -> jax.Array:
+        """OpenFOAM H operator: b - (A(x) - diag*x) (same contract as the
+        structured FvMatrix.H, ops/fv.py)."""
+        return self.rhs() - (self.apply(x) - self.diag_c * x)
+
     def ell(self, width: int = 6):
         """(nbr (n,w) int32, coef (n,w)) ELLPACK form of the off-diagonal:
         A(x) = diag_c*x + (1/V) sum_w coef[:,w] * x[nbr[:,w]].

@@ -1,0 +1,414 @@
+"""Low-Mach PIMPLE solver on the face-list (CSR/unstructured) backend.
+
+Role parity: the same dfLowMachFoam loop as solvers/low_mach.py
+(dfLowMachFoam.C:123-512 — rhoEqn, UEqn, YEqn, EEqn, correctThermo, pEqn
+correctors with Rhie-Chow ddtCorr), discretized through gather/scatter over
+FaceListMesh connectivity (ops/fv_facelist.py) instead of shifts over a
+structured block. This is the solver stage of the BASELINE north-star
+"gather/scatter over CSR face-cell connectivity" path: any mesh expressible
+as owner/neighbour face lists (unstructured included) runs the same step.
+
+Validation: on a box mesh this solver must reproduce the structured
+LowMachSolver step to roundoff (tests/test_facelist_solver.py) — both
+backends share BC semantics and per-unit-volume operator forms by
+construction.
+
+State layout is flat cells: scalars (n_cells,), vectors (n_cells, 3),
+species (n_cells, ns), interior face flux (nf,) + per-patch boundary fluxes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh.facelist import FaceListMesh
+from ..ops.fv_facelist import (FvMatrixFL, div_flux_fl, fvm_ddt_fl,
+                               fvm_div_fl, fvm_laplacian_fl,
+                               fvm_source_implicit_fl, grad_fl,
+                               interpolate_fl, _boundary_face_value)
+from ..ops.linsolve import cg, solve_fvmatrix
+from .low_mach import LowMachConfig
+
+__all__ = ["LowMachFLState", "LowMachSolverFL"]
+
+
+class LowMachFLState(NamedTuple):
+    rho: jax.Array           # (n,)
+    U: jax.Array             # (n, 3)
+    p: jax.Array
+    ha: jax.Array
+    Y: jax.Array             # (n, ns)
+    T: jax.Array
+    phi: jax.Array           # (nf,) interior face mass-flux density
+    phi_b: tuple             # per-patch boundary flux densities
+    dpdt: jax.Array
+    time: jax.Array
+    chem_dt: Any = ()
+
+
+def _coeff_patches(m: FaceListMesh):
+    """Value-neutral (zeroGradient) boundary values of a coefficient field:
+    face value = owner value (the structured backend's bcs_coeff role)."""
+    return [lambda q, p=p: q[p.owner] for p in m.patches]
+
+
+def _face_product(m: FaceListMesh, q):
+    """Face interpolation of a coefficient field (interior), boundary =
+    owner extrapolation. Returns (interior (nf,), per-patch list)."""
+    return interpolate_fl(m, q), [q[p.owner] for p in m.patches]
+
+
+@dataclasses.dataclass(frozen=True)
+class LowMachSolverFL:
+    """Per-field FaceListMesh instances carry each field's boundary
+    coefficients over the SAME geometry/connectivity (built by
+    mesh.facelist.from_structured for box meshes, or any constructor
+    producing consistent owner/neighbour/patch blocks for general meshes)."""
+    m_p: FaceListMesh        # pressure-field BCs
+    m_h: FaceListMesh
+    m_Y: FaceListMesh        # shared by all species
+    m_rho: FaceListMesh
+    m_U: tuple               # (3,) per velocity component
+    thermo: Any
+    transport: Any
+    combustion: Any
+    config: LowMachConfig = LowMachConfig()
+
+    @property
+    def mesh(self) -> FaceListMesh:
+        return self.m_p
+
+    # ------------------------------------------------------------- helpers
+    def _mixture_update(self, p, T, Y):
+        X = self.thermo.mole_fractions(Y)
+        mu = self.transport.mu_mix(T, X)
+        cp = self.thermo.cp_mass(T, Y)
+        lam = self.transport.lambda_mix(T, X)
+        alpha = lam / cp
+        if self.config.unity_lewis:
+            rhoD = jnp.broadcast_to(alpha, (Y.shape[1],) + alpha.shape)
+        else:
+            rho = self.thermo.rho(p, T, Y)
+            Dm = self.transport.mix_diff_coeffs(T, p, X, Y)   # (n, ns)
+            rhoD = jnp.moveaxis(rho[..., None] * Dm, -1, 0)
+        return mu, alpha, rhoD                           # rhoD: (ns, n)
+
+    def _face_flux(self, rho, U):
+        """(interior phi, per-patch phi) of rho*U using the U-component
+        boundary coefficients (mirror of structured _face_flux)."""
+        m = self.m_p
+        q = rho[:, None] * U                            # (n, 3)
+        phi = 0.0
+        for c in range(3):
+            qf = interpolate_fl(self.m_U[c], q[:, c])
+            phi = phi + qf * m.normal[:, c]
+        phi_b = []
+        for ip, p in enumerate(m.patches):
+            vb = 0.0
+            for c in range(3):
+                pc = self.m_U[c].patches[ip]
+                vb = vb + _boundary_face_value(pc, q[:, c]) * p.normal[:, c]
+            phi_b.append(vb)
+        return phi, tuple(phi_b)
+
+    def initial_state(self, p, T, Y, U=None, time=0.0) -> LowMachFLState:
+        dtype = T.dtype
+        n = T.shape[0]
+        if U is None:
+            U = jnp.zeros((n, 3), dtype)
+        ha = self.thermo.h_mass(T, Y)
+        rho = self.thermo.rho(p, T, Y)
+        phi, phi_b = self._face_flux(rho, U)
+        return LowMachFLState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
+                              phi_b=phi_b, dpdt=jnp.zeros(n, dtype),
+                              time=jnp.asarray(time, dtype))
+
+    def _fix_boundary_fluxes(self, phi_b, rho_b_face):
+        """Prescribed mass flux on fixed-normal-velocity patches (mirror of
+        structured _fix_boundary_fluxes: only the NORMAL component's BC
+        decides; tangential components carry no normal flux on the
+        axis-aligned patches this constructor produces)."""
+        import numpy as np
+        out = list(phi_b)
+        m = self.m_p
+        for ip, p in enumerate(m.patches):
+            # static normal axis of the patch (patch data is trace-constant)
+            n0 = np.asarray(p.normal)[0]
+            ax = int(np.argmax(np.abs(n0)))
+            pc = self.m_U[ax].patches[ip]
+            if pc.kind in ("fixedValue", "symmetryNegate", "inletOutlet"):
+                # face value of the normal component = b/2 (a = -1 kinds)
+                out[ip] = rho_b_face[ip] * 0.5 * pc.b * p.normal[:, ax]
+        return tuple(out)
+
+    # ---------------------------------------------------------------- step
+    def step(self, s: LowMachFLState, dt):
+        cfg = self.config
+        m = self.m_p
+        dtype = s.T.dtype
+        n = s.T.shape[0]
+        ns = s.Y.shape[1]
+        diag = {}
+
+        rho_old, U_old, p_old, ha_old, Y_old = s.rho, s.U, s.p, s.ha, s.Y
+        rho, U, p, ha, Y, T = s.rho, s.U, s.p, s.ha, s.Y, s.T
+        phi, phi_b = s.phi, s.phi_b
+        dpdt = s.dpdt
+
+        # ===== chemistry (operator split)
+        if cfg.chemistry:
+            chem = self.combustion.correct(
+                T, p, Y, dt * cfg.chemistry_dt_scale, None,
+                dt_start=s.chem_dt if not isinstance(s.chem_dt, tuple)
+                else None)
+            RR = chem.RR * cfg.chemistry_dt_scale        # (n, ns)
+            chem_dt_new = chem.dt_next if chem.dt_next is not None \
+                else s.chem_dt
+        else:
+            RR = jnp.zeros_like(Y)
+            chem_dt_new = s.chem_dt
+
+        for outer in range(cfg.n_outer):
+            # ===== rhoEqn
+            rho = rho_old - dt * div_flux_fl(m, phi, phi_b)
+
+            # ===== coefficients
+            mu, alpha, rhoD = self._mixture_update(p, T, Y)
+            mu_f, mu_bf = _face_product(m, mu)
+
+            # ===== UEqn
+            U, HbyA, rAU = self._momentum(rho, rho_old, U, U_old, phi, phi_b,
+                                          p, mu, mu_f, mu_bf, dt, diag)
+
+            # ===== YEqn
+            gY = []
+            if ns > 1:
+                sumYDiff = 0.0
+                for i in range(ns):
+                    gYi = grad_fl(self.m_Y, Y[:, i])     # (n, 3)
+                    gY.append(gYi)
+                    sumYDiff = sumYDiff + rhoD[i][:, None] * gYi
+                # phiUc: correction flux density at faces
+                phiUc = 0.0
+                phiUc_b = [0.0 for _ in m.patches]
+                for c in range(3):
+                    qf, qb = _face_product(m, sumYDiff[:, c])
+                    phiUc = phiUc + qf * m.normal[:, c]
+                    for ip, p_ in enumerate(m.patches):
+                        phiUc_b[ip] = phiUc_b[ip] + qb[ip] * p_.normal[:, c]
+
+                def _solve_species(rhoD_i, y_i, y_old_i, src_i):
+                    D_f, D_b = _face_product(m, rhoD_i)
+                    eqn = (fvm_ddt_fl(self.m_Y, rho, rho_old, y_old_i, dt,
+                                      dtype)
+                           + fvm_div_fl(self.m_Y, phi,
+                                        [pb for pb in phi_b],
+                                        cfg.div_scheme, dtype)
+                           + fvm_div_fl(self.m_Y, phiUc, phiUc_b,
+                                        "upwind", dtype)
+                           + fvm_laplacian_fl(self.m_Y, D_f, D_b, dtype,
+                                              sign=-1.0)).with_source(src_i)
+                    res = solve_fvmatrix(eqn, y_i, tol=cfg.y_tol,
+                                         max_iter=cfg.max_iter_u)
+                    return jnp.clip(res.x, 0.0, 1.0), res.iterations
+
+                Y_in = Y
+                Y_t, it_y = jax.vmap(_solve_species)(
+                    rhoD, Y.T, Y_old.T, RR.T)
+                Y = Y_t.T
+                diag["iters_Y"] = jnp.max(it_y)
+                if cfg.inert_index is not None:
+                    others = jnp.sum(Y, axis=1) - Y[:, cfg.inert_index]
+                    Y = Y.at[:, cfg.inert_index].set(
+                        jnp.clip(1.0 - others, 0.0, 1.0))
+                else:
+                    Y = Y / jnp.sum(Y, axis=1, keepdims=True)
+
+            # ===== EEqn
+            alpha_f, alpha_b = _face_product(m, alpha)
+            K = 0.5 * jnp.sum(U * U, axis=1)
+            K_old = 0.5 * jnp.sum(U_old * U_old, axis=1)
+            Kf, Kb = _face_product(m, K)
+            dKdt = (rho * K - rho_old * K_old) / dt + div_flux_fl(
+                m, phi * Kf, [fb * kb for fb, kb in zip(phi_b, Kb)])
+            hcorr_div = 0.0
+            if ns > 1:
+                h_sp = self.thermo.h_species(T)          # (n, ns)
+                hcorr = 0.0
+                for i in range(ns):
+                    hcorr = hcorr + (h_sp[:, i] * (rhoD[i] - alpha))[:, None] \
+                        * gY[i]
+                hc_f = 0.0
+                hc_b = [0.0 for _ in m.patches]
+                for c in range(3):
+                    qf, qb = _face_product(m, hcorr[:, c])
+                    hc_f = hc_f + qf * m.normal[:, c]
+                    for ip, p_ in enumerate(m.patches):
+                        hc_b[ip] = hc_b[ip] + qb[ip] * p_.normal[:, c]
+                hcorr_div = div_flux_fl(m, hc_f, hc_b)
+            eqn_h = (fvm_ddt_fl(self.m_h, rho, rho_old, ha_old, dt, dtype)
+                     + fvm_div_fl(self.m_h, phi, list(phi_b),
+                                  cfg.div_scheme, dtype)
+                     + fvm_laplacian_fl(self.m_h, alpha_f, alpha_b, dtype,
+                                        sign=-1.0))
+            eqn_h = eqn_h.with_source(dpdt - dKdt + hcorr_div)
+            if cfg.solve_energy:
+                res_h = solve_fvmatrix(eqn_h, ha, tol=cfg.h_tol,
+                                       max_iter=cfg.max_iter_u)
+                ha = res_h.x
+                diag["iters_h"] = res_h.iterations
+
+            # ===== correctThermo
+            T = self.thermo.T_from_h(ha, Y, T)
+            psi = self.thermo.psi(T, Y)
+
+            # ===== pEqn correctors
+            rho_fn = lambda pp: self.thermo.rho(pp, T, Y)
+            p_prev, U_prev = p, U
+            rhoU_old = self._face_flux(rho_old, U_old)
+            p, phi, phi_b, U, dpdt, rho, p_res = self._pressure_loop(
+                p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old,
+                (s.phi, s.phi_b), rhoU_old, diag)
+            diag[f"p_res_{outer}"] = p_res
+            if outer < cfg.n_outer - 1:
+                p = p_prev + cfg.p_relax * (p - p_prev)
+                U = U_prev + cfg.u_relax * (U - U_prev)
+                rho = rho_fn(p)
+                dpdt = (p - p_old) / dt
+
+        rho_eos = self.thermo.rho(p, T, Y)
+        diag["continuity_err"] = jnp.max(jnp.abs(rho_eos - rho)) \
+            / jnp.mean(rho)
+        diag["T_min"] = jnp.min(T)
+        diag["T_max"] = jnp.max(T)
+        return LowMachFLState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
+                              phi_b=phi_b, dpdt=dpdt, time=s.time + dt,
+                              chem_dt=chem_dt_new), diag
+
+    # ----------------------------------------------------------- momentum
+    def _momentum(self, rho, rho_old, U, U_old, phi, phi_b, p, mu, mu_f,
+                  mu_bf, dt, stats):
+        cfg = self.config
+        m = self.m_p
+        dtype = U.dtype
+        gp = grad_fl(self.m_p, p)                        # (n, 3)
+        # dev2 explicit correction
+        gU = [grad_fl(self.m_U[c], U[:, c]) for c in range(3)]
+        divU = gU[0][:, 0] + gU[1][:, 1] + gU[2][:, 2]
+        corrs = []
+        for c in range(3):
+            corr = (self._grad_coeff(mu * gU[0][:, c])[:, 0]
+                    + self._grad_coeff(mu * gU[1][:, c])[:, 1]
+                    + self._grad_coeff(mu * gU[2][:, c])[:, 2]
+                    - self._grad_coeff(mu * divU)[:, c] * (2.0 / 3.0))
+            corrs.append(corr)
+        srcs = jnp.stack([-gp[:, c] + corrs[c] for c in range(3)], axis=1)
+
+        U_new, HbyA = [], []
+        u_diags = None
+        for c in range(3):
+            eqn = (fvm_ddt_fl(self.m_U[c], rho, rho_old, U_old[:, c], dt,
+                              dtype)
+                   + fvm_div_fl(self.m_U[c], phi, list(phi_b),
+                                cfg.div_scheme, dtype)
+                   + fvm_laplacian_fl(self.m_U[c], mu_f, mu_bf, dtype,
+                                      sign=-1.0)).with_source(srcs[:, c])
+            res = solve_fvmatrix(eqn, U[:, c], tol=cfg.u_tol,
+                                 max_iter=cfg.max_iter_u)
+            U_new.append(res.x)
+            if u_diags is None:
+                u_diags = eqn.diag()
+            HbyA.append((eqn.H(res.x) + gp[:, c]) / u_diags)
+        if stats is not None:
+            stats["iters_U"] = res.iterations
+        return (jnp.stack(U_new, axis=1), jnp.stack(HbyA, axis=1),
+                1.0 / u_diags)
+
+    def _grad_coeff(self, q):
+        """Gauss gradient of a coefficient field: boundary face value =
+        owner value (structured bcs_coeff role)."""
+        m = self.m_p
+        qf = interpolate_fl(m, q)
+        out = jnp.zeros((m.n_cells, 3), q.dtype)
+        fv = (qf * m.mag_sf)[:, None] * m.normal
+        for c in range(3):
+            out = out.at[:, c].set(m.scatter_faces(fv[:, c]))
+        for p_ in m.patches:
+            fb = q[p_.owner] * p_.mag_sf
+            for c in range(3):
+                out = out.at[:, c].add(jax.ops.segment_sum(
+                    fb * p_.normal[:, c], p_.owner, num_segments=m.n_cells))
+        return out / m.volumes[:, None]
+
+    # ------------------------------------------------------ pressure loop
+    def _pressure_loop(self, p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old,
+                       phi_old_all, rhoU_old, stats):
+        cfg = self.config
+        m = self.m_p
+        dtype = p.dtype
+        phi_old, phi_b_old = phi_old_all
+        rhoU_old_f, rhoU_old_b = rhoU_old
+        p_res = jnp.zeros((), dtype)
+        for _ in range(cfg.n_corr):
+            rho = rho_fn(p)
+            rho_f = interpolate_fl(self.m_rho, rho)
+            rho_bf = [_boundary_face_value(pc, rho)
+                      for pc in self.m_rho.patches]
+            # phiHbyA = rho_f * (HbyA . n)_f
+            phiH = 0.0
+            phiH_b = [0.0 for _ in m.patches]
+            for c in range(3):
+                qf = interpolate_fl(self.m_U[c], HbyA[:, c])
+                phiH = phiH + qf * m.normal[:, c]
+                for ip, p_ in enumerate(m.patches):
+                    pc = self.m_U[c].patches[ip]
+                    phiH_b[ip] = phiH_b[ip] + _boundary_face_value(
+                        pc, HbyA[:, c]) * p_.normal[:, c]
+            phiH = rho_f * phiH
+            phiH_b = [rb * hb for rb, hb in zip(rho_bf, phiH_b)]
+            # rhorAUf: face interpolation of the PRODUCT rho*rAU
+            rhorAUf, rhorAU_b = _face_product(m, rho * rAU)
+            # ddtCorr with the OpenFOAM limiter
+            small = jnp.asarray(1e-15, dtype)
+            corr = phi_old - rhoU_old_f
+            coeff = 1.0 - jnp.minimum(jnp.abs(corr)
+                                      / (jnp.abs(phi_old) + small), 1.0)
+            phiH = phiH + rhorAUf * coeff * corr / dt
+            for ip in range(len(m.patches)):
+                corr_b = phi_b_old[ip] - rhoU_old_b[ip]
+                coeff_b = 1.0 - jnp.minimum(
+                    jnp.abs(corr_b) / (jnp.abs(phi_b_old[ip]) + small), 1.0)
+                phiH_b[ip] = phiH_b[ip] + rhorAU_b[ip] * coeff_b * corr_b / dt
+            phiH_b = list(self._fix_boundary_fluxes(phiH_b, rho_bf))
+            eqn_p = (fvm_source_implicit_fl(m, psi / dt, dtype)
+                     + fvm_laplacian_fl(m, rhorAUf, rhorAU_b, dtype,
+                                        sign=-1.0))
+            eqn_p = eqn_p.with_source(rho_old / dt
+                                      - div_flux_fl(m, phiH, phiH_b))
+            d_p = eqn_p.diag()
+            d_inv = 1.0 / jnp.where(jnp.abs(d_p) > 1e-300, d_p, 1.0)
+            res_p = cg(eqn_p.apply, eqn_p.rhs(), p, lambda r: d_inv * r,
+                       tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
+                       max_iter=cfg.max_iter_p)
+            p = res_p.x
+            p_res = res_p.initial_residual
+            if stats is not None:
+                stats["iters_p"] = stats.get("iters_p", 0) + res_p.iterations
+            # flux reconstruction
+            sng = (p[m.neighbour] - p[m.owner]) / m.delta
+            phi = phiH - rhorAUf * sng
+            phi_b = []
+            for ip, p_ in enumerate(m.patches):
+                po = p[p_.owner]
+                ghost = p_.a * po + p_.b
+                phi_b.append(phiH_b[ip]
+                             - rhorAU_b[ip] * (ghost - po) / p_.delta)
+            phi_b = list(self._fix_boundary_fluxes(phi_b, rho_bf))
+            gp = grad_fl(self.m_p, p)
+            U = HbyA - rAU[:, None] * gp
+            dpdt = (p - p_old) / dt
+        rho = rho_old - dt * div_flux_fl(m, phi, phi_b)
+        return p, phi, tuple(phi_b), U, dpdt, rho, p_res

@@ -1,0 +1,151 @@
+"""Face-list low-Mach solver == structured low-Mach solver, step for step.
+
+The FL backend (solvers/low_mach_fl.py) runs the same PIMPLE algorithm
+through gather/scatter connectivity. On a box mesh both backends must agree
+to Krylov-roundoff — this is the north-star "CSR face-cell connectivity"
+solver path validated against the production structured path.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
+                                     make_kinetics, make_transport)
+from deepflame_tpu.chemistry.integrator import RosenbrockOptions
+from deepflame_tpu.combustion import Laminar, NoCombustion
+from deepflame_tpu.mesh import (StructuredMesh, cyclic, empty, fixed_value,
+                                zero_gradient)
+from deepflame_tpu.mesh.facelist import from_structured
+from deepflame_tpu.solvers.low_mach import LowMachSolver, LowMachConfig
+from deepflame_tpu.solvers.low_mach_fl import LowMachSolverFL
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _fl_solver(mesh, bcs_U, bcs_p, bcs_h, bcs_Y, bcs_rho, th, tr, comb, cfg):
+    return LowMachSolverFL(
+        m_p=from_structured(mesh, bcs_p),
+        m_h=from_structured(mesh, bcs_h),
+        m_Y=from_structured(mesh, bcs_Y),
+        m_rho=from_structured(mesh, bcs_rho),
+        m_U=tuple(from_structured(mesh, bcs_U[c]) for c in range(3)),
+        thermo=th, transport=tr, combustion=comb, config=cfg)
+
+
+def _flat(x):
+    """structured (nx,ny,nz) -> flat (n,) in facelist cell order."""
+    return np.asarray(x).reshape(-1)
+
+
+def test_periodic_reacting_parity():
+    """Fully periodic reacting hot spot: every op goes through wrap interior
+    faces; the two backends must agree to Krylov roundoff."""
+    mech = load_mechanism("/root/reference/mechanisms/H2/H2_Li.yaml")
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    n = 12
+    L = 2e-3
+    mesh = StructuredMesh.box([L, L, L / n], [n, n, 1])
+    b = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
+    cfg = LowMachConfig(chemistry=True, div_scheme="upwind",
+                        inert_index=int(mech.species_index("N2")),
+                        use_pallas="never")
+    comb = Laminar(th, kin, ode_opts=RosenbrockOptions(rtol=1e-8, atol=1e-13))
+    sol_s = LowMachSolver(mesh=mesh, thermo=th, transport=tr, combustion=comb,
+                          bcs_U=(b, b, b), bcs_p=b, bcs_h=b, bcs_Y=b,
+                          bcs_rho=b, config=cfg)
+    sol_f = _fl_solver(mesh, (b, b, b), b, b, b, b, th, tr, comb, cfg)
+
+    ns = mech.n_species
+    iH2, iO2, iN2 = (mech.species_index(s) for s in ("H2", "O2", "N2"))
+    Yv = np.zeros(ns)
+    Yv[iH2], Yv[iO2], Yv[iN2] = 0.0285, 0.2264, 0.7451
+    X, Yg, _ = mesh.cell_centers()
+    r2 = (X - L / 2) ** 2 + (Yg - L / 2) ** 2
+    T0 = jnp.where(r2 < (L / 4) ** 2, 1600.0, 800.0)
+    p0 = jnp.full(mesh.shape, 101325.0)
+    Y0 = jnp.asarray(np.tile(Yv[:, None, None, None], (1,) + mesh.shape))
+    U0 = jnp.stack([2.0 * jnp.sin(2 * jnp.pi * Yg / L),
+                    jnp.zeros(mesh.shape), jnp.zeros(mesh.shape)])
+
+    s_s = sol_s.initial_state(p0, T0, Y0, U0)
+    s_f = sol_f.initial_state(_flat(p0).copy() * jnp.ones(1),
+                              jnp.asarray(_flat(T0)),
+                              jnp.asarray(np.asarray(Y0).reshape(ns, -1).T),
+                              jnp.asarray(np.stack([_flat(U0[c])
+                                                    for c in range(3)], 1)))
+    dt = 5e-7
+    step_s = jax.jit(lambda st: sol_s.step(st, dt)[0])
+    step_f = jax.jit(lambda st: sol_f.step(st, dt)[0])
+    for _ in range(5):
+        s_s = step_s(s_s)
+        s_f = step_f(s_f)
+
+    for name, a, b_ in (("T", s_s.T, s_f.T), ("p", s_s.p, s_f.p),
+                        ("rho", s_s.rho, s_f.rho)):
+        rel = np.abs(_flat(a) - np.asarray(b_)).max() \
+            / np.abs(np.asarray(b_)).max()
+        assert rel < 1e-9, (name, rel)
+    relU = np.abs(np.stack([_flat(s_s.U[c]) for c in range(3)], 1)
+                  - np.asarray(s_f.U)).max() \
+        / max(np.abs(np.asarray(s_f.U)).max(), 1e-10)
+    assert relU < 1e-8, relU
+    relY = np.abs(np.asarray(s_s.Y).reshape(ns, -1).T
+                  - np.asarray(s_f.Y)).max()
+    assert relY < 1e-10, relY
+
+
+def test_duct_physical_bcs_parity():
+    """Inlet/outlet duct with walls: boundary patches (fixedValue U inlet,
+    fixed p outlet, zeroGradient elsewhere) go through the patch-block
+    machinery; inert flow, both backends agree."""
+    mech = load_mechanism(os.path.join(DATA, "air.yaml"))
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    n = 16
+    L = 0.1
+    mesh = StructuredMesh.box([L, L / 4, L / n], [n, 4, 1])
+    e = (empty(), empty())
+    u_in = 2.0
+    bU = ((fixed_value(u_in), zero_gradient()),
+          (zero_gradient(), zero_gradient()), e)
+    bU0 = ((fixed_value(0.0), zero_gradient()),
+           (zero_gradient(), zero_gradient()), e)
+    bp = ((zero_gradient(), fixed_value(101325.0)),
+          (zero_gradient(), zero_gradient()), e)
+    bs = ((zero_gradient(), zero_gradient()),
+          (zero_gradient(), zero_gradient()), e)
+    cfg = LowMachConfig(chemistry=False, div_scheme="upwind",
+                        use_pallas="never")
+    comb = NoCombustion(th, kin)
+    sol_s = LowMachSolver(mesh=mesh, thermo=th, transport=tr, combustion=comb,
+                          bcs_U=(bU, bU0, bU0), bcs_p=bp, bcs_h=bs, bcs_Y=bs,
+                          bcs_rho=bs, config=cfg)
+    sol_f = _fl_solver(mesh, (bU, bU0, bU0), bp, bs, bs, bs, th, tr, comb,
+                       cfg)
+    T0 = jnp.full(mesh.shape, 300.0)
+    p0 = jnp.full(mesh.shape, 101325.0)
+    Y0 = jnp.ones((1,) + mesh.shape)
+    U0 = jnp.stack([jnp.full(mesh.shape, u_in), jnp.zeros(mesh.shape),
+                    jnp.zeros(mesh.shape)])
+    s_s = sol_s.initial_state(p0, T0, Y0, U0)
+    s_f = sol_f.initial_state(jnp.asarray(_flat(p0)), jnp.asarray(_flat(T0)),
+                              jnp.ones((mesh.n_cells, 1)),
+                              jnp.asarray(np.stack([_flat(U0[c])
+                                                    for c in range(3)], 1)))
+    dt = 1e-5
+    step_s = jax.jit(lambda st: sol_s.step(st, dt)[0])
+    step_f = jax.jit(lambda st: sol_f.step(st, dt)[0])
+    for _ in range(5):
+        s_s = step_s(s_s)
+        s_f = step_f(s_f)
+    for name, a, b_ in (("T", s_s.T, s_f.T), ("p", s_s.p, s_f.p),
+                        ("rho", s_s.rho, s_f.rho)):
+        rel = np.abs(_flat(a) - np.asarray(b_)).max() \
+            / np.abs(np.asarray(b_)).max()
+        assert rel < 1e-8, (name, rel)
+    relU = np.abs(np.stack([_flat(s_s.U[c]) for c in range(3)], 1)
+                  - np.asarray(s_f.U)).max() / u_in
+    assert relU < 1e-7, relU
+    assert np.all(np.isfinite(np.asarray(s_f.T)))
