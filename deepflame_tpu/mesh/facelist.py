@@ -27,7 +27,7 @@ import numpy as np
 from .structured import BC, FieldBCs, StructuredMesh
 
 __all__ = ["FaceListMesh", "BoundaryPatch", "from_structured",
-           "structured_face_maps"]
+           "graded_box", "structured_face_maps"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -262,5 +262,113 @@ def from_structured(mesh: StructuredMesh, bcs: FieldBCs,
         weights=jnp.full(own_np.shape, 0.5, dtype),
         normal=jnp.asarray(nrm_np, dtype),
         volumes=jnp.full((mesh.n_cells,), mesh.volume, dtype),
+        centers=jnp.asarray(centers, dtype),
+        patches=tuple(patches))
+
+
+def graded_box(x_edges, y_edges, z_edges, bcs: FieldBCs,
+               dtype=jnp.float64) -> FaceListMesh:
+    """Non-uniform tensor-product box from explicit edge coordinates —
+    the first mesh class the structured backend CANNOT represent (it assumes
+    one uniform spacing per axis; mesh/structured.py:36-48). OpenFOAM's
+    blockMesh `simpleGrading` output is exactly this shape.
+
+    Face interpolation weights and owner->neighbour deltas follow the cell
+    centers (OpenFOAM surfaceInterpolation::makeWeights for orthogonal
+    meshes: w = d_nei_face / d_own_nei). Cyclic axes require matching edge
+    spacing at the wrap (checked).
+    """
+    edges = [np.asarray(e, np.float64) for e in (x_edges, y_edges, z_edges)]
+    ncell = [max(e.shape[0] - 1, 1) for e in edges]
+    nx, ny, nz = ncell
+    centers_1d = [0.5 * (e[1:] + e[:-1]) if e.shape[0] > 1
+                  else np.asarray([0.0]) for e in edges]
+    widths_1d = [np.diff(e) if e.shape[0] > 1 else np.asarray([1.0])
+                 for e in edges]
+    idx = np.arange(nx * ny * nz).reshape(nx, ny, nz)
+    WX, WY, WZ = np.meshgrid(*widths_1d, indexing="ij")
+    vols = (WX * WY * WZ).ravel()
+    CX, CY, CZ = np.meshgrid(*centers_1d, indexing="ij")
+    centers = np.stack([CX.ravel(), CY.ravel(), CZ.ravel()], axis=1)
+
+    own, nei, msf, dlt, wgt, nrm = [], [], [], [], [], []
+    patches = []
+    eye = np.eye(3)
+    for ax in range(3):
+        lo_bc, hi_bc = bcs[ax]
+        n_ax = ncell[ax]
+        if lo_bc.kind == "empty":
+            continue
+        c1 = centers_1d[ax]
+        w1 = widths_1d[ax]
+        # cross-sectional face areas vary over the transverse cells
+        tr = [a for a in range(3) if a != ax]
+        A2 = np.meshgrid(*(widths_1d[a] for a in tr), indexing="ij")
+        area_tr = (A2[0] * A2[1])          # (n_t1, n_t2)
+
+        def face_block(i_own, i_nei, delta, w_own):
+            sl_o = [slice(None)] * 3
+            sl_n = [slice(None)] * 3
+            sl_o[ax] = i_own
+            sl_n[ax] = i_nei
+            o = idx[tuple(sl_o)].reshape(-1)
+            m = idx[tuple(sl_n)].reshape(-1)
+            own.append(o)
+            nei.append(m)
+            msf.append(np.broadcast_to(area_tr.ravel(), o.shape).copy())
+            dlt.append(np.full(o.shape, delta))
+            wgt.append(np.full(o.shape, w_own))
+            nrm.append(np.broadcast_to(eye[ax], (o.shape[0], 3)))
+
+        for i in range(n_ax - 1):
+            d = c1[i + 1] - c1[i]
+            # owner weight = distance(face, nei)/distance(own, nei)
+            face = edges[ax][i + 1]
+            w_own = (c1[i + 1] - face) / d
+            face_block(i, i + 1, d, w_own)
+        if lo_bc.kind == "cyclic":
+            if abs(w1[0] - w1[-1]) > 1e-12 * max(w1[0], w1[-1]):
+                raise ValueError("cyclic axis needs matching end spacings")
+            d = 0.5 * (w1[0] + w1[-1])
+            face_block(n_ax - 1, 0, d, 0.5)
+        else:
+            for side, bc in ((0, lo_bc), (1, hi_bc)):
+                i_b = 0 if side == 0 else n_ax - 1
+                sl_b = [slice(None)] * 3
+                sl_b[ax] = i_b
+                ob = idx[tuple(sl_b)].reshape(-1)
+                h = w1[i_b]                 # ghost at one cell-width out
+                a_c, b_c = bc.coeffs(h, -1 if side == 0 else +1)
+                sign = -1.0 if side == 0 else 1.0
+                patches.append(BoundaryPatch(
+                    name=f"ax{ax}_{'lo' if side == 0 else 'hi'}",
+                    owner=jnp.asarray(ob, jnp.int32),
+                    mag_sf=jnp.asarray(np.broadcast_to(area_tr.ravel(),
+                                                       ob.shape).copy(),
+                                       dtype),
+                    delta=jnp.full(ob.shape, h, dtype),
+                    a=jnp.full(ob.shape, a_c, dtype),
+                    b=jnp.full(ob.shape, b_c, dtype),
+                    normal=jnp.asarray(np.broadcast_to(sign * eye[ax],
+                                                       (ob.shape[0], 3)),
+                                       dtype),
+                    kind=bc.kind))
+
+    own_np = np.concatenate(own) if own else np.zeros(0, np.int64)
+    nei_np = np.concatenate(nei) if nei else np.zeros(0, np.int64)
+    msf_np = np.concatenate(msf) if msf else np.zeros(0)
+    dlt_np = np.concatenate(dlt) if dlt else np.zeros(0)
+    wgt_np = np.concatenate(wgt) if wgt else np.zeros(0)
+    nrm_np = np.concatenate(nrm) if nrm else np.zeros((0, 3))
+    order = np.argsort(own_np, kind="stable")
+    return FaceListMesh(
+        n_cells=nx * ny * nz,
+        owner=jnp.asarray(own_np[order], jnp.int32),
+        neighbour=jnp.asarray(nei_np[order], jnp.int32),
+        mag_sf=jnp.asarray(msf_np[order], dtype),
+        delta=jnp.asarray(dlt_np[order], dtype),
+        weights=jnp.asarray(wgt_np[order], dtype),
+        normal=jnp.asarray(nrm_np[order], dtype),
+        volumes=jnp.asarray(vols, dtype),
         centers=jnp.asarray(centers, dtype),
         patches=tuple(patches))

@@ -388,9 +388,18 @@ class LowMachSolverFL:
                                         sign=-1.0))
             eqn_p = eqn_p.with_source(rho_old / dt
                                       - div_flux_fl(m, phiH, phiH_b))
-            d_p = eqn_p.diag()
+            # CG needs SPD: the per-unit-volume LDU form is nonsymmetric
+            # when volumes vary (row_c scaled by 1/V_c), so solve the
+            # volume-scaled system (V/V_mean)*A(x) = (V/V_mean)*b —
+            # symmetric by construction (OpenFOAM's fvMatrix is stored
+            # V-scaled the same way); normalizing by V_mean keeps the
+            # absolute-tolerance semantics, and on uniform meshes the
+            # scaling is exactly 1 (bit-identical to the structured path)
+            Vn = m.volumes / jnp.mean(m.volumes)
+            apply_v = lambda x: eqn_p.apply(x) * Vn
+            d_p = eqn_p.diag() * Vn
             d_inv = 1.0 / jnp.where(jnp.abs(d_p) > 1e-300, d_p, 1.0)
-            res_p = cg(eqn_p.apply, eqn_p.rhs(), p, lambda r: d_inv * r,
+            res_p = cg(apply_v, eqn_p.rhs() * Vn, p, lambda r: d_inv * r,
                        tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
                        max_iter=cfg.max_iter_p)
             p = res_p.x
