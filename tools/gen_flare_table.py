@@ -204,20 +204,30 @@ def main():
     def mix(Z):
         return Z * Y_fu + (1 - Z) * Y_ox
 
-    # ---- equilibrium (burnt) state per Z via 0D ignition + h-consistency
+    # ---- equilibrium (burnt) state per Z: 0D ignition, then re-equilibrate
+    # at the h-CONSISTENT temperature. A single hot-seed ignite equilibrates
+    # at the seed's (elevated) enthalpy — more dissociation, LESS H2O/CO2 —
+    # which under-estimates Yc_b and makes the scaled progress variable
+    # saturate mid-flame. Each re-equilibration pass conserves its own
+    # enthalpy (const-p reactor), so starting it from (T_from_h(h_u, Yb), Yb)
+    # converges to the equilibrium at the unburnt enthalpy.
     def burnt_state(Z):
         Yu = mix(Z)
-        _, Tb_t, Yb_t = ignite(th, kin, jnp.asarray(1600.0, dtype), p0,
-                               jnp.asarray(Yu, dtype), 2e-2,
-                               opts=RosenbrockOptions(rtol=ode_rtol,
-                                                      atol=ode_atol,
-                                                      max_steps=40000))
-        Yb = np.asarray(Yb_t[-1])
         h_u = th.h_mass(jnp.asarray(T_u, dtype), jnp.asarray(Yu, dtype))
-        T_b = float(th.T_from_h(h_u, jnp.asarray(Yb, dtype),
-                                jnp.asarray(2000.0, dtype)))
-        if T_b < T_u + 300.0:           # did not burn: pure mixing
-            return T_u, Yu, False
+        ig_opts = RosenbrockOptions(rtol=ode_rtol, atol=ode_atol,
+                                    max_steps=40000)
+        T_seed, Y_seed = 1600.0, Yu
+        T_b, Yb = T_u, Yu
+        for it in range(3):
+            _, Tb_t, Yb_t = ignite(th, kin, jnp.asarray(T_seed, dtype), p0,
+                                   jnp.asarray(Y_seed, dtype), 2e-2,
+                                   opts=ig_opts)
+            Yb = np.asarray(Yb_t[-1])
+            T_b = float(th.T_from_h(h_u, jnp.asarray(Yb, dtype),
+                                    jnp.asarray(2000.0, dtype)))
+            if it == 0 and T_b < T_u + 300.0:   # did not burn: pure mixing
+                return T_u, Yu, False
+            T_seed, Y_seed = T_b, Yb
         return T_b, Yb, True
 
     # ---- z-axis: endpoints + flammable band clustered around Z_st
@@ -358,7 +368,10 @@ def main():
 
     for j, Z in enumerate(z_axis):
         r = sols[f"{Z:.6f}"]
-        Yu, Yb, T_b = r["Yu"], r["Yb"], r["T_b"]
+        Yu = r["Yu"]
+        # recompute the burnt normalization fresh (resume caches may carry
+        # pre-fix burnt states; the flame PROFILES in them stay valid)
+        T_b, Yb, _ = burnt_state(Z)
         Yc_u = sum(Yu[i] for i in pv_idx)
         Yc_b = sum(Yb[i] for i in pv_idx)
         dYc = max(Yc_b - Yc_u, 1e-12)
