@@ -64,6 +64,12 @@ def flux_of_fl(m: FaceListMesh, u_cell: jax.Array,
     phi = jnp.sum(uf * m.normal, axis=1)
     phi_b = []
     for ip, p in enumerate(m.patches):
+        if p.kind in ("symmetry", "wedge", "empty"):
+            # exact reflection: face value u - (u.n)n has zero normal flux
+            # (the per-component affine ghost only captures the diagonal of
+            # I - 2nn^T, which leaks O(sin theta) through tilted wedges)
+            phi_b.append(jnp.zeros_like(p.mag_sf))
+            continue
         if patches_u is not None:
             ub = jnp.stack([_boundary_face_value(patches_u[c][ip],
                                                  u_cell[:, c])

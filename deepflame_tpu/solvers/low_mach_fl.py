@@ -107,6 +107,10 @@ class LowMachSolverFL:
             phi = phi + qf * m.normal[:, c]
         phi_b = []
         for ip, p in enumerate(m.patches):
+            if p.kind in ("symmetry", "wedge", "empty"):
+                # exact reflection => zero normal mass flux (see flux_of_fl)
+                phi_b.append(jnp.zeros_like(p.mag_sf))
+                continue
             vb = 0.0
             for c in range(3):
                 pc = self.m_U[c].patches[ip]
@@ -132,14 +136,28 @@ class LowMachSolverFL:
         decides; tangential components carry no normal flux on the
         axis-aligned patches this constructor produces)."""
         import numpy as np
+        fixed_kinds = ("fixedValue", "symmetryNegate", "inletOutlet")
         out = list(phi_b)
         m = self.m_p
         for ip, p in enumerate(m.patches):
-            # static normal axis of the patch (patch data is trace-constant)
+            if p.owner.shape[0] == 0:      # degenerate patch (e.g. axis)
+                continue
+            kinds = [self.m_U[c].patches[ip].kind for c in range(3)]
+            if all(k in fixed_kinds for k in kinds):
+                # general normals: prescribed u_bc . n per face (face value
+                # of every a = -1 component is b/2)
+                val = 0.0
+                for c in range(3):
+                    pc = self.m_U[c].patches[ip]
+                    val = val + 0.5 * pc.b * p.normal[:, c]
+                out[ip] = rho_b_face[ip] * val
+                continue
+            # mixed per-component kinds: axis-aligned-patch shortcut (the
+            # structured constructors only produce these on box meshes)
             n0 = np.asarray(p.normal)[0]
             ax = int(np.argmax(np.abs(n0)))
             pc = self.m_U[ax].patches[ip]
-            if pc.kind in ("fixedValue", "symmetryNegate", "inletOutlet"):
+            if pc.kind in fixed_kinds:
                 # face value of the normal component = b/2 (a = -1 kinds)
                 out[ip] = rho_b_face[ip] * 0.5 * pc.b * p.normal[:, ax]
         return tuple(out)
