@@ -207,16 +207,52 @@ def fvm_ddt_fl(m: FaceListMesh, rho: jax.Array, rho_old: jax.Array,
                       e.source + rho_old * x_old / dt)
 
 
+def _tvd_limiter(scheme: str, r: jax.Array, k: float = 1.0) -> jax.Array:
+    """Flux limiter value psi(r) (same formulas as ops/fv.py
+    limited_face_values — the structured backend's scheme table)."""
+    if scheme == "limitedLinear":
+        return jnp.clip(2.0 * r / k, 0.0, 1.0)
+    if scheme == "vanLeer":
+        return (r + jnp.abs(r)) / (1.0 + jnp.abs(r))
+    if scheme == "minmod":
+        return jnp.clip(r, 0.0, 1.0)
+    if scheme == "MUSCL":
+        return jnp.maximum(0.0, jnp.minimum(jnp.minimum(2.0 * r,
+                                                        0.5 * (r + 1.0)),
+                                            2.0))
+    if scheme == "superBee":
+        return jnp.maximum(jnp.maximum(0.0, jnp.minimum(2.0 * r, 1.0)),
+                           jnp.minimum(r, 2.0))
+    if scheme == "QUICK":
+        return jnp.maximum(0.0, jnp.minimum(jnp.minimum(2.0 * r,
+                                                        0.25 * (3.0 + r)),
+                                            2.0))
+    if scheme == "vanAlbada":
+        return jnp.maximum((r * r + r) / (r * r + 1.0), 0.0)
+    if scheme == "OSPRE":
+        return jnp.maximum(1.5 * (r * r + r) / (r * r + r + 1.0), 0.0)
+    raise ValueError(f"unknown convection scheme {scheme}")
+
+
 def fvm_div_fl(m: FaceListMesh, phi: jax.Array, bcs_phi_b,
-               scheme: str = "upwind", dtype=jnp.float64) -> FvMatrixFL:
+               scheme: str = "upwind", dtype=jnp.float64,
+               x_now: jax.Array | None = None,
+               limiter_k: float = 1.0) -> FvMatrixFL:
     """Implicit div(phi, x). phi: interior face-normal flux density
     [field.m/s] (OUTWARD from owner), bcs_phi_b: per-patch boundary flux.
 
     upwind: face value = x_own where phi>0 else x_nei (matrix coefficients
-    max/min split); linear: 0.5/0.5 weights. Boundary faces: outflow takes
-    the owner value (implicit), inflow takes the ghost (a*x_own + b):
-    implicit a-part + explicit b-part."""
+    max/min split); linear: distance weights. TVD schemes (limitedLinear/
+    vanLeer/minmod/MUSCL/superBee/QUICK/vanAlbada/OSPRE): implicit upwind +
+    deferred-corrected limited anti-diffusion from the current iterate
+    `x_now`, with the unstructured gradient-ratio
+    r = 2 (grad_up . d_own->nei)/(x_nei - x_own) - 1 (Darwish & Moukalled;
+    the structured backend's far-cell form specializes to this on uniform
+    grids). Boundary faces: outflow takes the owner value (implicit),
+    inflow takes the ghost (a*x_own + b): implicit a-part + explicit
+    b-part."""
     F = phi * m.mag_sf
+    tvd_src = None
     if scheme == "upwind":
         w_own_F = jnp.maximum(F, 0.0)        # coefficient of x_own
         w_nei_F = jnp.minimum(F, 0.0)        # coefficient of x_nei
@@ -225,7 +261,24 @@ def fvm_div_fl(m: FaceListMesh, phi: jax.Array, bcs_phi_b,
         w_own_F = w * F
         w_nei_F = (1.0 - w) * F
     else:
-        raise ValueError(scheme)
+        if x_now is None:
+            raise ValueError(f"scheme '{scheme}' needs the current iterate "
+                             "x_now for the deferred limiter")
+        w_own_F = jnp.maximum(F, 0.0)
+        w_nei_F = jnp.minimum(F, 0.0)
+        g = grad_fl(m, x_now)                               # (n, 3)
+        d_vec = m.centers[m.neighbour] - m.centers[m.owner]
+        xo, xn = x_now[m.owner], x_now[m.neighbour]
+        up_cell = jnp.where(F >= 0, m.owner, m.neighbour)
+        g_up_d = jnp.sum(g[up_cell] * d_vec, axis=1)
+        dx = xn - xo
+        eps = jnp.asarray(jnp.finfo(x_now.dtype).eps, x_now.dtype)
+        safe = jnp.where(jnp.abs(dx) > eps, dx, eps)
+        r = 2.0 * g_up_d / safe - 1.0
+        lim = _tvd_limiter(scheme, r, limiter_k)
+        up = jnp.where(F >= 0, xo, xn)
+        central = m.weights * xo + (1.0 - m.weights) * xn
+        tvd_src = m.scatter_faces(F * lim * (central - up)) / m.volumes
     inv_v = 1.0 / m.volumes
     diag = jax.ops.segment_sum(w_own_F, m.owner, num_segments=m.n_cells,
                                indices_are_sorted=True)
@@ -236,7 +289,7 @@ def fvm_div_fl(m: FaceListMesh, phi: jax.Array, bcs_phi_b,
     src = jnp.zeros((m.n_cells,), dtype)
     for p, phi_b in zip(m.patches, bcs_phi_b):
         Fb = phi_b * p.mag_sf
-        if scheme == "upwind":
+        if scheme != "linear":        # upwind + TVD: first-order boundary
             out_mask = Fb >= 0.0
             coeff_own = jnp.where(out_mask, Fb, Fb * p.a)
             src_b = jnp.where(out_mask, 0.0, Fb * p.b)
@@ -247,7 +300,10 @@ def fvm_div_fl(m: FaceListMesh, phi: jax.Array, bcs_phi_b,
                                           num_segments=m.n_cells)
         src = src - jax.ops.segment_sum(src_b, p.owner,
                                         num_segments=m.n_cells)
-    return FvMatrixFL(m, diag * inv_v, lower, upper, src * inv_v)
+    out = FvMatrixFL(m, diag * inv_v, lower, upper, src * inv_v)
+    if tvd_src is not None:
+        out = out.with_source(-tvd_src)
+    return out
 
 
 def fvm_laplacian_fl(m: FaceListMesh, gamma_f: jax.Array, gamma_b,

@@ -224,7 +224,7 @@ class LowMachSolverFL:
                                       dtype)
                            + fvm_div_fl(self.m_Y, phi,
                                         [pb for pb in phi_b],
-                                        cfg.div_scheme, dtype)
+                                        cfg.div_scheme, dtype, x_now=y_i)
                            + fvm_div_fl(self.m_Y, phiUc, phiUc_b,
                                         "upwind", dtype)
                            + fvm_laplacian_fl(self.m_Y, D_f, D_b, dtype,
@@ -269,7 +269,7 @@ class LowMachSolverFL:
                 hcorr_div = div_flux_fl(m, hc_f, hc_b)
             eqn_h = (fvm_ddt_fl(self.m_h, rho, rho_old, ha_old, dt, dtype)
                      + fvm_div_fl(self.m_h, phi, list(phi_b),
-                                  cfg.div_scheme, dtype)
+                                  cfg.div_scheme, dtype, x_now=ha)
                      + fvm_laplacian_fl(self.m_h, alpha_f, alpha_b, dtype,
                                         sign=-1.0))
             eqn_h = eqn_h.with_source(dpdt - dKdt + hcorr_div)
@@ -331,7 +331,7 @@ class LowMachSolverFL:
             eqn = (fvm_ddt_fl(self.m_U[c], rho, rho_old, U_old[:, c], dt,
                               dtype)
                    + fvm_div_fl(self.m_U[c], phi, list(phi_b),
-                                cfg.div_scheme, dtype)
+                                cfg.div_scheme, dtype, x_now=U[:, c])
                    + fvm_laplacian_fl(self.m_U[c], mu_f, mu_bf, dtype,
                                       sign=-1.0)).with_source(srcs[:, c])
             res = solve_fvmatrix(eqn, U[:, c], tol=cfg.u_tol,
