@@ -384,8 +384,13 @@ class SprayCloud:
 
         # ==== evaporation
         m_d = rho_l * jnp.pi / 6.0 * d**3          # droplet mass
-        D_v = mu_g / (rho_g * self.Sc_gas)          # vapor diffusivity estimate
-        Sh = 2.0 + 0.6 * jnp.sqrt(jnp.maximum(Re, 0.0)) * self.Sc_gas**(1/3)
+        # physical vapor diffusivity at film conditions (2/3 rule) — the
+        # 1/p dependence is essential in pressurized chambers; the old
+        # mu/(rho Sc) estimate is ~p/1atm too fast there
+        T_film = (2.0 * Tp + T_g) / 3.0
+        D_v = liq.D_vap(T_film, p_g)
+        Sc_f = mu_g / jnp.maximum(rho_g * D_v, 1e-20)
+        Sh = 2.0 + 0.6 * jnp.sqrt(jnp.maximum(Re, 0.0)) * Sc_f**(1/3)
         Nu = 2.0 + 0.6 * jnp.sqrt(jnp.maximum(Re, 0.0)) * self.Pr_gas**(1/3)
         if self.evaporation == "none":
             dm_dt = jnp.zeros_like(d)
@@ -400,14 +405,15 @@ class SprayCloud:
                 dm_dt = jnp.pi * d * Sh * rho_g * D_v * jnp.log1p(B_M)
             else:  # classic D2-law (dilute limit)
                 dm_dt = jnp.pi * d * Sh * rho_g * D_v * B_M
-            # boiling (LiquidEvaporationBoil parity): once T_p reaches T_boil
-            # the rate becomes heat-transfer limited:
+            # boiling (LiquidEvaporationBoil parity): once T_p reaches the
+            # LOCAL-pressure boiling point (liquidProperties::pvInvert(pc),
+            # NOT the 1-atm T_boil) the rate becomes heat-transfer limited:
             # dm/dt = pi d Nu kappa_g (T_g - T_p) / L
             kappa_g_b = mu_g * 1005.0 / self.Pr_gas
             dm_dt_boil = (jnp.pi * d * Nu * kappa_g_b
                           * jnp.maximum(T_g - Tp, 0.0)
                           / liq.latent_heat(Tp))
-            dm_dt = jnp.where(Tp > liq.T_boil,
+            dm_dt = jnp.where(Tp > liq.T_boil_at(p_g),
                               jnp.maximum(dm_dt, dm_dt_boil), dm_dt)
         dm = jnp.clip(dm_dt * dt, 0.0, 0.95 * m_d)
         m_new = m_d - dm
@@ -442,7 +448,11 @@ class SprayCloud:
         L = liq.latent_heat(Tp)
         T_new = T_g + (Tp - T_g) * jnp.exp(-dt / jnp.maximum(tau_T, 1e-12))
         T_new = T_new - dm * L / jnp.maximum(m_d * cp_l, 1e-20)
-        T_new = jnp.clip(T_new, 250.0, liq.T_crit - 1.0)
+        # liquid cannot exceed its local-pressure boiling point (OpenFOAM
+        # SprayParcel limits Td to Tbp during phase change)
+        T_cap = liq.T_boil_at(p_g) if self.evaporation != "none" \
+            else liq.T_crit - 1.0
+        T_new = jnp.clip(T_new, 250.0, T_cap)
         # diameter from conserved parcel mass at the NEW temperature's liquid
         # density (thermal expansion; keeps mass accounting exact)
         d_new = (6.0 * m_new / (jnp.pi * liq.rho(T_new))) ** (1.0 / 3.0)
@@ -451,24 +461,35 @@ class SprayCloud:
         # the parcel diameter toward the stable diameter over the regime
         # timescale; droplet count per parcel rises to conserve mass)
         if self.breakup == "ReitzDiwakar":
-            sigma = liq.sigma
+            # OpenFOAM-7 ReitzDiwakar::update formulation exactly (note the
+            # 1/2 in the Weber number — Cbag=6 is calibrated to THAT
+            # convention; a full-We criterion shatters droplets to half the
+            # stable size and destroys spray penetration):
+            #   We = rhoc |u| d / (2 sigma);  Re = |u| d / nuc
+            #   We > Cbag:
+            #     We > Cstrip sqrt(Re): dStrip = (2 Cstrip sigma)^2
+            #                                    / (rhoc |u|^3 muc)
+            #                           tau = Cs d sqrt(rhol/rhoc) / |u|
+            #     else (bag):           dBag = 2 Cbag sigma / (rhoc |u|^2)
+            #                           tau = Cb d sqrt(rhol d / sigma)
+            #   d -> dStable + (d - dStable) exp(-dt/tau)
+            sigma = jnp.maximum(liq.sigma, 1e-10)
             rho_l_b = liq.rho(T_new)
-            We = rho_g * rel_mag**2 * d_new / jnp.maximum(sigma, 1e-10)
+            urel = jnp.maximum(rel_mag, 1e-10)
+            We = 0.5 * rho_g * urel**2 * d_new / sigma
             Re_b = jnp.maximum(Re, 1e-10)
-            # stable diameter from the critical Weber number (floored: below
-            # ~1 um droplets flash-evaporate, handled by the cull below)
-            d_stable = jnp.maximum(self.Cbag * sigma / jnp.maximum(
-                rho_g * rel_mag**2, 1e-10), self.d_min)
-            r = 0.5 * d_new
-            tau_bag = self.Cb * jnp.sqrt(rho_l_b * r**3
-                                         / jnp.maximum(sigma, 1e-10))
-            tau_strip = self.Cs * r / jnp.maximum(rel_mag, 1e-10) \
-                * jnp.sqrt(rho_l_b / jnp.maximum(rho_g, 1e-10))
-            bag = We > self.Cbag
-            strip = (We / jnp.sqrt(Re_b)) > self.Cstrip
-            tau = jnp.where(strip, tau_strip,
-                            jnp.where(bag, tau_bag, 1e30))
-            breaking = bag | strip
+            strip = We > self.Cstrip * jnp.sqrt(Re_b)
+            d_strip = (2.0 * self.Cstrip * sigma) ** 2 \
+                / (rho_g * urel**3 * jnp.maximum(mu_g, 1e-12))
+            tau_strip = self.Cs * d_new \
+                * jnp.sqrt(rho_l_b / jnp.maximum(rho_g, 1e-10)) / urel
+            d_bag = 2.0 * self.Cbag * sigma / (rho_g * urel**2)
+            tau_bag = self.Cb * d_new * jnp.sqrt(
+                rho_l_b * d_new / sigma)
+            d_stable = jnp.maximum(jnp.where(strip, d_strip, d_bag),
+                                   self.d_min)
+            tau = jnp.where(strip, tau_strip, tau_bag)
+            breaking = We > self.Cbag
             frac = jnp.where(breaking, 1.0 - jnp.exp(
                 -dt / jnp.maximum(tau, 1e-12)), 0.0)
             d_broken = jnp.maximum(d_new - frac * (d_new - d_stable),

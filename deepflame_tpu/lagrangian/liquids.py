@@ -36,6 +36,8 @@ class Liquid:
     sigma: float = 0.02      # surface tension [N/m] (approx const)
     mu_ref: float = 5e-4     # liquid viscosity at T_ref [Pa s]
     mu_B: float = 1000.0     # Andrade exponent: mu = mu_ref exp(B(1/T-1/Tref))
+    D_ref: float = 7.0e-6    # vapor-in-air diffusivity at 300 K, 1 atm
+                             # [m^2/s] (OpenFOAM liquidProperties::D role)
 
     def rho(self, T):
         return self.rho_ref + self.rho_slope * (T - self.T_ref)
@@ -53,6 +55,27 @@ class Liquid:
         T = jnp.clip(T, 200.0, self.T_crit - 1.0)
         return 10.0 ** (self.antoine_A - self.antoine_B / (T + self.antoine_C))
 
+    def T_boil_at(self, p):
+        """Boiling temperature at local pressure (analytic Antoine
+        inversion) — OpenFOAM's liquidProperties::pvInvert(pc) role in
+        LiquidEvaporationBoil: the boiling switch must use the CHAMBER
+        pressure, not the 1-atm T_boil (at 50 atm heptane boils ~537 K,
+        not 372 K; switching at 1 atm flash-boils high-pressure sprays).
+        Above the critical pressure there is no boiling: returns T_crit-1."""
+        logp = jnp.log10(jnp.maximum(p, 1.0))
+        Tb = self.antoine_B / jnp.maximum(self.antoine_A - logp, 1e-3) \
+            - self.antoine_C
+        return jnp.clip(Tb, 200.0, self.T_crit - 1.0)
+
+    def D_vap(self, T, p):
+        """Vapor-in-air binary diffusivity [m^2/s] at film conditions —
+        Chapman-Enskog T^1.75 / 1/p scaling from the 300 K / 1 atm value
+        (OpenFOAM liquidProperties::D(p, T)). The pressure dependence is
+        what separates atmospheric sprays from bomb-chamber sprays: at
+        50 atm D is 50x smaller than the mu/(rho Sc) estimate implies."""
+        return self.D_ref * (jnp.maximum(T, 200.0) / 300.0) ** 1.75 \
+            * (1.01325e5 / jnp.maximum(p, 1e3))
+
     def latent_heat(self, T):
         """Watson correlation scaled from the boiling point."""
         Tr = jnp.clip(T, 200.0, self.T_crit - 1.0) / self.T_crit
@@ -67,7 +90,7 @@ def n_heptane() -> Liquid:
                   rho_ref=679.5, rho_slope=-0.85, T_ref=300.0,
                   cp_ref=2242.0, cp_slope=5.0, L_ref=3.18e5,
                   antoine_A=9.2535, antoine_B=1268.636, antoine_C=-56.199,
-                  mu_ref=3.9e-4, mu_B=900.0)
+                  mu_ref=3.9e-4, mu_B=900.0, D_ref=7.1e-6)
 
 
 def n_dodecane() -> Liquid:
@@ -75,7 +98,7 @@ def n_dodecane() -> Liquid:
                   rho_ref=745.0, rho_slope=-0.75, T_ref=300.0,
                   cp_ref=2210.0, cp_slope=4.5, L_ref=2.56e5,
                   antoine_A=9.328, antoine_B=1625.9, antoine_C=-92.8,
-                  mu_ref=1.34e-3, mu_B=1500.0)
+                  mu_ref=1.34e-3, mu_B=1500.0, D_ref=5.5e-6)
 
 
 def water() -> Liquid:
@@ -83,4 +106,4 @@ def water() -> Liquid:
                   rho_ref=997.0, rho_slope=-0.35, T_ref=300.0,
                   cp_ref=4184.0, cp_slope=0.5, L_ref=2.257e6,
                   antoine_A=10.196, antoine_B=1730.63, antoine_C=-39.72,
-                  sigma=0.072, mu_ref=8.5e-4, mu_B=2100.0)
+                  sigma=0.072, mu_ref=8.5e-4, mu_B=2100.0, D_ref=2.6e-5)

@@ -100,6 +100,9 @@ class LowMachConfig:
     p_relax: float = 0.3      # pressure under-relaxation between outers
     u_relax: float = 0.7      # velocity under-relaxation between outers
     div_scheme: str = "limitedLinear"
+    div_scheme_U: str = "linear"  # fvSchemes parity: div(phi,U) Gauss linear
+                                  # (reference cases use central for momentum,
+                                  # limitedLinear for scalars)
     u_tol: float = 1e-7
     p_tol: float = 1e-7   # fvSolution parity: p tolerance 1e-7, relTol 0.01
     p_rel_tol: float = 1e-2
@@ -530,7 +533,7 @@ class LowMachSolver:
             def _solve_comp(u_c, u_old_c, src_c, gp_c):
                 eqn = (fvm_ddt(rho, u_old_c, dt, mesh, bcs_u,
                                coeff_old=rho_old)
-                       + fvm_div(phi, u_c, mesh, bcs_u, cfg.div_scheme)
+                       + fvm_div(phi, u_c, mesh, bcs_u, cfg.div_scheme_U or cfg.div_scheme)
                        + fvm_laplacian(mu_f, mesh, bcs_u, dtype=dtype,
                                        sign=-1.0)).with_source(src_c)
                 res = solve_fvmatrix(eqn, u_c, tol=cfg.u_tol,
@@ -549,7 +552,7 @@ class LowMachSolver:
         for c in range(3):
             eqn = (fvm_ddt(rho, U_old[c], dt, mesh, self.bcs_U[c],
                            coeff_old=rho_old)
-                   + fvm_div(phi, U[c], mesh, self.bcs_U[c], cfg.div_scheme)
+                   + fvm_div(phi, U[c], mesh, self.bcs_U[c], cfg.div_scheme_U or cfg.div_scheme)
                    + fvm_laplacian(mu_f, mesh, self.bcs_U[c], dtype=dtype,
                                    sign=-1.0))
             eqn = eqn.with_source(srcs[c])

@@ -331,7 +331,8 @@ class LowMachSolverFL:
             eqn = (fvm_ddt_fl(self.m_U[c], rho, rho_old, U_old[:, c], dt,
                               dtype)
                    + fvm_div_fl(self.m_U[c], phi, list(phi_b),
-                                cfg.div_scheme, dtype, x_now=U[:, c])
+                                getattr(cfg, "div_scheme_U", None)
+                                or cfg.div_scheme, dtype, x_now=U[:, c])
                    + fvm_laplacian_fl(self.m_U[c], mu_f, mu_bf, dtype,
                                       sign=-1.0)).with_source(srcs[:, c])
             res = solve_fvmatrix(eqn, U[:, c], tol=cfg.u_tol,

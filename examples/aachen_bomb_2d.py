@@ -150,12 +150,22 @@ def main():
         s, diag = step(s)
         if (i + 1) % 40 == 0:
             fos(float(s.gas.time), {"T": np.asarray(s.gas.T)})
+            act = np.asarray(s.cloud.active) > 0
+            tip = float(np.asarray(s.cloud.pos[1])[act].min()) * 1e3 \
+                if act.any() else float("nan")
+            vy = np.asarray(s.gas.U[1, nx // 2, :, 0])
+            Yf = np.asarray(s.gas.Y[iF, nx // 2, :, 0])
+            vap = np.where(Yf > 0.005)[0]
+            y_vap = (vap[0] * 0.1 / ny + 0.05 / ny) * 1e3 if vap.size \
+                else float("nan")
             print(f"t={float(s.gas.time)*1e3:7.3f} ms  "
                   f"T=[{float(s.gas.T.min()):6.1f},{float(s.gas.T.max()):7.1f}] "
                   f"parcels={int(diag['cloud_n_active'])} "
                   f"liq={float(diag['cloud_liquid_mass'])*1e6:8.4f} mg "
                   f"inj={float(s.cloud.m_injected)*1e6:7.4f} mg "
-                  f"Yf_max={float(s.gas.Y[iF].max()):.4f}", flush=True)
+                  f"Yf_max={float(s.gas.Y[iF].max()):.4f} "
+                  f"tip={tip:5.1f} mm vap={y_vap:5.1f} mm "
+                  f"w_jet={vy.min():6.2f} m/s", flush=True)
     fos.write()
     Tn = np.asarray(s.gas.T)
     print(f"wall: {_t.perf_counter() - t0:.1f}s")
