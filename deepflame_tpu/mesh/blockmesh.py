@@ -112,8 +112,60 @@ def _read_plain_list(tk: _Tok, cast=float):
     return out
 
 
+def _read_grading(tk: _Tok):
+    """simpleGrading spec: 3 per-axis entries, each a ratio or a
+    multi-section list ((lenFrac cellFrac ratio) ...)."""
+    tk.expect("(")
+    out = []
+    while tk.peek() != ")":
+        if tk.peek() == "(":
+            out.append([tuple(seg) for seg in _read_vector_list(tk)])
+        else:
+            out.append(float(tk.next()))
+    tk.next()
+    return out
+
+
+def _expand_codestream_vertices(text: str) -> str:
+    """Rewrite the reference's `vertices #codeStream {...}` idiom into a
+    plain vertex list. The cases using it (twoD_tripleFlame,
+    twoD_temporally_evolving_jet) share one generator pattern: N point()
+    literals followed by a loop appending z-mirrored copies
+    (points[i+sz] = point(x, y, -z)). General codeStream (arbitrary C++)
+    is out of scope and still raises at the '#codeStream' token."""
+    m = re.search(r"vertices\s+#codeStream\s*\{", text)
+    if not m:
+        return text
+    # find the matching closing brace of the codeStream block
+    depth = 1
+    i = m.end()
+    while depth > 0:
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+        i += 1
+    block = text[m.end():i - 1]
+    end = i
+    while end < len(text) and text[end] in " \t\n;":
+        end += 1
+    pts = [tuple(float(x) for x in g.split(","))
+           for g in re.findall(
+               r"point\s*\(\s*([-\d.eE+]+\s*,\s*[-\d.eE+]+\s*,\s*"
+               r"[-\d.eE+]+)\s*\)\s*;", block)]
+    if not pts:
+        return text                      # let the tokenizer raise
+    if re.search(r"point\s*\(\s*pt\.x\(\)\s*,\s*pt\.y\(\)\s*,\s*"
+                 r"-\s*pt\.z\(\)\s*\)", block):
+        pts = pts + [(x, y, -z) for (x, y, z) in pts]
+    verts = "vertices\n(\n" + "\n".join(
+        f"    ({x} {y} {z})" for (x, y, z) in pts) + "\n);\n"
+    return text[:m.start()] + verts + text[end:]
+
+
 def parse_blockmesh_dict(text: str) -> dict:
     """Parse a blockMeshDict into {scale, vertices, blocks, boundary}."""
+    text = _expand_codestream_vertices(_strip_comments(text))
     toks = _tokenize(_strip_comments(text))
     tk = _Tok(toks)
     tk.skip_foamfile()
@@ -150,7 +202,7 @@ def parse_blockmesh_dict(text: str) -> dict:
                     tk.next()
                 counts = _read_plain_list(tk, cast=int)
                 gkind = tk.next()                 # simpleGrading/edgeGrading
-                grading = _read_plain_list(tk, cast=float)
+                grading = _read_grading(tk)
                 if gkind == "edgeGrading":
                     if len(grading) != 12:
                         raise ValueError("edgeGrading needs 12 ratios")
@@ -174,22 +226,27 @@ def parse_blockmesh_dict(text: str) -> dict:
                 name = tk.next()
                 tk.expect("{")
                 ftype = "patch"
+                nbr_patch = None
                 faces: List[List[int]] = []
                 while tk.peek() != "}":
                     k = tk.next()
                     if k == "type":
                         ftype = tk.next()
                         tk.expect(";")
+                    elif k == "neighbourPatch":
+                        nbr_patch = tk.next()
+                        tk.expect(";")
                     elif k == "faces":
                         faces = [[int(x) for x in q]
                                  for q in _read_vector_list(tk)]
                         tk.expect(";")
-                    else:                          # e.g. neighbourPatch
+                    else:
                         while tk.next() != ";":
                             pass
                 tk.next()
                 boundary.append({"name": name, "type": ftype,
-                                 "faces": faces})
+                                 "faces": faces,
+                                 "neighbourPatch": nbr_patch})
             tk.next()
             tk.expect(";")
         elif t in (";", "}", "{"):
@@ -208,9 +265,28 @@ def parse_blockmesh_dict(text: str) -> dict:
             "blocks": blocks, "boundary": boundary}
 
 
-def _grading_points(n: int, ratio: float) -> np.ndarray:
-    """n+1 unit-interval coordinates; ratio = last/first cell size
-    (blockMesh simpleGrading semantics; negative ratio = 1/|ratio|)."""
+def _grading_points(n: int, ratio) -> np.ndarray:
+    """n+1 unit-interval coordinates. ratio: last/first cell size
+    (blockMesh simpleGrading; negative = 1/|ratio|), or a multi-section
+    list of (lengthFraction, cellFraction, ratio) — fractions normalized
+    as blockMesh does."""
+    if isinstance(ratio, (list, tuple)):
+        segs = [(float(a_), float(b_), float(r_)) for (a_, b_, r_) in ratio]
+        len_tot = sum(a_ for a_, _, _ in segs)
+        cell_tot = sum(b_ for _, b_, _ in segs)
+        pts = [0.0]
+        n_used = 0
+        for si, (lf, cf, r_) in enumerate(segs):
+            n_i = (n - n_used) if si == len(segs) - 1                 else int(round(n * cf / cell_tot))
+            n_i = max(n_i, 1)
+            n_used += n_i
+            seg = _grading_points(n_i, r_) * (lf / len_tot)
+            pts.extend((pts[-1] + seg[1:]).tolist())
+        out = np.asarray(pts)
+        if len(out) != n + 1:
+            raise ValueError("multi-grading cell fractions do not tile the "
+                             f"block ({len(out) - 1} != {n} cells)")
+        return out / out[-1]
     if ratio < 0:
         ratio = 1.0 / -ratio
     if n == 1 or abs(ratio - 1.0) < 1e-12:
@@ -231,8 +307,77 @@ def _trilinear(c: np.ndarray, u, v, w):
 
 
 def build_blockmesh(d: dict) -> GeneralMesh:
-    """Build the merged multi-block mesh from a parsed dict."""
-    return build_general_mesh(*build_blockmesh_raw(d))
+    """Build the merged multi-block mesh from a parsed dict. Cyclic patch
+    pairs (type cyclic + neighbourPatch) become wrap interior faces with a
+    translation offset on the neighbour centre (geometry.build_general_mesh
+    nei_offset), exactly as the structured backend's cyclic axes."""
+    pts, faces, owner, neighbour, patch_defs = build_blockmesh_raw(d)
+    nbr_of = {bd["name"]: bd.get("neighbourPatch")
+              for bd in d["boundary"]}
+    types = {name: t for (name, t, _, _) in patch_defs}
+    cyc_pairs = []
+    done = set()
+    for (name, t, start, n) in patch_defs:
+        if t == "cyclic" and name not in done:
+            other = nbr_of.get(name)
+            if other is None or types.get(other) != "cyclic":
+                raise ValueError(f"cyclic patch '{name}' has no cyclic "
+                                 f"neighbourPatch")
+            cyc_pairs.append((name, other))
+            done.add(name)
+            done.add(other)
+    if not cyc_pairs:
+        return build_general_mesh(pts, faces, owner, neighbour, patch_defs)
+
+    from .geometry import face_geometry, pad_faces
+    f_ctr, _ = face_geometry(pts, pad_faces(faces))
+    spans = {name: (start, n) for (name, t, start, n) in patch_defs}
+    n_int = len(neighbour)
+    bbox = np.ptp(pts, axis=0)
+    tol = 1e-6 * max(float(np.linalg.norm(bbox)), 1e-30)
+
+    add_faces, add_own, add_nei, add_off = [], [], [], []
+    drop = set()
+    for a_name, b_name in cyc_pairs:
+        sa, na = spans[a_name]
+        sb, nb = spans[b_name]
+        if na != nb:
+            raise ValueError(f"cyclic pair {a_name}/{b_name}: "
+                             f"{na} vs {nb} faces")
+        ca = f_ctr[sa:sa + na]
+        cb = f_ctr[sb:sb + nb]
+        t_vec = cb.mean(axis=0) - ca.mean(axis=0)
+        lut = {tuple(np.round((cb[j]) / tol).astype(np.int64)): j
+               for j in range(nb)}
+        for i in range(na):
+            key = tuple(np.round((ca[i] + t_vec) / tol).astype(np.int64))
+            j = lut.get(key)
+            if j is None:
+                raise ValueError(f"cyclic pair {a_name}/{b_name}: face {i} "
+                                 "has no translated partner")
+            add_faces.append(faces[sa + i])
+            add_own.append(owner[sa + i])
+            add_nei.append(owner[sb + j])
+            add_off.append(-t_vec)
+        drop.add(a_name)
+        drop.add(b_name)
+
+    new_faces = [faces[k] for k in range(n_int)] + add_faces
+    new_owner = list(owner[:n_int]) + add_own
+    new_nei = list(neighbour) + add_nei
+    offsets = np.zeros((len(new_nei), 3))
+    offsets[n_int:] = np.asarray(add_off)
+    new_defs = []
+    for (name, t, start, n) in patch_defs:
+        if name in drop:
+            continue
+        new_defs.append((name, t, len(new_faces), n))
+        for k in range(start, start + n):
+            new_faces.append(faces[k])
+            new_owner.append(owner[k])
+    return build_general_mesh(pts, new_faces, np.asarray(new_owner),
+                              np.asarray(new_nei), new_defs,
+                              nei_offset=offsets)
 
 
 def build_blockmesh_raw(d: dict):
@@ -349,9 +494,18 @@ def build_blockmesh_raw(d: dict):
                         claimed.add(uniq)
 
     if face_map:
-        k = next(iter(face_map))
-        raise ValueError(f"{len(face_map)} boundary faces not covered by "
-                         f"any patch (e.g. verts {face_map[k][0]})")
+        # blockMesh semantics: unassigned boundary faces go to the
+        # defaultFaces patch (type empty) — 2D cases rely on this
+        plist = patch_faces.setdefault("defaultFaces", [])
+        patch_types.setdefault("defaultFaces", "empty")
+        for uniq in list(face_map):
+            verts0, own = face_map.pop(uniq)
+            plist.append((verts0, own))
+        if "defaultFaces" not in [bd["name"] for bd in d["boundary"]]:
+            d = dict(d)
+            d["boundary"] = list(d["boundary"]) + [
+                {"name": "defaultFaces", "type": "empty", "faces": [],
+                 "neighbourPatch": None}]
 
     # 5. assemble polyMesh-ordered arrays: interior, then patches
     faces_all: List[tuple] = []
@@ -379,6 +533,27 @@ def build_blockmesh_raw(d: dict):
 
     return (pts, faces_all, np.asarray(owner), np.asarray(neighbour),
             patch_defs)
+
+
+def openfoam_cell_order(d: dict) -> np.ndarray:
+    """Permutation mapping THIS builder's cell ids to OpenFOAM blockMesh
+    cell ids: `field_here = field_openfoam[openfoam_cell_order(d)]`.
+
+    Both order cells block-by-block, but within a block this builder runs
+    k fastest (aligned with the structured backend's C-order raveling)
+    while OpenFOAM blockMesh runs i fastest (cellid = i + j*ni + k*ni*nj)
+    — needed to import the reference's shipped nonuniform 0/* fields onto
+    blockmesh-built meshes."""
+    out = []
+    offset = 0
+    for blk in d["blocks"]:
+        nu, nv, nw = blk["counts"]
+        for i in range(nu):
+            for j in range(nv):
+                for k in range(nw):
+                    out.append(offset + i + j * nu + k * nu * nv)
+        offset += nu * nv * nw
+    return np.asarray(out, np.int64)
 
 
 def read_blockmesh(path: str) -> GeneralMesh:

@@ -73,18 +73,22 @@ def face_geometry(points: np.ndarray, faces: np.ndarray):
 
 
 def cell_geometry(n_cells: int, owner: np.ndarray, neighbour: np.ndarray,
-                  f_ctr: np.ndarray, f_sf: np.ndarray):
+                  f_ctr: np.ndarray, f_sf: np.ndarray,
+                  f_ctr_nei: np.ndarray | None = None):
     """(cell centres (nc,3), volumes (nc,)) by signed pyramid decomposition.
 
-    neighbour < 0 marks boundary faces (owner side only).
+    neighbour < 0 marks boundary faces (owner side only). f_ctr_nei:
+    optional per-interior-face centres AS SEEN BY THE NEIGHBOUR cell —
+    wrap (cyclic) faces sit at the periodic image on that side.
     """
+    interior = neighbour >= 0
+    fc_nei = f_ctr[interior] if f_ctr_nei is None else f_ctr_nei[interior]
     # estimated cell centre: mean of incident face centres
     c_est = np.zeros((n_cells, 3))
     cnt = np.zeros(n_cells)
     np.add.at(c_est, owner, f_ctr)
     np.add.at(cnt, owner, 1.0)
-    interior = neighbour >= 0
-    np.add.at(c_est, neighbour[interior], f_ctr[interior])
+    np.add.at(c_est, neighbour[interior], fc_nei)
     np.add.at(cnt, neighbour[interior], 1.0)
     c_est /= np.maximum(cnt, 1.0)[:, None]
 
@@ -98,7 +102,7 @@ def cell_geometry(n_cells: int, owner: np.ndarray, neighbour: np.ndarray,
         np.add.at(ctr, cells, pyr3[:, None] * pc)
 
     accumulate(owner, +1.0, f_ctr, f_sf)
-    accumulate(neighbour[interior], -1.0, f_ctr[interior], f_sf[interior])
+    accumulate(neighbour[interior], -1.0, fc_nei, f_sf[interior])
     ctr /= np.maximum(vol, 1e-300)[:, None]
     vol /= 3.0
     return ctr, vol
@@ -219,13 +223,17 @@ class GeneralMesh:
 def build_general_mesh(points: np.ndarray,
                        faces: Sequence[Sequence[int]] | np.ndarray,
                        owner: np.ndarray, neighbour: np.ndarray,
-                       patch_defs: Sequence[tuple]) -> GeneralMesh:
+                       patch_defs: Sequence[tuple],
+                       nei_offset: np.ndarray | None = None) -> GeneralMesh:
     """Assemble a GeneralMesh from raw polyMesh-style arrays.
 
     faces: per-face vertex id lists (or a padded array); owner (nf_total,);
     neighbour (n_interior,) — faces [0, n_interior) are interior, the rest
     boundary (OpenFOAM polyMesh convention). patch_defs: sequence of
-    (name, type, startFace, nFaces).
+    (name, type, startFace, nFaces). nei_offset: optional (n_interior, 3)
+    translation added to the neighbour cell centre for wrap (cyclic)
+    interior faces — brings the periodic image next to the face so
+    deltas/weights are computed on the unwrapped geometry.
     """
     faces = faces if isinstance(faces, np.ndarray) else pad_faces(faces)
     owner = np.asarray(owner, np.int64)
@@ -237,7 +245,15 @@ def build_general_mesh(points: np.ndarray,
     f_ctr, f_sf = face_geometry(points, faces)
     full_nei = np.concatenate([neighbour,
                                -np.ones(owner.shape[0] - n_int, np.int64)])
-    c_ctr, c_vol = cell_geometry(n_cells, owner, full_nei, f_ctr, f_sf)
+    fc_nei_full = None
+    if nei_offset is not None:
+        # neighbour side of a wrap face sits at the periodic image:
+        # f_ctr - nei_offset (nei_offset shifts the neighbour CENTRE the
+        # other way)
+        fc_nei_full = f_ctr.copy()
+        fc_nei_full[:n_int] = f_ctr[:n_int] - np.asarray(nei_offset)
+    c_ctr, c_vol = cell_geometry(n_cells, owner, full_nei, f_ctr, f_sf,
+                                 f_ctr_nei=fc_nei_full)
     if (c_vol <= 0).any():
         bad = np.where(c_vol <= 0)[0]
         raise ValueError(f"non-positive cell volumes at cells {bad[:8]}"
@@ -250,7 +266,10 @@ def build_general_mesh(points: np.ndarray,
 
     # interior: weights, deltas, non-orthogonality
     o_i, n_i = owner[:n_int], neighbour[:n_int]
-    d = c_ctr[n_i] - c_ctr[o_i]
+    nei_ctr = c_ctr[n_i]
+    if nei_offset is not None:
+        nei_ctr = nei_ctr + np.asarray(nei_offset)
+    d = nei_ctr - c_ctr[o_i]
     mag_d = np.linalg.norm(d, axis=1)
     nd = np.einsum("fi,fi->f", unit[:n_int], d)
     if (nd <= 0).any():
@@ -264,7 +283,7 @@ def build_general_mesh(points: np.ndarray,
     sfd_own = np.abs(np.einsum("fi,fi->f", f_sf[:n_int],
                                f_ctr[:n_int] - c_ctr[o_i]))
     sfd_nei = np.abs(np.einsum("fi,fi->f", f_sf[:n_int],
-                               c_ctr[n_i] - f_ctr[:n_int]))
+                               nei_ctr - f_ctr[:n_int]))
     w = sfd_nei / np.maximum(sfd_own + sfd_nei, 1e-300)
     w = np.where(sfd_own + sfd_nei > 1e-300, w, 0.5)
 

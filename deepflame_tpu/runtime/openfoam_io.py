@@ -17,7 +17,7 @@ import re
 
 import numpy as np
 
-__all__ = ["read_openfoam_field", "read_case_fields"]
+__all__ = ["read_openfoam_field_flat", "read_openfoam_field", "read_case_fields"]
 
 
 def _read_text(path: str) -> str:
@@ -26,6 +26,43 @@ def _read_text(path: str) -> str:
             return f.read()
     with open(path) as f:
         return f.read()
+
+
+def read_openfoam_field_flat(path: str) -> np.ndarray:
+    """internalField as a FLAT array in the file's own (OpenFOAM) cell
+    order: (n,) scalar or (n, 3) vector; uniform fields raise (caller
+    should broadcast) unless a count can't be known. For blockmesh-built
+    face-list meshes compose with mesh.blockmesh.openfoam_cell_order."""
+    text = _read_text(path)
+    m = re.search(r"internalField\s+nonuniform\s+List<(scalar|vector)>\s*"
+                  r"\n?\s*(\d+)\s*\n?\s*\(", text)
+    if not m:
+        mu = re.search(r"internalField\s+uniform\s+\(([^)]*)\)\s*;", text)
+        if mu:
+            return np.array([float(t) for t in mu.group(1).split()])
+        mu = re.search(r"internalField\s+uniform\s+([-\d.eE+]+)\s*;", text)
+        if mu:
+            return np.array([float(mu.group(1))])
+        raise ValueError(f"cannot parse internalField in {path}")
+    kind, count = m.group(1), int(m.group(2))
+    body_start = m.end()
+    depth = 1
+    i = body_start
+    while depth > 0:
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    body = text[body_start:i - 1]
+    nums = np.array(body.replace("(", " ").replace(")", " ").split(),
+                    dtype=np.float64)
+    if kind == "scalar":
+        assert nums.size == count
+        return nums
+    assert nums.size == 3 * count
+    return nums.reshape(count, 3)
 
 
 def read_openfoam_field(path: str, shape) -> np.ndarray:

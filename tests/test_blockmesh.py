@@ -281,3 +281,69 @@ def test_wedge_vector_flux_is_zero():
     for p, fb in zip(m.patches, phi_b):
         if p.kind in ("wedge", "symmetry", "empty"):
             assert float(jnp.abs(fb).max(initial=0.0)) == 0.0
+
+
+CYCLIC_DICT = """
+vertices
+(
+    (0 0 0) (1 0 0) (1 0.7 0) (0 0.7 0)
+    (0 0 0.1) (1 0 0.1) (1 0.7 0.1) (0 0.7 0.1)
+);
+blocks
+(
+    hex (0 1 2 3 4 5 6 7) (8 6 1) simpleGrading (1 1 1)
+);
+boundary
+(
+    left  { type cyclic; neighbourPatch right; faces ((0 4 7 3)); }
+    right { type cyclic; neighbourPatch left;  faces ((1 2 6 5)); }
+    ylo   { type wall;   faces ((0 1 5 4)); }
+    yhi   { type wall;   faces ((3 7 6 2)); }
+);
+"""
+
+
+def test_cyclic_pair_matches_structured():
+    """Cyclic patch pairs become wrap interior faces: operators match
+    from_structured with a cyclic axis (the temporally-evolving-jet /
+    triple-flame mesh idiom; front/back fall into defaultFaces empty)."""
+    from deepflame_tpu.mesh import cyclic, empty
+    gm = build_blockmesh(parse_blockmesh_dict(CYCLIC_DICT))
+    assert "left" not in gm.patch_names and "right" not in gm.patch_names
+    assert "defaultFaces" in gm.patch_names
+    bcs = {"ylo": fixed_value(0.3), "yhi": zero_gradient()}
+    fl_b = gm.with_bcs(bcs)
+    mesh = StructuredMesh.box([1.0, 0.7, 0.1], [8, 6, 1])
+    sb = ((cyclic(), cyclic()), (fixed_value(0.3), zero_gradient()),
+          (empty(), empty()))
+    fl_s = from_structured(mesh, sb)
+    assert fl_b.n_faces == fl_s.n_faces
+    np.testing.assert_allclose(fl_b.volumes, fl_s.volumes, rtol=1e-12)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(8 * 6,)) + 2.0)
+    np.testing.assert_allclose(fvl.grad_fl(fl_b, x), fvl.grad_fl(fl_s, x),
+                               rtol=1e-10, atol=1e-12)
+    gam_b = jnp.ones((fl_b.n_faces,))
+    gb_b = [jnp.ones_like(p.mag_sf) for p in fl_b.patches]
+    gb_s = [jnp.ones_like(p.mag_sf) for p in fl_s.patches]
+    A_b = fvl.fvm_laplacian_fl(fl_b, gam_b, gb_b, sign=-1.0)
+    A_s = fvl.fvm_laplacian_fl(fl_s, jnp.ones((fl_s.n_faces,)), gb_s,
+                               sign=-1.0)
+    np.testing.assert_allclose(A_b.apply(x), A_s.apply(x), rtol=1e-10,
+                               atol=1e-10)
+    np.testing.assert_allclose(A_b.rhs(), A_s.rhs(), rtol=1e-10, atol=1e-12)
+
+
+def test_multigrading_points():
+    """Multi-section simpleGrading tiles the block exactly and matches the
+    single-ratio generator segment-by-segment."""
+    from deepflame_tpu.mesh.blockmesh import _grading_points
+    pts = _grading_points(10, [(0.6, 0.4, 0.25), (0.4, 0.6, 1.0)])
+    assert len(pts) == 11
+    assert pts[0] == 0.0 and abs(pts[-1] - 1.0) < 1e-14
+    assert (np.diff(pts) > 0).all()
+    # first segment: 4 cells over 0.6 with ratio 0.25
+    seg = _grading_points(4, 0.25) * 0.6
+    np.testing.assert_allclose(pts[:5], seg, rtol=1e-12)
+    # second: 6 uniform cells over the remaining 0.4
+    np.testing.assert_allclose(np.diff(pts[4:]), 0.4 / 6, rtol=1e-12)
