@@ -14,6 +14,13 @@ chemistry.real_gas.make_real_gas wraps the ideal thermo with exact
 Peng-Robinson rho/psi (tests/test_real_gas.py), and the rest of the
 thermo interface passes through.
 
+Caveat: the shipped initial T field reaches 150 K (transcritical CH4);
+NASA-7 fits bottom out at their 200 K validity floor here, and dense-fluid
+caloric/transport corrections (the reference's Chung transport +
+useThermoTranNN real-fluid NN, whose checkpoint is a download) are not
+applied — the run demonstrates the PR-psi solver path end-to-end, not
+cryogenic-property parity.
+
 Usage: python examples/supercritical_tgv_2d.py [--steps 1000]
        [--platform cpu] [--ideal]  (--ideal reruns with ideal-gas psi for
        the compressibility comparison)
@@ -89,10 +96,9 @@ def main():
     s = solver.initial_state(p0, T0, jnp.asarray(Y, dtype), U0)
 
     rho0 = np.asarray(s.rho)
+    W_mean = np.asarray(th_ideal.W_mix(jnp.moveaxis(s.Y, 0, -1)))
     Z_factor = float(np.mean(
-        np.asarray(s.p) / (rho0 * 8314.462618
-                           / np.asarray(th_ideal.W_mix(s.Y))
-                           * np.asarray(s.T))))
+        np.asarray(s.p) / (rho0 * 8314.462618 / W_mean * np.asarray(s.T))))
     print(f"initial: T=[{float(s.T.min()):.1f},{float(s.T.max()):.1f}] K  "
           f"rho=[{rho0.min():.1f},{rho0.max():.1f}] kg/m3  "
           f"mean compressibility Z = {Z_factor:.4f} "

@@ -111,8 +111,10 @@ def main():
     b_rho = ((zero_gradient(), zero_gradient()), cy, e)
     b_ux = ((BC("inletOutlet", u_in), zero_gradient()), cy, e)
     b_uy = ((fixed_value(0.0), zero_gradient()), cy, e)
-    bcs_Y = tuple(((BC("inletOutlet", y_inflow(mech.species[i])),
-                    zero_gradient()), cy, e) for i in range(ns))
+    # per-species BCs must be a LIST (low_mach.py:131 — tuple means one
+    # shared FieldBCs)
+    bcs_Y = [((BC("inletOutlet", y_inflow(mech.species_names[i])),
+               zero_gradient()), cy, e) for i in range(ns)]
 
     names = {"T": None, "U": None, "H2": None, "O2": None, "N2": None}
     for k in names:
