@@ -150,7 +150,7 @@ def main():
     # column (cells with smallest r).
     Tn = np.asarray(s.T, np.float64)
     r = ctr[:, 0]
-    axis_cells = r < 0.0004          # first cell column along the axis
+    axis_cells = r < 0.0006   # first cell column (prism centroids ~0.48 mm)
     z_ax = ctr[axis_cells, 2]
     T_ax = Tn[axis_cells]
     order = np.argsort(z_ax)
