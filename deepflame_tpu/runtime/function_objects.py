@@ -20,7 +20,8 @@ from ..mesh.structured import StructuredMesh
 
 __all__ = ["FieldMinMax", "Probes", "LineSample", "FieldAverage",
            "FunctionObjectSet", "Histogram", "FieldCalculus",
-           "VolFieldValue", "SurfaceFieldValue",
+           "VolFieldValue", "SurfaceFieldValue", "FieldValueDelta",
+           "total_pressure", "pressure_coefficient",
            "write_cell_centres", "write_cell_volumes"]
 
 
@@ -397,3 +398,61 @@ class FunctionObjectSet:
             if hasattr(obj, "write"):
                 out.append(obj.write())
         return out
+
+
+def total_pressure(p, rho, U):
+    """p0 = p + 0.5 rho |U|^2 (functionObjects::pressure mode 'total';
+    the incompressible-form total pressure the reference's pressure
+    function object writes)."""
+    q = 0.5 * rho * (U ** 2).sum(axis=0)
+    return p + q
+
+
+def pressure_coefficient(p, rho, U, p_inf, U_inf, rho_inf=None):
+    """Cp = (p - p_inf) / (0.5 rho_inf U_inf^2) (pressure mode
+    'staticCoeff')."""
+    import numpy as _np
+    r = rho_inf if rho_inf is not None else _np.asarray(rho).mean()
+    return (p - p_inf) / (0.5 * r * U_inf ** 2)
+
+
+class FieldValueDelta:
+    """Difference/ratio of two fieldValue-style function objects per step
+    (fieldValueDelta parity: e.g. pressure drop inlet->outlet, mass
+    imbalance in-out). ops: subtract | add | min | max (OpenFOAM set).
+
+    The two operands must produce single-scalar rows (one field, one op);
+    their __call__ is driven by THIS object - do not also register them
+    separately."""
+
+    def __init__(self, a, b, op: str = "subtract",
+                 out_dir: str = "postProcessing/fieldValueDelta"):
+        self.a = a
+        self.b = b
+        self.op = op
+        self.out_dir = out_dir
+        self.rows: list[tuple] = []
+
+    def __call__(self, time: float, fields: dict):
+        self.a(time, fields)
+        self.b(time, fields)
+        va = self.a.rows[-1][1]
+        vb = self.b.rows[-1][1]
+        if self.op == "subtract":
+            d = va - vb
+        elif self.op == "add":
+            d = va + vb
+        elif self.op == "min":
+            d = min(va, vb)
+        elif self.op == "max":
+            d = max(va, vb)
+        else:
+            raise ValueError(self.op)
+        self.rows.append((time, d))
+
+    def write(self):
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = os.path.join(self.out_dir, "fieldValueDelta.dat")
+        np.savetxt(path, np.asarray(self.rows),
+                   header=f"time {self.op}(a,b)")
+        return path

@@ -2,8 +2,11 @@
 
 Role parity: /root/reference/test/aachenBomb_2D (dfLowMachFoam + spray).
 Every case parameter below is read off the reference dicts:
-  - mesh 41 x 100 cells over x in [-10, 10] mm, y in [0, 100] mm, 2 mm empty
-    thickness (system/blockMeshDict), walls all around
+  - mesh 41 x 100 cells over x in [-10, 10] mm, y in [0, 100] mm, 2 um (!)
+    empty thickness (system/blockMeshDict: z = +-1e-3 with convertToMeters
+    0.001 — the slab is TWO MICROMETERS; with massTotal 8e-8 kg the injected
+    fuel equals the chamber's entire gas mass, i.e. the case is globally
+    ~14x rich and spray sources dominate the gas), walls all around
   - ICs T = 800 K, p = 5 MPa, U = 0, k = 1, eps = 90, kEpsilon RAS
     (0/*, constant/turbulenceProperties)
   - coneInjection at (0, 99.5 mm), direction -y, thetaOuter 10 deg,
@@ -90,8 +93,9 @@ def main():
     # blockMeshDict: x 41 cells over [-10, 10] mm; y 100 cells over
     # [0, 100] mm; 2 mm empty z
     nx, ny = 41, 100
-    mesh = StructuredMesh.box([0.02, 0.1, 0.002], [nx, ny, 1],
-                              origin=(-0.01, 0.0, 0.0))
+    # z span 2 um: blockMeshDict vertices +-1e-3 * convertToMeters 0.001
+    mesh = StructuredMesh.box([0.02, 0.1, 2e-6], [nx, ny, 1],
+                              origin=(-0.01, 0.0, -1e-6))
     e = (empty(), empty())
     wall_s = (zero_gradient(), zero_gradient())
     b_s = (wall_s, wall_s, e)                       # scalars: zeroGradient
@@ -110,7 +114,7 @@ def main():
     liq = n_heptane()
     rho_l_inj = float(liq.rho(380.0))
     inj = ConeInjector(
-        position=(0.0, 0.0995, 0.001), direction=(0.0, -1.0, 0.0),
+        position=(0.0, 0.0995, 0.0), direction=(0.0, -1.0, 0.0),
         cone_angle_deg=20.0,                 # full angle = 2 x thetaOuter
         t_start=0.0, t_end=1.25e-3, T_inject=380.0,
         mdot_profile=FLOW_PROFILE, mass_total=8e-8,
@@ -137,7 +141,7 @@ def main():
         jnp.full(mesh.shape, 5e6, dtype), jnp.full(mesh.shape, 800.0, dtype),
         jnp.asarray(Y, dtype), k0=1.0, eps0=90.0))
 
-    stations = [(0.0, i * 0.1 / 99, 0.001) for i in STATIONS_I]
+    stations = [(0.0, i * 0.1 / 99, 0.0) for i in STATIONS_I]
     probes = Probes(mesh, stations, ["T"], out_dir=f"{args.out}/probes")
     fos = FunctionObjectSet([probes])
 

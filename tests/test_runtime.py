@@ -400,3 +400,32 @@ def test_vol_and_surface_field_values(tmp_path):
     p1 = vol.write(); p2 = sv.write()
     assert (tmp_path / "vol" / "volFieldValue.dat").exists()
     assert (tmp_path / "surf" / "surfaceFieldValue.dat").exists()
+
+
+def test_pressure_tools_and_delta(tmp_path):
+    """total_pressure / pressure_coefficient / fieldValueDelta parity."""
+    import numpy as np
+    from deepflame_tpu.mesh import StructuredMesh
+    from deepflame_tpu.runtime.function_objects import (
+        FieldValueDelta, VolFieldValue, total_pressure,
+        pressure_coefficient)
+    rho = np.full((4, 4, 1), 2.0)
+    U = np.zeros((3, 4, 4, 1))
+    U[0] = 3.0
+    p = np.full((4, 4, 1), 1000.0)
+    p0 = total_pressure(p, rho, U)
+    np.testing.assert_allclose(p0, 1000.0 + 0.5 * 2.0 * 9.0)
+    cp = pressure_coefficient(p, rho, U, p_inf=900.0, U_inf=3.0)
+    np.testing.assert_allclose(cp, 100.0 / (0.5 * 2.0 * 9.0))
+
+    mesh = StructuredMesh.box([1.0, 1.0, 0.1], [4, 4, 1])
+    a = VolFieldValue(mesh, ["T"], ops=("max",),
+                      out_dir=str(tmp_path / "a"))
+    b = VolFieldValue(mesh, ["T"], ops=("min",),
+                      out_dir=str(tmp_path / "b"))
+    d = FieldValueDelta(a, b, op="subtract",
+                        out_dir=str(tmp_path / "d"))
+    T = np.linspace(300.0, 400.0, 16).reshape(4, 4, 1)
+    d(0.0, {"T": T})
+    assert abs(d.rows[-1][1] - 100.0) < 1e-12
+    d.write()
