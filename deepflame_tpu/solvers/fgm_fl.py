@@ -157,6 +157,12 @@ class FGMSolverFL(LowMachSolverFL):
                 Sij = 0.5 * (gU[i][:, j] + gU[j][:, i])
                 SS = SS + Sij * Sij
         P = mu_t * 2.0 * SS
+        # realizability production limiter (Menter-style clip): unbounded
+        # P = mu_t |S|^2 at sharp fronts outruns the lagged dissipation and
+        # sends k -> inf within a few steps (observed on the Sandia D pilot
+        # front); OpenFOAM survives via bound() + wall functions, here the
+        # standard P <= 10 rho eps clip serves
+        P = jnp.minimum(P, 10.0 * rho * jnp.maximum(eps, self.eps_min))
         k_s = jnp.maximum(k, self.k_min)
         # epsilon: implicit destruction via C2 rho eps/k on the diagonal
         D_e, D_eb = _face_product(m, mu + mu_t / self.sigma_eps)

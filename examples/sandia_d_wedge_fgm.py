@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--dt", type=float, default=1e-5)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--dtype", default="f32")
+    ap.add_argument("--n-outer", type=int, default=1)
+    ap.add_argument("--div-u", default="limitedLinear")
     ap.add_argument("--out", default="postProcessing_sandia")
     args = ap.parse_args()
 
@@ -86,9 +88,39 @@ def main():
     bc_c = sbc({"inletCH4": 0.0, "inletPilot": 1.0, "inletAir": 0.0})
     bc_var = sbc({"inletCH4": 0.0, "inletPilot": 0.0, "inletAir": 0.0})
     bc_He = {n: zg for n in names}
-    bc_k = sbc({"inletCH4": 1.0, "inletPilot": 1.0, "inletAir": 1.0})
-    bc_eps = sbc({"inletCH4": 1.0, "inletPilot": 1.0, "inletAir": 1.0})
-    bc_rho = {n: zg for n in names}
+    # 0/k: turbulentIntensityKineticEnergyInlet k = 1.5 (I |U|)^2
+    # (I = 0.0458 / 0.0628 / 0.0471); 0/epsilon:
+    # turbulentMixingLengthDissipationRateInlet eps = Cmu^0.75 k^1.5 / L
+    # (L = 0.504 / 0.735 / 19.677 mm) — resolved here to their values
+    def k_in(I, U):
+        return 1.5 * (I * U) ** 2
+
+    def eps_in(kv, L):
+        return 0.09 ** 0.75 * kv ** 1.5 / L
+
+    k_jet, k_pil, k_air = k_in(0.0458, 49.6), k_in(0.0628, 11.4),         k_in(0.0471, 0.9)
+    bc_k = sbc({"inletCH4": k_jet, "inletPilot": k_pil, "inletAir": k_air})
+    bc_eps = sbc({"inletCH4": eps_in(k_jet, 0.000504),
+                  "inletPilot": eps_in(k_pil, 0.000735),
+                  "inletAir": eps_in(k_air, 0.019677)})
+    # rho at fixed-velocity inlets must be the INLET-state density, not the
+    # owner cell's (zeroGradient rho feeds the prescribed mass influx with
+    # the cell density -> runaway mass accumulation in the first axis cell;
+    # OpenFOAM's rho boundary is 'calculated' from the thermo state)
+    from deepflame_tpu.combustion.fgm.table import lookup as _lk
+    GAS_R = 8314.462618
+
+    def rho_inlet(Z_in, c_in, T_in=294.0):
+        zz = jnp.asarray([Z_in])
+        cc = jnp.asarray([c_in])
+        zer = jnp.zeros(1)
+        W = float(_lk(table, "mwt", (None, zz, cc, zer, zer, None))[0])
+        T_in = float(_lk(table, "Tf", (None, zz, cc, zer, zer, None))[0])             if c_in > 0.5 else T_in
+        return 1e5 * W / (GAS_R / 1.0) / T_in * 1.0 if False else             1e5 * W / (GAS_R * T_in)
+
+    bc_rho = sbc({"inletCH4": rho_inlet(z_jet, 0.0),
+                  "inletPilot": rho_inlet(z_pilot, 1.0),
+                  "inletAir": rho_inlet(0.0, 0.0)})
 
     def u_bcs(c):
         vals = {"inletCH4": 49.6, "inletPilot": 11.4, "inletAir": 0.9}
@@ -102,8 +134,14 @@ def main():
                 d[n] = zg
         return d
 
+    # fvSolution parity: p GAMG tol 1e-9 relTol 1e-3 — on this graded
+    # wedge (cell volumes span 4400x) a loosely-converged pressure at the
+    # nozzle-lip ignition spike destabilizes the step
     cfg = FGMConfig(chemistry=False, div_scheme="limitedLinear",
                     solve_enthalpy=True, Sc_t=0.7,
+                    n_outer=args.n_outer,
+                    p_tol=3e-9, p_rel_tol=1e-3, max_iter_p=3000,
+                    div_scheme_U=args.div_u,
                     use_pallas="never")
     sol = FGMSolverFL(
         m_p=gm.with_bcs(bc_p, dtype), m_h=gm.with_bcs(bc_He, dtype),
@@ -126,41 +164,55 @@ def main():
         jnp.asarray(np.full(n, 1e5), dtype), jnp.asarray(Z0, dtype),
         jnp.asarray(c0, dtype), jnp.asarray(U0, dtype), k0=30.0, eps0=3e4)
 
+    ctr_np = np.asarray(gm.centers)
+    axis_sel = ctr_np[:, 0] < 0.0006
+    z_axis = ctr_np[axis_sel, 2]
+    ax_order = np.argsort(z_axis)
+    z_stations = np.linspace(0.0, 0.5, 11)
+
+    def station_T(state):
+        T_ax = np.asarray(state.T, np.float64)[axis_sel]
+        return np.interp(z_stations, z_axis[ax_order], T_ax[ax_order])
+
+    os.makedirs(args.out, exist_ok=True)
     dt = args.dt
     n_steps = int(round(args.t_end / dt))
-    step = jax.jit(lambda st: sol.step(st, dt)[0])
+    step = jax.jit(lambda st: sol.step(st, dt))
     import time as _t
     t0 = _t.perf_counter()
     log_every = max(n_steps // 100, 1)
+    if os.environ.get('SANDIA_DENSE_LOG'):
+        log_every = 5
     for i in range(n_steps):
-        s = step(s)
+        s, dg = step(s)
         if (i + 1) % log_every == 0:
+            Tst = station_T(s)
             print(f"t={float(s.time)*1e3:8.2f} ms  "
                   f"T=[{float(s.T.min()):6.1f},{float(s.T.max()):7.1f}] "
                   f"c_max={float(s.c.max()):.3f} "
                   f"Z_max={float(s.Z.max()):.3f} "
-                  f"k_max={float(s.k.max()):.2e} "
-                  f"w_max={float(s.U[:, 2].max()):.1f}", flush=True)
-            if not np.isfinite(float(s.T.max())):
+                  f"p_max={float(s.p.max()):.3e}@{np.array2string(ctr_np[int(np.argmax(np.asarray(s.p)))], precision=4)} rho_max={float(s.rho.max()):.3f} "
+                  f"w_max={float(s.U[:, 2].max()):.1f} p_res={float(dg['p_res_0']):.2e} itp={int(dg.get('iters_p', -1))}"
+                  f"@z={float(ctr_np[int(np.argmax(np.abs(np.asarray(s.U[:, 2])))), 2])*1e3:.0f}mm"
+                  f",r={float(ctr_np[int(np.argmax(np.abs(np.asarray(s.U[:, 2])))), 0])*1e3:.1f}mm  stations: "
+                  + " ".join(f"{v:.0f}" for v in Tst), flush=True)
+            # checkpoint the station profile (a cut run still yields data)
+            np.savetxt(os.path.join(args.out, "data_T.xy"),
+                       np.stack([z_stations, Tst], 1), fmt="%.6g",
+                       header=f"t = {float(s.time):.6f} s")
+            if not (np.isfinite(float(s.T.max()))
+                    and np.isfinite(float(jnp.abs(s.U).max()))
+                    and np.isfinite(float(s.k.max()))):
                 raise RuntimeError("diverged")
     print(f"wall: {_t.perf_counter() - t0:.1f}s")
 
     # reference-matched sampling: 11 points on the axis (x=0) z in [0, 0.5]
-    # (system/sample lineUniform). Interpolate T from the nearest axis cell
-    # column (cells with smallest r).
-    Tn = np.asarray(s.T, np.float64)
-    r = ctr[:, 0]
-    axis_cells = r < 0.0006   # first cell column (prism centroids ~0.48 mm)
-    z_ax = ctr[axis_cells, 2]
-    T_ax = Tn[axis_cells]
-    order = np.argsort(z_ax)
-    z_st = np.linspace(0.0, 0.5, 11)
-    T_st = np.interp(z_st, z_ax[order], T_ax[order])
-    os.makedirs(args.out, exist_ok=True)
+    # (system/sample lineUniform), from the first (axis) cell column
+    T_st = station_T(s)
     np.savetxt(os.path.join(args.out, "data_T.xy"),
-               np.stack([z_st, T_st], 1), fmt="%.6g")
+               np.stack([z_stations, T_st], 1), fmt="%.6g")
     print("stations (z [m], T [K], reference):")
-    for zz, tt, ref in zip(z_st, T_st, ANCHORS):
+    for zz, tt, ref in zip(z_stations, T_st, ANCHORS):
         print(f"  z={zz:5.2f}: T = {tt:8.2f} | ref {ref:8.2f} "
               f"({100*(tt-ref)/ref:+6.1f}%)")
 
