@@ -95,6 +95,10 @@ class KEpsilon:
                 Sij = 0.5 * (gU[i][j] + gU[j][i])
                 SS = SS + Sij * Sij
         P = mu_t * 2.0 * SS
+        # realizability production limiter (Menter clip, as in the face-list
+        # k-eps): at sharp density fronts unbounded P outruns the lagged
+        # dissipation and k diverges within a few steps
+        P = jnp.minimum(P, 10.0 * rho * jnp.maximum(eps, self.eps_min))
         wf = self.wall_fns
         if wf is not None:
             # wall-layer production + log-layer eddy viscosity
