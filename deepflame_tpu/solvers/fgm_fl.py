@@ -66,6 +66,8 @@ class FGMSolverFL(LowMachSolverFL):
     m_k: FaceListMesh = None
     m_eps: FaceListMesh = None
     deepfgm: Any = None
+    wall_fns: Any = None        # WallFunctionsFL (turbulence/
+                                # wall_functions_fl.py) for RAS wall patches
     # k-epsilon coefficients (turbulence/ras.py::KEpsilon defaults)
     Cmu: float = 0.09
     C1: float = 1.44
@@ -163,6 +165,13 @@ class FGMSolverFL(LowMachSolverFL):
         # front); OpenFOAM survives via bound() + wall functions, here the
         # standard P <= 10 rho eps clip serves
         P = jnp.minimum(P, 10.0 * rho * jnp.maximum(eps, self.eps_min))
+        wf = self.wall_fns
+        if wf is not None:
+            # wall-layer production + log-layer eddy viscosity
+            # (epsilonWallFunction::calculate + nutkWallFunction)
+            G_w = wf.production(rho, k, mu, mu_t, U)
+            P = wf.apply(G_w, P)
+            mu_t = wf.apply(rho * wf.nut(rho, k, mu), mu_t)
         k_s = jnp.maximum(k, self.k_min)
         # epsilon: implicit destruction via C2 rho eps/k on the diagonal
         D_e, D_eb = _face_product(m, mu + mu_t / self.sigma_eps)
@@ -176,6 +185,9 @@ class FGMSolverFL(LowMachSolverFL):
                  ).with_source(self.C1 * (eps / k_s) * P)
         res_e = solve_fvmatrix(eqn_e, eps, tol=1e-8, max_iter=cfg.max_iter_u)
         eps = jnp.maximum(res_e.x, self.eps_min)
+        if wf is not None:
+            # epsilonWallFunction: pin eps in wall-adjacent cells
+            eps = wf.apply(wf.epsilon(k), eps)
         # k: implicit destruction rho eps/k
         D_k, D_kb = _face_product(m, mu + mu_t / self.sigma_k)
         eqn_k = (fvm_ddt_fl(self.m_k, rho, rho_old, k, dt, dtype)

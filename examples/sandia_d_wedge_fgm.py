@@ -143,6 +143,9 @@ def main():
                     p_tol=3e-9, p_rel_tol=1e-3, max_iter_p=3000,
                     div_scheme_U=args.div_u,
                     use_pallas="never")
+    from deepflame_tpu.turbulence.wall_functions_fl import \
+        make_wall_functions_fl
+    wf = make_wall_functions_fl(gm, ("wallTube", "wallOutside"), dtype)
     sol = FGMSolverFL(
         m_p=gm.with_bcs(bc_p, dtype), m_h=gm.with_bcs(bc_He, dtype),
         m_Y=gm.with_bcs(bc_Z, dtype), m_rho=gm.with_bcs(bc_rho, dtype),
@@ -150,7 +153,7 @@ def main():
         m_c=gm.with_bcs(bc_c, dtype), m_var=gm.with_bcs(bc_var, dtype),
         m_k=gm.with_bcs(bc_k, dtype), m_eps=gm.with_bcs(bc_eps, dtype),
         thermo=None, transport=None, combustion=None, config=cfg,
-        table=table)
+        table=table, wall_fns=wf)
 
     n = gm.n_cells
     ctr = np.asarray(gm.centers)
@@ -205,6 +208,14 @@ def main():
                     and np.isfinite(float(s.k.max()))):
                 raise RuntimeError("diverged")
     print(f"wall: {_t.perf_counter() - t0:.1f}s")
+    if os.environ.get("SANDIA_DUMP"):
+        np.savez(os.environ["SANDIA_DUMP"],
+                 ctr=ctr_np, T=np.asarray(s.T), Z=np.asarray(s.Z),
+                 c=np.asarray(s.c), k=np.asarray(s.k),
+                 eps=np.asarray(s.eps), U=np.asarray(s.U),
+                 rho=np.asarray(s.rho), Zvar=np.asarray(s.Zvar),
+                 cvar=np.asarray(s.cvar), p=np.asarray(s.p))
+        print("dumped", os.environ["SANDIA_DUMP"])
 
     # reference-matched sampling: 11 points on the axis (x=0) z in [0, 0.5]
     # (system/sample lineUniform), from the first (axis) cell column
