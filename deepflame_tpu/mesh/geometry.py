@@ -151,7 +151,12 @@ class GeneralMesh:
         """Resolve the BC object for one patch from a user spec dict."""
         if p.ftype == "empty":
             return BC("empty")
-        if p.ftype == "wedge" and (spec is None or p.name not in spec):
+        if p.ftype == "wedge":
+            # geometric BC regardless of any user spec (OpenFOAM likewise
+            # requires type wedge on wedge patches): the patch KIND must
+            # stay "wedge" so the solvers' exact zero-flux rules fire —
+            # a user-supplied zeroGradient here would relabel the kind and
+            # silently re-enable the O(sin theta) per-component flux leak
             return BC("wedge")
         if spec is None or p.name not in spec:
             raise KeyError(f"no BC given for patch '{p.name}'")

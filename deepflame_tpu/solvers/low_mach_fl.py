@@ -383,11 +383,21 @@ class LowMachSolverFL:
                 qf = interpolate_fl(self.m_U[c], HbyA[:, c])
                 phiH = phiH + qf * m.normal[:, c]
                 for ip, p_ in enumerate(m.patches):
+                    if p_.kind in ("symmetry", "wedge", "empty"):
+                        # exactly zero normal flux (see flux_of_fl): the
+                        # per-component affine ghost leaks O(sin theta)
+                        # times the tangential velocity through BOTH tilted
+                        # wedge sides (same-signed normals — they do not
+                        # cancel), continuously creating mass/momentum in
+                        # any region with radial motion
+                        continue
                     pc = self.m_U[c].patches[ip]
                     phiH_b[ip] = phiH_b[ip] + _boundary_face_value(
                         pc, HbyA[:, c]) * p_.normal[:, c]
             phiH = rho_f * phiH
-            phiH_b = [rb * hb for rb, hb in zip(rho_bf, phiH_b)]
+            phiH_b = [0.0 * rb if p_.kind in ("symmetry", "wedge", "empty")
+                      else rb * hb
+                      for rb, hb, p_ in zip(rho_bf, phiH_b, m.patches)]
             # rhorAUf: face interpolation of the PRODUCT rho*rAU
             rhorAUf, rhorAU_b = _face_product(m, rho * rAU)
             # ddtCorr with the OpenFOAM limiter

@@ -347,3 +347,25 @@ def test_multigrading_points():
     np.testing.assert_allclose(pts[:5], seg, rtol=1e-12)
     # second: 6 uniform cells over the remaining 0.4
     np.testing.assert_allclose(np.diff(pts[4:]), 0.4 / 6, rtol=1e-12)
+
+
+def test_wedge_kind_is_geometric():
+    """Wedge patches keep kind='wedge' even when a field spec names them
+    with another BC — the solvers' exact zero-flux rules key on the kind;
+    a relabeled wedge silently leaks O(sin theta) flux through BOTH tilted
+    sides (same-signed normals), which multiplied jet fluid 19x in the
+    Sandia D case before this rule."""
+    gm = read_blockmesh(SANDIA_DICT)
+    spec = {n: zero_gradient() for n in gm.patch_names}  # naive user spec
+    fl = gm.with_bcs(spec)
+    kinds = {p.name: p.kind for p in fl.patches}
+    assert kinds["frontAndBack_pos"] == "wedge"
+    assert kinds["frontAndBack_neg"] == "wedge"
+    assert kinds["axis"] == "empty"
+    # and the advective boundary flux through them is exactly zero
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=(gm.n_cells, 3)))
+    _, phi_b = fvl.flux_of_fl(fl, u)
+    for p, fb in zip(fl.patches, phi_b):
+        if p.kind == "wedge":
+            assert float(jnp.abs(fb).max(initial=0.0)) == 0.0
