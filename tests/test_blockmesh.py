@@ -369,3 +369,35 @@ def test_wedge_kind_is_geometric():
     for p, fb in zip(fl.patches, phi_b):
         if p.kind == "wedge":
             assert float(jnp.abs(fb).max(initial=0.0)) == 0.0
+
+
+def test_wall_functions_fl_matches_structured():
+    """WallFunctionsFL masks/values on a box == the structured
+    WallFunctions for the same geometry (wall-adjacent layer, wall
+    distance, nutk/epsilon values)."""
+    from deepflame_tpu.turbulence.wall_functions import WallFunctions
+    from deepflame_tpu.turbulence.wall_functions_fl import (
+        make_wall_functions_fl)
+    gm = build_blockmesh(parse_blockmesh_dict(BOX_DICT))
+    wf_fl = make_wall_functions_fl(gm, ("ylo", "yhi"))
+    mesh = StructuredMesh.box([1.0, 0.7, 0.5], [8, 6, 4])
+    wf_s = WallFunctions.for_walls(mesh, ((1, 0), (1, 1)),
+                                   dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(wf_fl.mask),
+                               np.asarray(wf_s.mask).reshape(-1))
+    m = np.asarray(wf_fl.mask) > 0
+    np.testing.assert_allclose(np.asarray(wf_fl.y)[m],
+                               np.asarray(wf_s.y).reshape(-1)[m],
+                               rtol=1e-12)
+    rng = np.random.default_rng(2)
+    k = jnp.asarray(rng.uniform(1.0, 50.0, mesh.n_cells))
+    rho = jnp.full((mesh.n_cells,), 1.2)
+    mu = jnp.full((mesh.n_cells,), 1.8e-5)
+    nut_fl = np.asarray(wf_fl.nut(rho, k, mu))
+    nut_s = np.asarray(wf_s.nut(rho.reshape(mesh.shape),
+                                k.reshape(mesh.shape),
+                                mu.reshape(mesh.shape))).reshape(-1)
+    np.testing.assert_allclose(nut_fl[m], nut_s[m], rtol=1e-10)
+    eps_fl = np.asarray(wf_fl.epsilon(k))
+    eps_s = np.asarray(wf_s.epsilon(k.reshape(mesh.shape))).reshape(-1)
+    np.testing.assert_allclose(eps_fl[m], eps_s[m], rtol=1e-10)
