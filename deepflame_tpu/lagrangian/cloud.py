@@ -259,6 +259,7 @@ class SprayCloud:
     injector: ConeInjector
     max_parcels: int = 8192
     evaporation: str = "Spalding"   # Spalding | D2law | none
+    drag: str = "SchillerNaumann"   # SchillerNaumann | sphereDrag
     breakup: str = "none"           # ReitzDiwakar | KHRT | none
     collision: str = "none"         # ORourke | none
     dispersion: bool = False        # stochastic (DRW) turbulent dispersion
@@ -376,7 +377,15 @@ class SprayCloud:
         rel = u_g - vel
         rel_mag = jnp.sqrt(jnp.sum(rel**2, axis=0) + 1e-30)
         Re = rho_g * rel_mag * d / jnp.maximum(mu_g, 1e-12)
-        Cd_Re24 = 1.0 + 0.15 * Re**0.687          # = Cd*Re/24
+        if self.drag == "sphereDrag":
+            # OpenFOAM SphereDragForce (lagrangian/intermediate submodel):
+            # Cd Re/24 = 1 + Re^(2/3)/6 for Re < 1000, else 0.424 Re/24 —
+            # the singleDropletMotion validation cases use this law
+            Cd_Re24 = jnp.where(Re < 1000.0,
+                                1.0 + Re ** (2.0 / 3.0) / 6.0,
+                                0.424 * Re / 24.0)
+        else:                                     # Schiller-Naumann
+            Cd_Re24 = 1.0 + 0.15 * Re**0.687      # = Cd*Re/24
         tau_p = rho_l * d**2 / (18.0 * jnp.maximum(mu_g, 1e-12) * Cd_Re24)
         f_rel = dt / jnp.maximum(tau_p, 1e-12)
         vel_new = vel + rel * (1.0 - jnp.exp(-f_rel))

@@ -15,8 +15,15 @@ Printed diagnostics: wall pressure/temperature history (reflection jump +
 ignition spike) and the positions of the reflected shock and reaction
 front.
 
+--inert runs the oneD_inertShockTube sibling case instead
+(/root/reference/examples/dfHighSpeedFoam/oneD_inertShockTube): same
+2:1:7 H2:O2:Ar gas with chemistry OFF, a hot/high-pressure driver slab
+x in [0.05, 0.1] m (T 1200 K / p 80 kPa into 400 K / 8 kPa, setFieldsDict)
+on 400 cells over 1 m, endTime 40 us — a pure gas-dynamics Sod-family
+validation of the Kurganov flux at a 10:1 pressure ratio.
+
 Usage: python examples/reactive_shock_tube_1d.py [--cells 2400]
-       [--t-end 2.3e-4] [--platform cpu] [--flux Kurganov]
+       [--t-end 2.3e-4] [--platform cpu] [--flux Kurganov] [--inert]
 """
 import argparse
 import os
@@ -36,7 +43,12 @@ def main():
     ap.add_argument("--flux", default="Kurganov")   # reference fvSchemes
     ap.add_argument("--cfl", type=float, default=0.3)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--inert", action="store_true",
+                    help="oneD_inertShockTube parity (chemistry off)")
     args = ap.parse_args()
+    if args.inert:
+        args.cells = 400 if args.cells == 2400 else args.cells
+        args.t_end = 4e-5 if args.t_end == 2.3e-4 else args.t_end
 
     from deepflame_tpu.runtime.platform import configure
     configure(args.platform, args.dtype)
@@ -58,7 +70,7 @@ def main():
     th = make_thermo(mech, dtype)
     kin = make_kinetics(mech, dtype)
     n = args.cells
-    Lx = 1.2
+    Lx = 1.0 if args.inert else 1.2
     mesh = StructuredMesh.box([Lx, Lx / n, Lx / n], [n, 1, 1])
 
     e = (empty(), empty())
@@ -66,8 +78,11 @@ def main():
     # left: reflecting wall; right: inletOutlet feeding the post-shock
     # inflow (0_orig/U)
     b_un = ((symmetry(negate=True), BC("inletOutlet", -487.34)), e, e)
+    if args.inert:   # both ends open, quiescent far field
+        b_un = ((BC("inletOutlet", 0.0), BC("inletOutlet", 0.0)), e, e)
     cfg = HighSpeedConfig(
-        flux=args.flux, rk_order=2, limiter="vanLeer", chemistry="ode",
+        flux=args.flux, rk_order=2, limiter="vanLeer",
+        chemistry="none" if args.inert else "ode",
         ode_opts=RosenbrockOptions(rtol=1e-6 if args.dtype == "f64" else 1e-4,
                                    atol=1e-12 if args.dtype == "f64" else 1e-8,
                                    max_steps=5000),
@@ -83,11 +98,19 @@ def main():
     Yv[iH2], Yv[iO2], Yv[iAR] = 0.01266, 0.10124, 0.8861
     Yv /= Yv.sum()
     X, _, _ = mesh.cell_centers(dtype)
-    # setFieldsDict: post-incident-shock slab in x [0.06, 0.12]
-    slab = (X > 0.06) & (X < 0.12)
-    T = jnp.where(slab, 748.472, 378.656).astype(dtype)
-    p = jnp.where(slab, 35594.0, 7173.0).astype(dtype)
-    U0 = jnp.where(slab, -487.34, 0.0).astype(dtype)
+    if args.inert:
+        # oneD_inertShockTube setFieldsDict: hot driver in x [0.05, 0.1],
+        # T 1200 K / p 80 kPa into 400 K / 8 kPa, quiescent
+        slab = (X > 0.05) & (X < 0.1)
+        T = jnp.where(slab, 1200.0, 400.0).astype(dtype)
+        p = jnp.where(slab, 80000.0, 8000.0).astype(dtype)
+        U0 = jnp.zeros_like(T)
+    else:
+        # setFieldsDict: post-incident-shock slab in x [0.06, 0.12]
+        slab = (X > 0.06) & (X < 0.12)
+        T = jnp.where(slab, 748.472, 378.656).astype(dtype)
+        p = jnp.where(slab, 35594.0, 7173.0).astype(dtype)
+        U0 = jnp.where(slab, -487.34, 0.0).astype(dtype)
     Y = jnp.asarray(np.tile(Yv[:, None, None, None], (1,) + mesh.shape),
                     dtype)
     s = solver.initial_state(p, T, Y, U=jnp.stack(

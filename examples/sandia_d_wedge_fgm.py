@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--n-outer", type=int, default=1)
     ap.add_argument("--div-u", default="limitedLinear")
     ap.add_argument("--out", default="postProcessing_sandia")
+    ap.add_argument("--c1", type=float, default=1.44,
+                    help="k-epsilon C_eps1 (1.6 = Pope round-jet correction)")
+    ap.add_argument("--deepfgm", action="store_true",
+                    help="DeePFGM parity: distill the table into an NN and "
+                         "run the manifold through it (twoD_SandiaD_DeePFGM)")
     args = ap.parse_args()
 
     import jax
@@ -143,6 +148,41 @@ def main():
                     p_tol=3e-9, p_rel_tol=1e-3, max_iter_p=3000,
                     div_scheme_U=args.div_u,
                     use_pallas="never")
+    deep_net = None
+    if args.deepfgm:
+        # DeePFGM parity (DeePFGM.C): replace the multilinear table lookup
+        # with a distilled NN; cache the trained net beside the table
+        from deepflame_tpu.combustion.fgm.deep import (DeepFGM,
+                                                       train_deep_fgm)
+        cache = args.table + ".deepfgm.npz"
+        if os.path.exists(cache):
+            d = np.load(cache, allow_pickle=True)
+            nl = int(d["n_layers"])
+            params = [(jnp.asarray(d[f"W{i}"], dtype),
+                       jnp.asarray(d[f"b{i}"], dtype)) for i in range(nl)]
+            deep_net = DeepFGM(params=params,
+                               x_mean=jnp.asarray(d["x_mean"], dtype),
+                               x_std=jnp.asarray(d["x_std"], dtype),
+                               y_mean=jnp.asarray(d["y_mean"], dtype),
+                               y_std=jnp.asarray(d["y_std"], dtype))
+            print(f"DeePFGM: loaded cached net {os.path.basename(cache)}")
+        else:
+            print("DeePFGM: distilling table -> NN (one-time)...",
+                  flush=True)
+            deep_net = train_deep_fgm(table, hidden=(96, 96, 48),
+                                      n_samples=60000, epochs=300,
+                                      verbose=True, dtype=dtype)
+            save = {"n_layers": len(deep_net.params),
+                    "x_mean": np.asarray(deep_net.x_mean),
+                    "x_std": np.asarray(deep_net.x_std),
+                    "y_mean": np.asarray(deep_net.y_mean),
+                    "y_std": np.asarray(deep_net.y_std)}
+            for i, (W, bb) in enumerate(deep_net.params):
+                save[f"W{i}"] = np.asarray(W)
+                save[f"b{i}"] = np.asarray(bb)
+            np.savez(cache, **save)
+            print(f"DeePFGM: cached to {os.path.basename(cache)}")
+
     from deepflame_tpu.turbulence.wall_functions_fl import \
         make_wall_functions_fl
     wf = make_wall_functions_fl(gm, ("wallTube", "wallOutside"), dtype)
@@ -153,7 +193,7 @@ def main():
         m_c=gm.with_bcs(bc_c, dtype), m_var=gm.with_bcs(bc_var, dtype),
         m_k=gm.with_bcs(bc_k, dtype), m_eps=gm.with_bcs(bc_eps, dtype),
         thermo=None, transport=None, combustion=None, config=cfg,
-        table=table, wall_fns=wf)
+        table=table, wall_fns=wf, deepfgm=deep_net, C1=args.c1)
 
     n = gm.n_cells
     ctr = np.asarray(gm.centers)
