@@ -119,7 +119,7 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
                     opts: RosenbrockOptions = RosenbrockOptions(),
                     T_threshold: float = 200.0,
                     n_bins: int = 32, dt_start=None,
-                    fast_tier: bool = True) -> ChemistryResult:
+                    fast_tier: bool = True, sort: str = "T") -> ChemistryResult:
     """Advance chemistry in every cell by dt at constant pressure.
 
     T, p: (...,); Y: (..., ns); dt: scalar or per-cell array (EDC integrates
@@ -176,9 +176,17 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
     if n_bins > 1 and n >= 2 * n_bins:
         chunk = -(-n // n_bins)                      # ceil
         pad = chunk * n_bins - n
-        # sort by temperature: similar stiffness -> same chunk; padding and
-        # fast-tier-finished lanes go to the cold end as no-op lanes
-        order = jnp.argsort(jnp.where(t_ends_rem > 0, Tf, -1.0))
+        # group lanes of similar stiffness into the same chunk; padding and
+        # fast-tier-finished lanes go to the cold end as no-op lanes.
+        # sort="T": by temperature (stiffness proxy). sort="dt": by the
+        # warm-started controller step — a DIRECT per-lane stiffness
+        # measure (small converged dt = stiff); stiffest lanes sort last,
+        # matching the hot-at-end layout the cold-half folding assumes.
+        if sort == "dt":
+            key = jnp.where(t_ends_rem > 0, -dt0_f, -jnp.inf)
+        else:
+            key = jnp.where(t_ends_rem > 0, Tf, -jnp.inf)
+        order = jnp.argsort(key)
         s0_s = jnp.concatenate([jnp.zeros((pad, ns + 1), s0.dtype)
                                 .at[:, 0].set(300.0), s0[order]])
         pf_s = jnp.concatenate([jnp.full((pad,), 101325.0, pf.dtype),

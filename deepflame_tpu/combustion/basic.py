@@ -29,6 +29,13 @@ class CombustionModel:
     kinetics: KineticsData
     ode_opts: RosenbrockOptions = RosenbrockOptions(rtol=1e-6, atol=1e-12)
     T_threshold: float = 280.0
+    # load-balance bin count for the batched integrator (solve_chemistry):
+    # more bins shorten the stiffest-lane drain per while_loop at the cost
+    # of serialized launches — 32 measured optimal at ~1e5 cells, 64 at
+    # ~1e6 (v5e). sort="dt" groups lanes by the warm-started controller
+    # step (a direct stiffness measure) instead of temperature.
+    n_bins: int = 32
+    sort: str = "T"
 
     def correct(self, T, p, Y, dt, turb=None, dt_start=None) -> ChemistryResult:
         raise NotImplementedError
@@ -46,6 +53,7 @@ class Laminar(CombustionModel):
         return solve_chemistry(self.thermo, self.kinetics, T, p, Y, dt,
                                opts=self.ode_opts,
                                T_threshold=self.T_threshold,
+                               n_bins=self.n_bins, sort=self.sort,
                                dt_start=dt_start)
 
 

@@ -229,16 +229,41 @@ class PatchFuncInjector:
     d_spread: float = 0.3
     parcels_per_step: int = 8
     T_inject: float = 320.0
+    # size distribution: lognormal (d_mean/d_spread) | RosinRammler
+    # (truncated; same semantics as ConeInjector)
+    size_dist: str = "lognormal"
+    rr_d: float = 2e-5
+    rr_n: float = 3.0
+    rr_min: float = 5e-6
+    rr_max: float = 1e-4
+    # axisymmetric-wedge patches: the patch is a radial strip whose true
+    # (revolved) face area grows linearly with the coordinate along
+    # `radial_axis` — sample that coordinate area-weighted (pdf ~ r, i.e.
+    # r = sqrt(u) scaling) so parcels/m^2 match the reference's
+    # patchInjection uniform-over-face-area placement
+    radial_axis: int | None = None
 
     def sample(self, keys, time, dt, dtype):
         k1, k2, _ = keys
         K = self.parcels_per_step
-        dm = self.d_mean * jnp.exp(self.d_spread
-                                   * jax.random.normal(k1, (K,), dtype))
-        dm = jnp.clip(dm, 0.2 * self.d_mean, 4.0 * self.d_mean)
+        if self.size_dist == "RosinRammler":
+            import math
+            u = jax.random.uniform(k1, (K,), dtype)
+            Fmin = 1.0 - math.exp(-(self.rr_min / self.rr_d) ** self.rr_n)
+            Fmax = 1.0 - math.exp(-(self.rr_max / self.rr_d) ** self.rr_n)
+            F = Fmin + u * (Fmax - Fmin)
+            dm = self.rr_d * (-jnp.log1p(-F)) ** (1.0 / self.rr_n)
+            dm = jnp.clip(dm, self.rr_min, self.rr_max)
+        else:
+            dm = self.d_mean * jnp.exp(self.d_spread
+                                       * jax.random.normal(k1, (K,), dtype))
+            dm = jnp.clip(dm, 0.2 * self.d_mean, 4.0 * self.d_mean)
         lo = jnp.asarray(self.lo, dtype)
         hi = jnp.asarray(self.hi, dtype)
         u01 = jax.random.uniform(k2, (3, K), dtype)
+        if self.radial_axis is not None:
+            u01 = u01.at[self.radial_axis].set(
+                jnp.sqrt(u01[self.radial_axis]))
         pos = lo[:, None] + u01 * (hi - lo)[:, None]
         if self.u_fn is not None:
             vel = jnp.asarray(self.u_fn(pos[0], pos[1], pos[2], time), dtype)
@@ -260,6 +285,7 @@ class SprayCloud:
     max_parcels: int = 8192
     evaporation: str = "Spalding"   # Spalding | D2law | none
     drag: str = "SchillerNaumann"   # SchillerNaumann | sphereDrag
+    gravity: tuple = (0.0, 0.0, 0.0)  # particleForces gravity (+ buoyancy)
     breakup: str = "none"           # ReitzDiwakar | KHRT | none
     collision: str = "none"         # ORourke | none
     dispersion: bool = False        # stochastic (DRW) turbulent dispersion
@@ -388,8 +414,19 @@ class SprayCloud:
             Cd_Re24 = 1.0 + 0.15 * Re**0.687      # = Cd*Re/24
         tau_p = rho_l * d**2 / (18.0 * jnp.maximum(mu_g, 1e-12) * Cd_Re24)
         f_rel = dt / jnp.maximum(tau_p, 1e-12)
-        vel_new = vel + rel * (1.0 - jnp.exp(-f_rel))
-        dmom = (vel_new - vel)                     # per droplet velocity change
+        # gravity + buoyancy (particleForces gravity, GravityForce.C:
+        # g*(1 - rho_g/rho_l)): exact solution of
+        # dv/dt = (u_g - v)/tau_p + g_eff relaxes toward u_g + tau_p*g_eff
+        g_vec = jnp.asarray(self.gravity, vel.dtype)
+        if any(self.gravity):
+            g_eff = g_vec[:, None] * (1.0 - rho_g / rho_l)[None, :]
+        else:
+            g_eff = jnp.zeros((3, 1), vel.dtype)
+        rel_eq = rel + tau_p[None, :] * g_eff
+        vel_new = vel + rel_eq * (1.0 - jnp.exp(-f_rel))
+        # momentum exchanged with the GAS is the drag impulse only —
+        # gravity acts on the parcel from outside the two-phase system
+        dmom = (vel_new - vel) - g_eff * dt
 
         # ==== evaporation
         m_d = rho_l * jnp.pi / 6.0 * d**3          # droplet mass

@@ -15,7 +15,7 @@ import dataclasses
 
 import jax.numpy as jnp
 
-__all__ = ["Liquid", "n_heptane", "n_dodecane", "water"]
+__all__ = ["Liquid", "ethanol", "n_heptane", "n_dodecane", "water"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +99,17 @@ def n_dodecane() -> Liquid:
                   cp_ref=2210.0, cp_slope=4.5, L_ref=2.56e5,
                   antoine_A=9.328, antoine_B=1625.9, antoine_C=-92.8,
                   mu_ref=1.34e-3, mu_B=1500.0, D_ref=5.5e-6)
+
+
+def ethanol() -> Liquid:
+    # C2H5OH (sydneySprayBurner fuel): W=46.07, Tc=513.9, Tb=351.4,
+    # rho~789 @300K, cp~2440, L=846 kJ/kg @ Tb; Antoine (Pa, log10) fit
+    # reproducing 1 atm at Tb: A=10.247, B=1599.0, C=-46.4
+    return Liquid(name="C2H5OH", W=46.069, T_crit=513.9, T_boil=351.44,
+                  rho_ref=789.0, rho_slope=-0.90, T_ref=300.0,
+                  cp_ref=2440.0, cp_slope=6.0, L_ref=8.46e5,
+                  antoine_A=10.247, antoine_B=1599.0, antoine_C=-46.4,
+                  sigma=0.022, mu_ref=1.07e-3, mu_B=1600.0, D_ref=1.35e-5)
 
 
 def water() -> Liquid:

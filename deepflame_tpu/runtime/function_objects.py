@@ -456,3 +456,199 @@ class FieldValueDelta:
         np.savetxt(path, np.asarray(self.rows),
                    header=f"time {self.op}(a,b)")
         return path
+
+
+def randomise(field, magnitude: float, seed: int = 0):
+    """randomise parity (functionObjects/field/randomise): field + uniform
+    perturbation in [-magnitude, magnitude] per cell."""
+    rng = np.random.default_rng(seed)
+    f = np.asarray(field)
+    return f + rng.uniform(-magnitude, magnitude, f.shape)
+
+
+def surface_interpolate(field, mesh: StructuredMesh):
+    """surfaceInterpolate parity: linear cell->face interpolation. Returns
+    a tuple of interior-face arrays, one per axis (axis a has shape with
+    n_a - 1 faces along that axis)."""
+    f = np.asarray(field)
+    out = []
+    for a in range(3):
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[a] = slice(0, -1)
+        sl_hi[a] = slice(1, None)
+        out.append(0.5 * (f[tuple(sl_lo)] + f[tuple(sl_hi)]))
+    return tuple(out)
+
+
+class NearWallFields:
+    """nearWallFields parity: time series of named fields sampled in the
+    cell layer adjacent to a wall patch (axis, side with side 0 = low)."""
+
+    def __init__(self, fields: Sequence[str], axis: int, side: int,
+                 out_dir: str = "postProcessing/nearWallFields"):
+        self.fields = tuple(fields)
+        self.axis = axis
+        self.side = side
+        self.out_dir = out_dir
+        self.rows: list[tuple] = []
+
+    def _layer(self, f):
+        sl = [slice(None)] * 3
+        sl[self.axis] = 0 if self.side == 0 else -1
+        return f[tuple(sl)]
+
+    def __call__(self, time: float, fields: dict):
+        row = [time]
+        for name in self.fields:
+            lay = self._layer(np.asarray(fields[name]))
+            row += [lay.min(), lay.max(), lay.mean()]
+        self.rows.append(tuple(row))
+
+    def write(self):
+        os.makedirs(self.out_dir, exist_ok=True)
+        hdr = ["time"]
+        for n in self.fields:
+            hdr += [f"min({n})", f"max({n})", f"mean({n})"]
+        path = os.path.join(self.out_dir, "nearWallFields.dat")
+        np.savetxt(path, np.asarray(self.rows), header=" ".join(hdr))
+        return path
+
+
+def processor_field(mesh: StructuredMesh, n_shards: int = 1, axis: int = 0):
+    """processorField parity: per-cell owning-rank id. The TPU analogue of
+    MPI rank is the shard index of the device mesh (cells are block-
+    partitioned along `axis` into n_shards equal slabs, matching the
+    distributed layer's decomposition)."""
+    n = mesh.shape[axis]
+    ids = np.minimum(np.arange(n) * n_shards // n, n_shards - 1)
+    shape = [1, 1, 1]
+    shape[axis] = n
+    return np.broadcast_to(ids.reshape(shape), mesh.shape).astype(np.int32)
+
+
+class ReadFields:
+    """readFields parity: injects fields loaded from an .npz snapshot into
+    the function-object field registry each call (making post-processed
+    fields available to downstream objects)."""
+
+    def __init__(self, path: str, names: Sequence[str] | None = None):
+        data = np.load(path)
+        self.loaded = {k: data[k] for k in (names or data.files)}
+
+    def __call__(self, time: float, fields: dict):
+        fields.update(self.loaded)
+
+
+def field_coordinate_system_transform(U, origin, e1, e3):
+    """fieldCoordinateSystemTransform parity for vector fields: express U
+    (3, ...) in the local Cartesian system with axes (e1, e2 = e3 x e1,
+    e3), all unit vectors; origin only matters for positions, not
+    vectors."""
+    e1 = np.asarray(e1, np.float64)
+    e3 = np.asarray(e3, np.float64)
+    e1 = e1 / np.linalg.norm(e1)
+    e3 = e3 - e1 * (e3 @ e1)
+    e3 = e3 / np.linalg.norm(e3)
+    e2 = np.cross(e3, e1)
+    R = np.stack([e1, e2, e3])          # rows = new basis
+    Uarr = np.asarray(U)
+    return np.einsum("ab,b...->a...", R, Uarr)
+
+
+class StreamLine:
+    """streamLine parity: trace streamlines through a frozen velocity
+    snapshot by midpoint (RK2) integration on the structured block; writes
+    one polyline per seed point."""
+
+    def __init__(self, mesh: StructuredMesh, seeds, step_frac: float = 0.5,
+                 max_steps: int = 2000,
+                 out_dir: str = "postProcessing/streamLine"):
+        self.mesh = mesh
+        self.seeds = np.asarray(seeds, np.float64)
+        self.h = step_frac * float(min(mesh.dx, mesh.dy, mesh.dz))
+        self.max_steps = max_steps
+        self.out_dir = out_dir
+        self.lines: list[np.ndarray] = []
+
+    def _sample(self, U, x):
+        # nearest-cell lookup (consistent with the tracer's first-order use)
+        d = (self.mesh.dx, self.mesh.dy, self.mesh.dz)
+        idx = []
+        for a in range(3):
+            i = int(np.clip(x[a] / d[a] - 0.5, 0, self.mesh.shape[a] - 1))
+            idx.append(i)
+        return np.array([U[c][tuple(idx)] for c in range(3)])
+
+    def __call__(self, time: float, fields: dict):
+        U = np.asarray(fields["U"])
+        ext = np.array([self.mesh.shape[a]
+                        * (self.mesh.dx, self.mesh.dy, self.mesh.dz)[a]
+                        for a in range(3)])
+        self.lines = []
+        for seed in self.seeds:
+            x = np.asarray(seed, np.float64).copy()
+            pts = [x.copy()]
+            for _ in range(self.max_steps):
+                u1 = self._sample(U, x)
+                sp = np.linalg.norm(u1)
+                if sp < 1e-12:
+                    break
+                xm = x + 0.5 * self.h * u1 / sp
+                u2 = self._sample(U, xm)
+                sp2 = np.linalg.norm(u2)
+                if sp2 < 1e-12:
+                    break
+                x = x + self.h * u2 / sp2
+                if np.any(x < 0) or np.any(x >= ext):
+                    break
+                pts.append(x.copy())
+            self.lines.append(np.asarray(pts))
+
+    def write(self):
+        os.makedirs(self.out_dir, exist_ok=True)
+        paths = []
+        for i, line in enumerate(self.lines):
+            p = os.path.join(self.out_dir, f"track{i}.xy")
+            np.savetxt(p, line, header="x y z")
+            paths.append(p)
+        return paths
+
+
+def region_size_distribution(field, threshold: float, cell_volume: float,
+                             above: bool = True):
+    """regionSizeDistribution parity: label connected regions where the
+    field is above (or below) threshold and return the sorted region
+    volumes [m^3] (6/18-connectivity via scipy.ndimage)."""
+    from scipy import ndimage
+    f = np.asarray(field)
+    mask = f > threshold if above else f < threshold
+    labels, n = ndimage.label(mask)
+    if n == 0:
+        return np.zeros((0,))
+    sizes = ndimage.sum_labels(np.ones_like(f), labels,
+                               index=np.arange(1, n + 1))
+    return np.sort(sizes)[::-1] * cell_volume
+
+
+def blending_factor(field, mesh: StructuredMesh, axis: int = 0):
+    """blendingFactor parity: the limiter weight the limitedLinear
+    divergence scheme would apply on each interior face of `axis`
+    (1 = pure linear / central, 0 = pure upwind), averaged back to cells —
+    a mesh-resolution/monotonicity diagnostic."""
+    f = np.asarray(field, np.float64)
+    fm = np.roll(f, 1, axis)
+    fp = np.roll(f, -1, axis)
+    # Sweby r on the face between i and i+1 assuming positive flow
+    num = f - fm
+    den = fp - f
+    r = num / np.where(np.abs(den) > 1e-300, den, 1e-300)
+    # limitedLinear 1: psi = max(0, min(2r, 1)) on the linear weight
+    psi = np.clip(np.minimum(2.0 * r, 1.0), 0.0, 1.0)
+    return psi
+
+
+__all__ += ["randomise", "surface_interpolate", "NearWallFields",
+            "processor_field", "ReadFields",
+            "field_coordinate_system_transform", "StreamLine",
+            "region_size_distribution", "blending_factor"]

@@ -63,19 +63,9 @@ class FGMSolverFL(LowMachSolverFL):
     table: FlameletTable = None
     m_c: FaceListMesh = None
     m_var: FaceListMesh = None
-    m_k: FaceListMesh = None
-    m_eps: FaceListMesh = None
     deepfgm: Any = None
-    wall_fns: Any = None        # WallFunctionsFL (turbulence/
-                                # wall_functions_fl.py) for RAS wall patches
-    # k-epsilon coefficients (turbulence/ras.py::KEpsilon defaults)
-    Cmu: float = 0.09
-    C1: float = 1.44
-    C2: float = 1.92
-    sigma_k: float = 1.0
-    sigma_eps: float = 1.3
-    k_min: float = 1e-10
-    eps_min: float = 1e-12
+    # m_k / m_eps / wall_fns and the k-epsilon coefficients are inherited
+    # from LowMachSolverFL (shared _keps_advance)
 
     @property
     def m_Z(self) -> FaceListMesh:
@@ -146,60 +136,7 @@ class FGMSolverFL(LowMachSolverFL):
         res = solve_fvmatrix(eqn, q, tol=tol, max_iter=iters)
         return jnp.clip(res.x, qmin, qmax)
 
-    def _keps_advance(self, k, eps, rho, rho_old, phi, phi_b, U, mu, dt):
-        """Standard k-epsilon update on the face-list mesh; returns
-        (k, eps, mu_t). Mirrors turbulence/ras.py::KEpsilon.advance."""
-        cfg = self.config
-        m = self.m_p
-        mu_t = rho * self.Cmu * k * k / jnp.maximum(eps, self.eps_min)
-        gU = [grad_fl(self.m_U[c], U[:, c]) for c in range(3)]
-        SS = 0.0
-        for i in range(3):
-            for j in range(3):
-                Sij = 0.5 * (gU[i][:, j] + gU[j][:, i])
-                SS = SS + Sij * Sij
-        P = mu_t * 2.0 * SS
-        # realizability production limiter (Menter-style clip): unbounded
-        # P = mu_t |S|^2 at sharp fronts outruns the lagged dissipation and
-        # sends k -> inf within a few steps (observed on the Sandia D pilot
-        # front); OpenFOAM survives via bound() + wall functions, here the
-        # standard P <= 10 rho eps clip serves
-        P = jnp.minimum(P, 10.0 * rho * jnp.maximum(eps, self.eps_min))
-        wf = self.wall_fns
-        if wf is not None:
-            # wall-layer production + log-layer eddy viscosity
-            # (epsilonWallFunction::calculate + nutkWallFunction)
-            G_w = wf.production(rho, k, mu, mu_t, U)
-            P = wf.apply(G_w, P)
-            mu_t = wf.apply(rho * wf.nut(rho, k, mu), mu_t)
-        k_s = jnp.maximum(k, self.k_min)
-        # epsilon: implicit destruction via C2 rho eps/k on the diagonal
-        D_e, D_eb = _face_product(m, mu + mu_t / self.sigma_eps)
-        dtype = k.dtype
-        eqn_e = (fvm_ddt_fl(self.m_eps, rho, rho_old, eps, dt, dtype)
-                 + fvm_div_fl(self.m_eps, phi, list(phi_b),
-                              cfg.div_scheme, dtype, x_now=eps)
-                 + fvm_laplacian_fl(self.m_eps, D_e, D_eb, dtype, sign=-1.0)
-                 + fvm_source_implicit_fl(self.m_eps,
-                                          self.C2 * rho * eps / k_s, dtype)
-                 ).with_source(self.C1 * (eps / k_s) * P)
-        res_e = solve_fvmatrix(eqn_e, eps, tol=1e-8, max_iter=cfg.max_iter_u)
-        eps = jnp.maximum(res_e.x, self.eps_min)
-        if wf is not None:
-            # epsilonWallFunction: pin eps in wall-adjacent cells
-            eps = wf.apply(wf.epsilon(k), eps)
-        # k: implicit destruction rho eps/k
-        D_k, D_kb = _face_product(m, mu + mu_t / self.sigma_k)
-        eqn_k = (fvm_ddt_fl(self.m_k, rho, rho_old, k, dt, dtype)
-                 + fvm_div_fl(self.m_k, phi, list(phi_b),
-                              cfg.div_scheme, dtype, x_now=k)
-                 + fvm_laplacian_fl(self.m_k, D_k, D_kb, dtype, sign=-1.0)
-                 + fvm_source_implicit_fl(self.m_k, rho * eps / k_s, dtype)
-                 ).with_source(P)
-        res_k = solve_fvmatrix(eqn_k, k, tol=1e-8, max_iter=cfg.max_iter_u)
-        k = jnp.maximum(res_k.x, self.k_min)
-        mu_t = rho * self.Cmu * k * k / jnp.maximum(eps, self.eps_min)
-        return k, eps, mu_t
+    # _keps_advance is inherited from LowMachSolverFL
 
     # ---------------------------------------------------------------- step
     def step(self, s: FGMFLState, dt, sources=None):

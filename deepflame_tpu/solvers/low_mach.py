@@ -117,6 +117,9 @@ class LowMachConfig:
     chemistry: bool = True
     chemistry_dt_scale: float = 1.0  # 2.0 for splittingStrategy chem steps
     inert_index: int | None = None   # species closed as 1 - sum(others)
+    gravity: tuple = (0.0, 0.0, 0.0)  # rho*g body force in UEqn (dfSprayFoam
+                                      # UEqn.H:12 'rho()*g'; enters HbyA so
+                                      # the pEqn sees the hydrostatic balance)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -513,8 +516,10 @@ class LowMachSolver:
                   + grad(mu * gU[2][c], self.bcs_coeff, mesh)[2]
                   - grad(mu * divU, self.bcs_coeff, mesh)[c] * (2.0 / 3.0))
                  for c in range(3)]
+        g_vec = cfg.gravity
         srcs = jnp.stack([-gp[c] + corrs[c]
                           + (SU[c] if SU is not None else 0.0)
+                          + (rho * g_vec[c] if g_vec[c] else 0.0)
                           for c in range(3)])
         # H/HbyA must EXCLUDE the pressure-gradient source (OpenFOAM builds
         # UEqn without it and only adds -fvc::grad(p) at solve time, so

@@ -47,6 +47,7 @@ class LowMachFLState(NamedTuple):
     dpdt: jax.Array
     time: jax.Array
     chem_dt: Any = ()
+    turb: tuple = ()          # (k, eps) when RAS is active (m_k set)
 
 
 def _coeff_patches(m: FaceListMesh):
@@ -76,6 +77,28 @@ class LowMachSolverFL:
     transport: Any
     combustion: Any
     config: LowMachConfig = LowMachConfig()
+    # RAS closure (standard k-epsilon on the face-list mesh; active when
+    # m_k is set). Mirrors turbulence/ras.py::KEpsilon; wall_fns is a
+    # WallFunctionsFL for wall patches (turbulence/wall_functions_fl.py).
+    m_k: Any = None
+    m_eps: Any = None
+    wall_fns: Any = None
+    # per-species Y boundary conditions: OpenFOAM gives every species its
+    # own boundaryField (0/C2H5OH vs 0/O2 ...). m_Y carries the shared
+    # default; m_Y_groups, when set, is ((mesh, (species_idx, ...)), ...) —
+    # species within a group share one BC mesh and stay vmapped together,
+    # so a 34-species case with 5 distinct inlet compositions costs 6
+    # vmapped solves, not 34 serial ones
+    m_Y_groups: Any = None
+    Cmu: float = 0.09
+    C1: float = 1.44
+    C2: float = 1.92
+    sigma_k: float = 1.0
+    sigma_eps: float = 1.3
+    k_min: float = 1e-10
+    eps_min: float = 1e-12
+    Pr_t: float = 0.85
+    Sc_t: float = 0.7
 
     @property
     def mesh(self) -> FaceListMesh:
@@ -118,7 +141,8 @@ class LowMachSolverFL:
             phi_b.append(vb)
         return phi, tuple(phi_b)
 
-    def initial_state(self, p, T, Y, U=None, time=0.0) -> LowMachFLState:
+    def initial_state(self, p, T, Y, U=None, time=0.0, k0=1e-3,
+                      eps0=1e-2) -> LowMachFLState:
         dtype = T.dtype
         n = T.shape[0]
         if U is None:
@@ -126,9 +150,13 @@ class LowMachSolverFL:
         ha = self.thermo.h_mass(T, Y)
         rho = self.thermo.rho(p, T, Y)
         phi, phi_b = self._face_flux(rho, U)
+        turb = ()
+        if self.m_k is not None:
+            turb = (jnp.broadcast_to(jnp.asarray(k0, dtype), (n,)),
+                    jnp.broadcast_to(jnp.asarray(eps0, dtype), (n,)))
         return LowMachFLState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
                               phi_b=phi_b, dpdt=jnp.zeros(n, dtype),
-                              time=jnp.asarray(time, dtype))
+                              time=jnp.asarray(time, dtype), turb=turb)
 
     def _fix_boundary_fluxes(self, phi_b, rho_b_face):
         """Prescribed mass flux on fixed-normal-velocity patches (mirror of
@@ -162,8 +190,68 @@ class LowMachSolverFL:
                 out[ip] = rho_b_face[ip] * 0.5 * pc.b * p.normal[:, ax]
         return tuple(out)
 
+    def _keps_advance(self, k, eps, rho, rho_old, phi, phi_b, U, mu, dt):
+        """Standard k-epsilon update on the face-list mesh; returns
+        (k, eps, mu_t). Mirrors turbulence/ras.py::KEpsilon.advance."""
+        cfg = self.config
+        m = self.m_p
+        mu_t = rho * self.Cmu * k * k / jnp.maximum(eps, self.eps_min)
+        gU = [grad_fl(self.m_U[c], U[:, c]) for c in range(3)]
+        SS = 0.0
+        for i in range(3):
+            for j in range(3):
+                Sij = 0.5 * (gU[i][:, j] + gU[j][:, i])
+                SS = SS + Sij * Sij
+        P = mu_t * 2.0 * SS
+        # realizability production limiter (Menter-style clip): unbounded
+        # P = mu_t |S|^2 at sharp fronts outruns the lagged dissipation and
+        # sends k -> inf within a few steps (observed on the Sandia D pilot
+        # front); OpenFOAM survives via bound() + wall functions, here the
+        # standard P <= 10 rho eps clip serves
+        P = jnp.minimum(P, 10.0 * rho * jnp.maximum(eps, self.eps_min))
+        wf = self.wall_fns
+        if wf is not None:
+            # wall-layer production + log-layer eddy viscosity
+            # (epsilonWallFunction::calculate + nutkWallFunction)
+            G_w = wf.production(rho, k, mu, mu_t, U)
+            P = wf.apply(G_w, P)
+            mu_t = wf.apply(rho * wf.nut(rho, k, mu), mu_t)
+        k_s = jnp.maximum(k, self.k_min)
+        # epsilon: implicit destruction via C2 rho eps/k on the diagonal
+        D_e, D_eb = _face_product(m, mu + mu_t / self.sigma_eps)
+        dtype = k.dtype
+        eqn_e = (fvm_ddt_fl(self.m_eps, rho, rho_old, eps, dt, dtype)
+                 + fvm_div_fl(self.m_eps, phi, list(phi_b),
+                              cfg.div_scheme, dtype, x_now=eps)
+                 + fvm_laplacian_fl(self.m_eps, D_e, D_eb, dtype, sign=-1.0)
+                 + fvm_source_implicit_fl(self.m_eps,
+                                          self.C2 * rho * eps / k_s, dtype)
+                 ).with_source(self.C1 * (eps / k_s) * P)
+        res_e = solve_fvmatrix(eqn_e, eps, tol=1e-8, max_iter=cfg.max_iter_u)
+        eps = jnp.maximum(res_e.x, self.eps_min)
+        if wf is not None:
+            # epsilonWallFunction: pin eps in wall-adjacent cells
+            eps = wf.apply(wf.epsilon(k), eps)
+        # k: implicit destruction rho eps/k
+        D_k, D_kb = _face_product(m, mu + mu_t / self.sigma_k)
+        eqn_k = (fvm_ddt_fl(self.m_k, rho, rho_old, k, dt, dtype)
+                 + fvm_div_fl(self.m_k, phi, list(phi_b),
+                              cfg.div_scheme, dtype, x_now=k)
+                 + fvm_laplacian_fl(self.m_k, D_k, D_kb, dtype, sign=-1.0)
+                 + fvm_source_implicit_fl(self.m_k, rho * eps / k_s, dtype)
+                 ).with_source(P)
+        res_k = solve_fvmatrix(eqn_k, k, tol=1e-8, max_iter=cfg.max_iter_u)
+        k = jnp.maximum(res_k.x, self.k_min)
+        mu_t = rho * self.Cmu * k * k / jnp.maximum(eps, self.eps_min)
+        return k, eps, mu_t
+
     # ---------------------------------------------------------------- step
-    def step(self, s: LowMachFLState, dt):
+    def step(self, s: LowMachFLState, dt, sources=None):
+        """sources: optional spray coupling dict with keys Srho (n,),
+        SU (3, n), Sh (n,), SY (n,), SY_index (static fuel species index) —
+        the reference's parcels.Srho/SU/Sh/SYi terms on the unstructured
+        path (dfSprayFoam rhoEqn.H:38, UEqn.H:9, EEqn.H:5-12, YEqn.H:33),
+        produced here by lagrangian/overlay.py::OverlaySprayCloud."""
         cfg = self.config
         m = self.m_p
         dtype = s.T.dtype
@@ -175,11 +263,17 @@ class LowMachSolverFL:
         rho, U, p, ha, Y, T = s.rho, s.U, s.p, s.ha, s.Y, s.T
         phi, phi_b = s.phi, s.phi_b
         dpdt = s.dpdt
+        turb = s.turb
 
         # ===== chemistry (operator split)
         if cfg.chemistry:
+            turb_q = None
+            if self.m_k is not None:
+                # turbulence quantities for EDC/PaSR mixing models
+                mu0, _, _ = self._mixture_update(p, T, Y)
+                turb_q = dict(k=turb[0], epsilon=turb[1], nu=mu0 / rho)
             chem = self.combustion.correct(
-                T, p, Y, dt * cfg.chemistry_dt_scale, None,
+                T, p, Y, dt * cfg.chemistry_dt_scale, turb_q,
                 dt_start=s.chem_dt if not isinstance(s.chem_dt, tuple)
                 else None)
             RR = chem.RR * cfg.chemistry_dt_scale        # (n, ns)
@@ -189,24 +283,44 @@ class LowMachSolverFL:
             RR = jnp.zeros_like(Y)
             chem_dt_new = s.chem_dt
 
-        for outer in range(cfg.n_outer):
-            # ===== rhoEqn
-            rho = rho_old - dt * div_flux_fl(m, phi, phi_b)
+        src_rho = sources["Srho"] if sources else 0.0
 
-            # ===== coefficients
+        for outer in range(cfg.n_outer):
+            # ===== rhoEqn (parcels.Srho, dfSprayFoam rhoEqn.H:38)
+            rho = rho_old - dt * div_flux_fl(m, phi, phi_b) + dt * src_rho
+
+            # ===== coefficients (molecular + RAS effective, the reference's
+            # turbulence->muEff()/alphaEff() pattern)
             mu, alpha, rhoD = self._mixture_update(p, T, Y)
+            if self.m_k is not None:
+                k_t, e_t = turb
+                k_t, e_t, mu_t = self._keps_advance(
+                    k_t, e_t, rho, rho_old, phi, phi_b, U, mu, dt)
+                turb = (k_t, e_t)
+                mu = mu + mu_t
+                alpha = alpha + mu_t / self.Pr_t
+                rhoD = rhoD + mu_t[None] / self.Sc_t
             mu_f, mu_bf = _face_product(m, mu)
 
             # ===== UEqn
             U, HbyA, rAU = self._momentum(rho, rho_old, U, U_old, phi, phi_b,
-                                          p, mu, mu_f, mu_bf, dt, diag)
+                                          p, mu, mu_f, mu_bf, dt, diag,
+                                          SU=sources["SU"] if sources
+                                          else None)
 
             # ===== YEqn
             gY = []
             if ns > 1:
+                # species -> BC mesh map (m_Y_groups when species have
+                # distinct boundary compositions)
+                mY_of = {i: self.m_Y for i in range(ns)}
+                if self.m_Y_groups is not None:
+                    for m_Yg, idx in self.m_Y_groups:
+                        for i in idx:
+                            mY_of[i] = m_Yg
                 sumYDiff = 0.0
                 for i in range(ns):
-                    gYi = grad_fl(self.m_Y, Y[:, i])     # (n, 3)
+                    gYi = grad_fl(mY_of[i], Y[:, i])     # (n, 3)
                     gY.append(gYi)
                     sumYDiff = sumYDiff + rhoD[i][:, None] * gYi
                 # phiUc: correction flux density at faces
@@ -218,26 +332,40 @@ class LowMachSolverFL:
                     for ip, p_ in enumerate(m.patches):
                         phiUc_b[ip] = phiUc_b[ip] + qb[ip] * p_.normal[:, c]
 
-                def _solve_species(rhoD_i, y_i, y_old_i, src_i):
-                    D_f, D_b = _face_product(m, rhoD_i)
-                    eqn = (fvm_ddt_fl(self.m_Y, rho, rho_old, y_old_i, dt,
-                                      dtype)
-                           + fvm_div_fl(self.m_Y, phi,
-                                        [pb for pb in phi_b],
-                                        cfg.div_scheme, dtype, x_now=y_i)
-                           + fvm_div_fl(self.m_Y, phiUc, phiUc_b,
-                                        "upwind", dtype)
-                           + fvm_laplacian_fl(self.m_Y, D_f, D_b, dtype,
-                                              sign=-1.0)).with_source(src_i)
-                    res = solve_fvmatrix(eqn, y_i, tol=cfg.y_tol,
-                                         max_iter=cfg.max_iter_u)
-                    return jnp.clip(res.x, 0.0, 1.0), res.iterations
+                def _make_solver(m_Yg):
+                    def _solve_species(rhoD_i, y_i, y_old_i, src_i):
+                        D_f, D_b = _face_product(m, rhoD_i)
+                        eqn = (fvm_ddt_fl(m_Yg, rho, rho_old, y_old_i, dt,
+                                          dtype)
+                               + fvm_div_fl(m_Yg, phi,
+                                            [pb for pb in phi_b],
+                                            cfg.div_scheme, dtype, x_now=y_i)
+                               + fvm_div_fl(m_Yg, phiUc, phiUc_b,
+                                            "upwind", dtype)
+                               + fvm_laplacian_fl(m_Yg, D_f, D_b, dtype,
+                                                  sign=-1.0)
+                               ).with_source(src_i)
+                        res = solve_fvmatrix(eqn, y_i, tol=cfg.y_tol,
+                                             max_iter=cfg.max_iter_u)
+                        return jnp.clip(res.x, 0.0, 1.0), res.iterations
+
+                    return _solve_species
 
                 Y_in = Y
-                Y_t, it_y = jax.vmap(_solve_species)(
-                    rhoD, Y.T, Y_old.T, RR.T)
-                Y = Y_t.T
-                diag["iters_Y"] = jnp.max(it_y)
+                srcs_Y = RR.T
+                if sources is not None and sources.get("SY_index") is not None:
+                    srcs_Y = srcs_Y.at[sources["SY_index"]].add(sources["SY"])
+                groups = self.m_Y_groups or ((self.m_Y, tuple(range(ns))),)
+                it_ys = []
+                Y_new = Y
+                for m_Yg, idx in groups:
+                    ii = jnp.asarray(idx)
+                    Y_t, it_y = jax.vmap(_make_solver(m_Yg))(
+                        rhoD[ii], Y.T[ii], Y_old.T[ii], srcs_Y[ii])
+                    Y_new = Y_new.at[:, ii].set(Y_t.T)
+                    it_ys.append(jnp.max(it_y))
+                Y = Y_new
+                diag["iters_Y"] = jnp.max(jnp.stack(it_ys))
                 if cfg.inert_index is not None:
                     others = jnp.sum(Y, axis=1) - Y[:, cfg.inert_index]
                     Y = Y.at[:, cfg.inert_index].set(
@@ -272,7 +400,8 @@ class LowMachSolverFL:
                                   cfg.div_scheme, dtype, x_now=ha)
                      + fvm_laplacian_fl(self.m_h, alpha_f, alpha_b, dtype,
                                         sign=-1.0))
-            eqn_h = eqn_h.with_source(dpdt - dKdt + hcorr_div)
+            src_h = sources["Sh"] if sources else 0.0
+            eqn_h = eqn_h.with_source(dpdt - dKdt + hcorr_div + src_h)
             if cfg.solve_energy:
                 res_h = solve_fvmatrix(eqn_h, ha, tol=cfg.h_tol,
                                        max_iter=cfg.max_iter_u)
@@ -289,7 +418,7 @@ class LowMachSolverFL:
             rhoU_old = self._face_flux(rho_old, U_old)
             p, phi, phi_b, U, dpdt, rho, p_res = self._pressure_loop(
                 p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old,
-                (s.phi, s.phi_b), rhoU_old, diag)
+                (s.phi, s.phi_b), rhoU_old, diag, src_rho=src_rho)
             diag[f"p_res_{outer}"] = p_res
             if outer < cfg.n_outer - 1:
                 p = p_prev + cfg.p_relax * (p - p_prev)
@@ -302,13 +431,15 @@ class LowMachSolverFL:
             / jnp.mean(rho)
         diag["T_min"] = jnp.min(T)
         diag["T_max"] = jnp.max(T)
+        if self.m_k is not None:
+            diag["k_max"] = jnp.max(turb[0])
         return LowMachFLState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
                               phi_b=phi_b, dpdt=dpdt, time=s.time + dt,
-                              chem_dt=chem_dt_new), diag
+                              chem_dt=chem_dt_new, turb=turb), diag
 
     # ----------------------------------------------------------- momentum
     def _momentum(self, rho, rho_old, U, U_old, phi, phi_b, p, mu, mu_f,
-                  mu_bf, dt, stats):
+                  mu_bf, dt, stats, SU=None):
         cfg = self.config
         m = self.m_p
         dtype = U.dtype
@@ -323,7 +454,11 @@ class LowMachSolverFL:
                     + self._grad_coeff(mu * gU[2][:, c])[:, 2]
                     - self._grad_coeff(mu * divU)[:, c] * (2.0 / 3.0))
             corrs.append(corr)
-        srcs = jnp.stack([-gp[:, c] + corrs[c] for c in range(3)], axis=1)
+        g_vec = cfg.gravity
+        srcs = jnp.stack([-gp[:, c] + corrs[c]
+                          + (SU[c] if SU is not None else 0.0)
+                          + (rho * g_vec[c] if g_vec[c] else 0.0)
+                          for c in range(3)], axis=1)
 
         U_new, HbyA = [], []
         u_diags = None
@@ -364,7 +499,7 @@ class LowMachSolverFL:
 
     # ------------------------------------------------------ pressure loop
     def _pressure_loop(self, p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old,
-                       phi_old_all, rhoU_old, stats):
+                       phi_old_all, rhoU_old, stats, src_rho=0.0):
         cfg = self.config
         m = self.m_p
         dtype = p.dtype
@@ -415,8 +550,12 @@ class LowMachSolverFL:
             eqn_p = (fvm_source_implicit_fl(m, psi / dt, dtype)
                      + fvm_laplacian_fl(m, rhorAUf, rhorAU_b, dtype,
                                         sign=-1.0))
+            # src_rho: spray mass source (parcels.Srho in the reference
+            # pEqn.H) — kept in the pEqn AND the continuity density below
+            # so evaporated mass never re-enters as an acoustic imbalance
             eqn_p = eqn_p.with_source(rho_old / dt
-                                      - div_flux_fl(m, phiH, phiH_b))
+                                      - div_flux_fl(m, phiH, phiH_b)
+                                      + src_rho)
             # CG needs SPD: the per-unit-volume LDU form is nonsymmetric
             # when volumes vary (row_c scaled by 1/V_c), so solve the
             # volume-scaled system (V/V_mean)*A(x) = (V/V_mean)*b —
@@ -448,5 +587,5 @@ class LowMachSolverFL:
             gp = grad_fl(self.m_p, p)
             U = HbyA - rAU[:, None] * gp
             dpdt = (p - p_old) / dt
-        rho = rho_old - dt * div_flux_fl(m, phi, phi_b)
+        rho = rho_old - dt * div_flux_fl(m, phi, phi_b) + dt * src_rho
         return p, phi, tuple(phi_b), U, dpdt, rho, p_res

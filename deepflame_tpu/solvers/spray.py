@@ -17,7 +17,7 @@ from ..lagrangian.cloud import CloudState, SprayCloud
 from .low_mach import LowMachSolver, LowMachState
 
 __all__ = ["SprayState", "SpraySolver", "HighSpeedSprayState",
-           "HighSpeedSpraySolver"]
+           "HighSpeedSpraySolver", "SprayFLState", "SprayFLSolver"]
 
 
 class SprayState(NamedTuple):
@@ -136,3 +136,53 @@ class HighSpeedSpraySolver:
         stats = self.cloud.stats(cloud)
         diag.update({f"cloud_{k}": v for k, v in stats.items()})
         return HighSpeedSprayState(gas=gas2, cloud=cloud), diag
+
+
+class SprayFLState(NamedTuple):
+    gas: "LowMachFLState"       # deepflame_tpu.solvers.low_mach_fl
+    cloud: CloudState
+
+
+@dataclasses.dataclass(frozen=True)
+class SprayFLSolver:
+    """Euler-Lagrangian spray on a GENERAL (face-list/unstructured) mesh.
+
+    Role parity: dfSprayFoam on arbitrary polyhedral meshes — the reference
+    tracks parcels through the unstructured mesh by face-walking
+    (src/lagrangian/basic particle::trackToFace); here parcels live on a
+    uniform background overlay grid (lagrangian/overlay.py) while the gas
+    runs the face-list PIMPLE solver. The sydneySprayBurner ethanol case
+    (examples/dfSprayFoam/sydneySprayBurner) is the anchor family.
+
+    gas_solver: LowMachSolverFL. cloud: OverlaySprayCloud built over the
+    gas mesh's cell centres/volumes. fuel_index: gas species receiving the
+    evaporated vapor.
+    """
+    gas_solver: object
+    cloud: object               # OverlaySprayCloud
+    fuel_index: int
+
+    def initial_state(self, p, T, Y, U=None, key=None,
+                      **gas_kw) -> SprayFLState:
+        gas = self.gas_solver.initial_state(p, T, Y, U, **gas_kw)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return SprayFLState(gas=gas, cloud=self.cloud.init(key,
+                                                           dtype=T.dtype))
+
+    def step(self, s: SprayFLState, dt):
+        gas = s.gas
+        X = self.gas_solver.thermo.mole_fractions(gas.Y)
+        mu = self.gas_solver.transport.mu_mix(gas.T, X)
+        gas_fields = dict(rho=gas.rho, U=gas.U, T=gas.T, mu=mu, p=gas.p,
+                          Yv=gas.Y[:, self.fuel_index])
+        if gas.turb:
+            # RAS k for stochastic (DRW) turbulent dispersion
+            gas_fields["k_turb"] = gas.turb[0]
+        cloud, src = self.cloud.evolve(s.cloud, gas_fields, dt, gas.time)
+        sources = dict(Srho=src.Srho, SU=src.SU, Sh=src.Sh, SY=src.SY,
+                       SY_index=self.fuel_index)
+        gas_new, diag = self.gas_solver.step(gas, dt, sources=sources)
+        stats = self.cloud.stats(cloud)
+        diag.update({f"cloud_{k}": v for k, v in stats.items()})
+        return SprayFLState(gas=gas_new, cloud=cloud), diag

