@@ -648,7 +648,86 @@ def blending_factor(field, mesh: StructuredMesh, axis: int = 0):
     return psi
 
 
+def age(phi, mesh: StructuredMesh, rho=None, n_sweeps: int = 200):
+    """age parity (functionObjects/field/age, listed in the reference's
+    Make/files): steady age-of-fluid tau solving div(phi, tau) = rho by
+    first-order upwind Gauss-Seidel-style sweeps. phi is the face-flux
+    tuple (one array per axis, interior+boundary faces, as the solvers
+    carry it); inflow boundaries hold tau = 0. Returns tau [s]."""
+    rho_arr = np.ones(mesh.shape) if rho is None else np.asarray(rho)
+    tau = np.zeros(mesh.shape, np.float64)
+    vol = mesh.volume
+    phis = [np.asarray(p, np.float64) for p in phi]
+    for _ in range(n_sweeps):
+        diag = np.zeros_like(tau)
+        off = np.zeros_like(tau)
+        for a in range(3):
+            f = phis[a]
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[a] = slice(0, -1)          # face on the cell's low side
+            hi[a] = slice(1, None)        # face on the cell's high side
+            f_lo, f_hi = f[tuple(lo)], f[tuple(hi)]
+            # outflow faces contribute to the diagonal; inflow faces pull
+            # the upwind neighbour's tau (zero outside the domain = inlet)
+            diag += np.maximum(f_hi, 0.0) + np.maximum(-f_lo, 0.0)
+            up_lo = np.roll(tau, 1, axis=a)
+            sl0 = [slice(None)] * 3
+            sl0[a] = 0
+            up_lo[tuple(sl0)] = 0.0
+            up_hi = np.roll(tau, -1, axis=a)
+            slN = [slice(None)] * 3
+            slN[a] = -1
+            up_hi[tuple(slN)] = 0.0
+            off += np.maximum(f_lo, 0.0) * up_lo \
+                + np.maximum(-f_hi, 0.0) * up_hi
+        tau = (rho_arr * vol + off) / np.maximum(diag, 1e-300)
+    return tau
+
+
+def interface_height(alpha, mesh: StructuredMesh, locations,
+                     axis: int = 2, interface: float = 0.5):
+    """interfaceHeight parity: for each (x, y) location, the height along
+    `axis` of the alpha-isovalue interface, found by integrating the
+    phase fraction up the column (the OpenFOAM hIntegral method, robust
+    to smeared interfaces)."""
+    a = np.asarray(alpha)
+    d = (mesh.dx, mesh.dy, mesh.dz)[axis]
+    heights = []
+    for loc in locations:
+        idx = []
+        dims = [i for i in range(3) if i != axis]
+        for li, dim in enumerate(dims):
+            spac = (mesh.dx, mesh.dy, mesh.dz)[dim]
+            org = (mesh.x0, mesh.y0, mesh.z0)[dim]
+            idx.append(int(np.clip((loc[li] - org) / spac, 0,
+                                   mesh.shape[dim] - 1)))
+        sl = [0, 0, 0]
+        sl[dims[0]], sl[dims[1]] = idx
+        sl[axis] = slice(None)
+        col = a[tuple(sl)]
+        heights.append(float(col.sum() * d))   # integral of alpha = height
+    return np.asarray(heights)
+
+
+def xi_reaction_rate(b, Xi, Su, rho_u, mesh: StructuredMesh, bcs=None):
+    """XiReactionRate parity: writes the turbulent flame speed St = Xi*Su
+    and the reaction rate wdot = rho_u * St * |grad(b)| of a b-Xi premixed
+    flame model (b = regress variable). Returns (St, wdot)."""
+    import jax.numpy as jnp
+    from ..ops.fv import grad as _grad
+    from ..mesh.structured import zero_gradient
+    if bcs is None:
+        zg = (zero_gradient(), zero_gradient())
+        bcs = (zg, zg, zg)
+    g = _grad(jnp.asarray(b), bcs, mesh)
+    mag_gb = np.sqrt(sum(np.asarray(gc) ** 2 for gc in g))
+    St = np.asarray(Xi) * np.asarray(Su)
+    return St, np.asarray(rho_u) * St * mag_gb
+
+
 __all__ += ["randomise", "surface_interpolate", "NearWallFields",
             "processor_field", "ReadFields",
             "field_coordinate_system_transform", "StreamLine",
-            "region_size_distribution", "blending_factor"]
+            "region_size_distribution", "blending_factor",
+            "age", "interface_height", "xi_reaction_rate"]

@@ -511,3 +511,40 @@ def test_long_tail_function_objects(tmp_path):
     h = np.cos(8 * np.pi * np.asarray(X))    # oscillatory -> limited
     psih = blending_factor(h, mesh, axis=0)
     assert psih.min() < 0.5
+
+
+def test_age_interface_height_xi_reaction_rate(tmp_path):
+    """age / interfaceHeight / XiReactionRate parity objects (the last
+    items of the reference's functionObjects/field Make list)."""
+    from deepflame_tpu.runtime.function_objects import (
+        age, interface_height, xi_reaction_rate)
+
+    # age in a uniform duct flow u = 2 m/s: the discrete first-order
+    # upwind solution is tau_i = (i+1) dx / u (residence time at the
+    # cell's outflow face; tau = 0 at the inlet)
+    n = 16
+    mesh = StructuredMesh.box([1.0, 0.1, 0.1], [n, 1, 1])
+    u = 2.0
+    area_x = mesh.dy * mesh.dz
+    phi_x = np.full((n + 1, 1, 1), u * area_x)
+    phi_y = np.zeros((n, 2, 1))
+    phi_z = np.zeros((n, 1, 2))
+    tau = age((phi_x, phi_y, phi_z), mesh, n_sweeps=3 * n)
+    np.testing.assert_allclose(
+        tau[:, 0, 0], (np.arange(n) + 1) * mesh.dx / u, rtol=1e-10)
+
+    # interfaceHeight: a sharp liquid layer of depth 0.375 along z
+    mesh3 = StructuredMesh.box([1.0, 1.0, 1.0], [4, 4, 8])
+    alpha = np.zeros(mesh3.shape)
+    alpha[:, :, :3] = 1.0                      # 3 of 8 cells full
+    h = interface_height(alpha, mesh3, locations=[(0.5, 0.5)], axis=2)
+    np.testing.assert_allclose(h, [0.375], rtol=1e-12)
+
+    # XiReactionRate: planar b ramp, uniform Xi/Su ->
+    # St = Xi*Su, wdot = rho_u*St*|db/dx|
+    mesh2 = StructuredMesh.box([1.0, 0.1, 0.1], [32, 1, 1])
+    X2, _, _ = mesh2.cell_centers()
+    b = np.clip(np.asarray(X2), 0.0, 1.0)      # db/dx = 1
+    St, wdot = xi_reaction_rate(b, Xi=2.0, Su=0.4, rho_u=1.1, mesh=mesh2)
+    np.testing.assert_allclose(St, 0.8)
+    np.testing.assert_allclose(wdot[8:-8], 1.1 * 0.8 * 1.0, rtol=1e-6)
