@@ -52,13 +52,17 @@ def main():
     cups = cells * n_steps / (t1 - t0)
 
     vs = None
-    prev = sorted(glob.glob("BENCH_r*.json"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     if prev:
         try:
             with open(prev[-1]) as f:
                 last = json.load(f)
-            if last.get("value"):
-                vs = cups / float(last["value"])
+            # the driver wraps the bench line as {"parsed": {...}}; older
+            # files may hold the line itself
+            rec = last.get("parsed", last)
+            if rec.get("value"):
+                vs = cups / float(rec["value"])
         except Exception:
             vs = None
     print(json.dumps({

@@ -648,12 +648,22 @@ def blending_factor(field, mesh: StructuredMesh, axis: int = 0):
     return psi
 
 
-def age(phi, mesh: StructuredMesh, rho=None, n_sweeps: int = 200):
+def age(phi, mesh: StructuredMesh, rho=None, n_sweeps: int | None = None,
+        tol: float = 1e-10):
     """age parity (functionObjects/field/age, listed in the reference's
     Make/files): steady age-of-fluid tau solving div(phi, tau) = rho by
-    first-order upwind Gauss-Seidel-style sweeps. phi is the face-flux
-    tuple (one array per axis, interior+boundary faces, as the solvers
-    carry it); inflow boundaries hold tau = 0. Returns tau [s]."""
+    first-order upwind Jacobi sweeps (information propagates one cell per
+    sweep, so convergence needs ~mesh-extent sweeps; the default scales
+    with the mesh and iteration stops early once the update falls below
+    `tol` relative). phi is the face-flux tuple (one array per axis,
+    interior+boundary faces, as the solvers carry it); inflow boundaries
+    hold tau = 0; cells with no outflow faces (stagnant) keep their
+    previous tau rather than dividing by a floored diagonal. Returns
+    tau [s]."""
+    if n_sweeps is None:
+        # upwind Jacobi propagates one cell/sweep: cover the longest
+        # possible streamline (sum of extents), plus slack
+        n_sweeps = 2 * int(sum(mesh.shape)) + 10
     rho_arr = np.ones(mesh.shape) if rho is None else np.asarray(rho)
     tau = np.zeros(mesh.shape, np.float64)
     vol = mesh.volume
@@ -681,16 +691,25 @@ def age(phi, mesh: StructuredMesh, rho=None, n_sweeps: int = 200):
             up_hi[tuple(slN)] = 0.0
             off += np.maximum(f_lo, 0.0) * up_lo \
                 + np.maximum(-f_hi, 0.0) * up_hi
-        tau = (rho_arr * vol + off) / np.maximum(diag, 1e-300)
+        tau_new = np.where(diag > 0.0,
+                           (rho_arr * vol + off) / np.where(diag > 0.0,
+                                                            diag, 1.0),
+                           tau)
+        delta = np.max(np.abs(tau_new - tau))
+        tau = tau_new
+        if delta <= tol * max(np.max(np.abs(tau)), 1e-300):
+            break
     return tau
 
 
 def interface_height(alpha, mesh: StructuredMesh, locations,
-                     axis: int = 2, interface: float = 0.5):
+                     axis: int = 2):
     """interfaceHeight parity: for each (x, y) location, the height along
-    `axis` of the alpha-isovalue interface, found by integrating the
-    phase fraction up the column (the OpenFOAM hIntegral method, robust
-    to smeared interfaces)."""
+    `axis` of the phase interface, found by integrating the phase
+    fraction up the column (the OpenFOAM hIntegral method, robust to
+    smeared interfaces; no isovalue parameter — the integral method does
+    not use one). Heights are returned in the mesh coordinate frame
+    (column-base origin along `axis` added)."""
     a = np.asarray(alpha)
     d = (mesh.dx, mesh.dy, mesh.dz)[axis]
     heights = []
@@ -706,7 +725,10 @@ def interface_height(alpha, mesh: StructuredMesh, locations,
         sl[dims[0]], sl[dims[1]] = idx
         sl[axis] = slice(None)
         col = a[tuple(sl)]
-        heights.append(float(col.sum() * d))   # integral of alpha = height
+        org_ax = (mesh.x0, mesh.y0, mesh.z0)[axis]
+        # integral of alpha = height above the column base; shift into the
+        # mesh coordinate frame along `axis`
+        heights.append(float(col.sum() * d) + org_ax)
     return np.asarray(heights)
 
 

@@ -53,6 +53,13 @@ class HighSpeedConfig:
     ode_opts: RosenbrockOptions = RosenbrockOptions(rtol=1e-6, atol=1e-12)
     T_threshold: float = 500.0     # freeze chemistry below (unReactT parity)
 
+    def __post_init__(self):
+        # a typo like 'od' must not silently disable chemistry
+        if self.chemistry not in ("ode", "direct", "none"):
+            raise ValueError(
+                f"chemistry must be 'ode'|'direct'|'none', got "
+                f"{self.chemistry!r}")
+
 
 def _limiter(r, kind):
     if kind == "vanLeer":

@@ -28,11 +28,23 @@ from ..mesh.facelist import FaceListMesh
 from ..ops.fv_facelist import (FvMatrixFL, div_flux_fl, fvm_ddt_fl,
                                fvm_div_fl, fvm_laplacian_fl,
                                fvm_source_implicit_fl, grad_fl,
-                               interpolate_fl, _boundary_face_value)
+                               interpolate_fl, sngrad_fl,
+                               _boundary_face_value)
 from ..ops.linsolve import cg, solve_fvmatrix
+from ..parallel.context import gmean
 from .low_mach import LowMachConfig
 
-__all__ = ["LowMachFLState", "LowMachSolverFL"]
+__all__ = ["LowMachFLState", "LowMachSolverFL", "rng_keps_kwargs"]
+
+
+def rng_keps_kwargs(C1: float = 1.42) -> dict:
+    """Constructor kwargs for the RNG k-epsilon variant with its published
+    constants (OpenFOAM RNGkEpsilon defaults: Cmu 0.0845, C1 1.42, C2 1.68,
+    sigmak = sigmaEps = 0.71942, eta0 4.38, beta 0.012). Case dicts may
+    override C1 (the Sandia D flareFGM case sets C1 1.52)."""
+    return dict(keps_variant="RNG", Cmu=0.0845, C1=C1, C2=1.68,
+                sigma_k=0.71942, sigma_eps=0.71942, eta0=4.38,
+                beta_rng=0.012)
 
 
 class LowMachFLState(NamedTuple):
@@ -99,6 +111,15 @@ class LowMachSolverFL:
     eps_min: float = 1e-12
     Pr_t: float = 0.85
     Sc_t: float = 0.7
+    # RNG k-epsilon variant (OpenFOAM RNGkEpsilon.C: the strain-dependent
+    # (C1 - R) coefficient with R = eta(1-eta/eta0)/(1+beta eta^3),
+    # eta = |S| k/eps). The Sandia D flareFGM case dict selects
+    # `RASModel RNGkEpsilon; C1 1.52` (/root/reference/test/dfLowMachFoam/
+    # twoD_SandiaD_flareFGM/constant/turbulenceProperties:23-28); use
+    # rng_keps_kwargs() for the published constants.
+    keps_variant: str = "standard"   # standard | RNG
+    eta0: float = 4.38
+    beta_rng: float = 0.012
 
     @property
     def mesh(self) -> FaceListMesh:
@@ -181,9 +202,14 @@ class LowMachSolverFL:
                 out[ip] = rho_b_face[ip] * val
                 continue
             # mixed per-component kinds: axis-aligned-patch shortcut (the
-            # structured constructors only produce these on box meshes)
-            n0 = np.asarray(p.normal)[0]
-            ax = int(np.argmax(np.abs(n0)))
+            # structured constructors only produce these on box meshes).
+            # Shard-local patches carry the dominant axis statically
+            # (p.n_axis) because their normals are traced arrays.
+            if p.n_axis is not None:
+                ax = p.n_axis
+            else:
+                n0 = np.asarray(p.normal)[0]
+                ax = int(np.argmax(np.abs(n0)))
             pc = self.m_U[ax].patches[ip]
             if pc.kind in fixed_kinds:
                 # face value of the normal component = b/2 (a = -1 kinds)
@@ -202,6 +228,7 @@ class LowMachSolverFL:
             for j in range(3):
                 Sij = 0.5 * (gU[i][:, j] + gU[j][:, i])
                 SS = SS + Sij * Sij
+        divU = gU[0][:, 0] + gU[1][:, 1] + gU[2][:, 2]
         P = mu_t * 2.0 * SS
         # realizability production limiter (Menter-style clip): unbounded
         # P = mu_t |S|^2 at sharp fronts outruns the lagged dissipation and
@@ -217,6 +244,16 @@ class LowMachSolverFL:
             P = wf.apply(G_w, P)
             mu_t = wf.apply(rho * wf.nut(rho, k, mu), mu_t)
         k_s = jnp.maximum(k, self.k_min)
+        C1_eff = self.C1
+        if self.keps_variant == "RNG":
+            # OpenFOAM RNGkEpsilon.C: eta = sqrt(S2) k/eps with
+            # S2 = 2|dev(symm(grad U))|^2; R = eta(1-eta/eta0)/(1+beta eta^3)
+            # and the eps production coefficient becomes (C1 - R)
+            S2_dev = 2.0 * jnp.maximum(SS - divU * divU / 3.0, 0.0)
+            eta = jnp.sqrt(S2_dev) * k_s / jnp.maximum(eps, self.eps_min)
+            R = eta * (1.0 - eta / self.eta0) \
+                / (1.0 + self.beta_rng * eta ** 3)
+            C1_eff = self.C1 - R
         # epsilon: implicit destruction via C2 rho eps/k on the diagonal
         D_e, D_eb = _face_product(m, mu + mu_t / self.sigma_eps)
         dtype = k.dtype
@@ -226,7 +263,7 @@ class LowMachSolverFL:
                  + fvm_laplacian_fl(self.m_eps, D_e, D_eb, dtype, sign=-1.0)
                  + fvm_source_implicit_fl(self.m_eps,
                                           self.C2 * rho * eps / k_s, dtype)
-                 ).with_source(self.C1 * (eps / k_s) * P)
+                 ).with_source(C1_eff * (eps / k_s) * P)
         res_e = solve_fvmatrix(eqn_e, eps, tol=1e-8, max_iter=cfg.max_iter_u)
         eps = jnp.maximum(res_e.x, self.eps_min)
         if wf is not None:
@@ -495,7 +532,7 @@ class LowMachSolverFL:
             for c in range(3):
                 out = out.at[:, c].add(jax.ops.segment_sum(
                     fb * p_.normal[:, c], p_.owner, num_segments=m.n_cells))
-        return out / m.volumes[:, None]
+        return m.restrict(out) / m.vol_local[:, None]
 
     # ------------------------------------------------------ pressure loop
     def _pressure_loop(self, p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old,
@@ -563,7 +600,7 @@ class LowMachSolverFL:
             # V-scaled the same way); normalizing by V_mean keeps the
             # absolute-tolerance semantics, and on uniform meshes the
             # scaling is exactly 1 (bit-identical to the structured path)
-            Vn = m.volumes / jnp.mean(m.volumes)
+            Vn = m.vol_local / gmean(m.vol_local)
             apply_v = lambda x: eqn_p.apply(x) * Vn
             d_p = eqn_p.diag() * Vn
             d_inv = 1.0 / jnp.where(jnp.abs(d_p) > 1e-300, d_p, 1.0)
@@ -575,7 +612,7 @@ class LowMachSolverFL:
             if stats is not None:
                 stats["iters_p"] = stats.get("iters_p", 0) + res_p.iterations
             # flux reconstruction
-            sng = (p[m.neighbour] - p[m.owner]) / m.delta
+            sng = sngrad_fl(m, p)
             phi = phiH - rhorAUf * sng
             phi_b = []
             for ip, p_ in enumerate(m.patches):

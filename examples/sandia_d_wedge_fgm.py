@@ -50,8 +50,11 @@ def main():
     ap.add_argument("--n-outer", type=int, default=1)
     ap.add_argument("--div-u", default="limitedLinear")
     ap.add_argument("--out", default="postProcessing_sandia")
-    ap.add_argument("--c1", type=float, default=1.44,
-                    help="k-epsilon C_eps1 (1.6 = Pope round-jet correction)")
+    ap.add_argument("--ras", default="RNG", choices=["RNG", "standard"],
+                    help="RAS model; the case dict specifies RNGkEpsilon "
+                         "(constant/turbulenceProperties:23-28)")
+    ap.add_argument("--c1", type=float, default=None,
+                    help="override C_eps1 (case dict: RNG C1 1.52)")
     ap.add_argument("--deepfgm", action="store_true",
                     help="DeePFGM parity: distill the table into an NN and "
                          "run the manifold through it (twoD_SandiaD_DeePFGM)")
@@ -185,7 +188,15 @@ def main():
 
     from deepflame_tpu.turbulence.wall_functions_fl import \
         make_wall_functions_fl
+    from deepflame_tpu.solvers.low_mach_fl import rng_keps_kwargs
     wf = make_wall_functions_fl(gm, ("wallTube", "wallOutside"), dtype)
+    # the case's actual turbulence model: RNGkEpsilon with C1 1.52
+    # (constant/turbulenceProperties) — NOT standard k-epsilon
+    if args.ras == "RNG":
+        keps = rng_keps_kwargs(C1=args.c1 if args.c1 is not None else 1.52)
+    else:
+        keps = dict(C1=args.c1 if args.c1 is not None else 1.44)
+    print(f"RAS: {args.ras} k-epsilon, C1 = {keps['C1']}")
     sol = FGMSolverFL(
         m_p=gm.with_bcs(bc_p, dtype), m_h=gm.with_bcs(bc_He, dtype),
         m_Y=gm.with_bcs(bc_Z, dtype), m_rho=gm.with_bcs(bc_rho, dtype),
@@ -193,7 +204,7 @@ def main():
         m_c=gm.with_bcs(bc_c, dtype), m_var=gm.with_bcs(bc_var, dtype),
         m_k=gm.with_bcs(bc_k, dtype), m_eps=gm.with_bcs(bc_eps, dtype),
         thermo=None, transport=None, combustion=None, config=cfg,
-        table=table, wall_fns=wf, deepfgm=deep_net, C1=args.c1)
+        table=table, wall_fns=wf, deepfgm=deep_net, **keps)
 
     n = gm.n_cells
     ctr = np.asarray(gm.centers)

@@ -68,7 +68,7 @@ def main():
     zg = (zero_gradient(), zero_gradient())
     b_scalar = (zg, e, e)
     cfg = HighSpeedConfig(flux="HLLC", rk_order=2, limiter="vanLeer",
-                          chemistry="off")
+                          chemistry="none")
     gas = HighSpeedSolver(mesh=mesh, thermo=th, kinetics=kin,
                           bcs_rho=b_scalar, bcs_U=(b_scalar,) * 3,
                           bcs_p=b_scalar, bcs_Y=b_scalar, config=cfg)

@@ -218,3 +218,80 @@ def test_fl_species_solver_with_keps():
     assert s_l.turb == ()
     s_l2, _ = sol_l.step(s_l, dt)
     assert np.all(np.isfinite(np.asarray(s_l2.T)))
+
+
+def test_fl_rng_k_epsilon():
+    """RNG k-epsilon on the face-list backend (the Sandia D case's actual
+    model, constant/turbulenceProperties RASModel RNGkEpsilon C1 1.52):
+    (a) at zero strain the RNG correction R vanishes, so RNG and standard
+    k-eps with IDENTICAL constants produce the same fields; (b) under shear
+    eta > 0 lowers C1_eff, so RNG dissipates faster -> lower k than the
+    same-constants standard run."""
+    from deepflame_tpu.solvers.low_mach_fl import rng_keps_kwargs
+    mech = load_mechanism(os.path.join(DATA, "air.yaml"))
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    n = 12
+    L = 0.1
+    mesh = StructuredMesh.box([L, L / 4, L / n], [n, 4, 1])
+    e = (empty(), empty())
+    zgp = (zero_gradient(), zero_gradient())
+    bU1 = (zgp, zgp, e)
+    bU = (bU1, bU1, bU1)
+    bp = (zgp, zgp, e)
+    bz = (zgp, zgp, e)
+    cfg = LowMachConfig(chemistry=False, use_pallas="never")
+    comb = NoCombustion(th, kin)
+
+    def build(**keps_kw):
+        return LowMachSolverFL(
+            m_p=from_structured(mesh, bp), m_h=from_structured(mesh, bz),
+            m_Y=from_structured(mesh, bz), m_rho=from_structured(mesh, bz),
+            m_U=tuple(from_structured(mesh, bU[c]) for c in range(3)),
+            m_k=from_structured(mesh, bz), m_eps=from_structured(mesh, bz),
+            thermo=th, transport=tr, combustion=comb, config=cfg, **keps_kw)
+
+    rng_kw = rng_keps_kwargs(C1=1.52)
+    std_same_const = {k: v for k, v in rng_kw.items()
+                      if k != "keps_variant"}
+    sol_rng = build(**rng_kw)
+    sol_std = build(**std_same_const)
+
+    ns = mech.n_species
+    nc = n * 4
+    Y0 = np.zeros((nc, ns))
+    Y0[:, 0] = 1.0
+    p0 = jnp.full(nc, 101325.0)
+    T0 = jnp.full(nc, 300.0)
+
+    # (a) zero strain: identical
+    U0 = jnp.zeros((nc, 3))
+    dt = 1e-5
+    s_r = sol_rng.initial_state(p0, T0, jnp.asarray(Y0), U0, k0=1.0,
+                                eps0=100.0)
+    s_s = sol_std.initial_state(p0, T0, jnp.asarray(Y0), U0, k0=1.0,
+                                eps0=100.0)
+    for _ in range(3):
+        s_r, _ = sol_rng.step(s_r, dt)
+        s_s, _ = sol_std.step(s_s, dt)
+    np.testing.assert_allclose(np.asarray(s_r.turb[0]),
+                               np.asarray(s_s.turb[0]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_r.turb[1]),
+                               np.asarray(s_s.turb[1]), rtol=1e-12)
+
+    # (b) strong shear: RNG C1_eff < C1 (for eta > eta0 the correction is
+    # negative) -> more eps production -> lower k
+    X, Yg, _ = mesh.cell_centers()
+    U0s = np.zeros((nc, 3))
+    U0s[:, 0] = 400.0 * np.asarray(Yg).ravel() / L
+    s_r = sol_rng.initial_state(p0, T0, jnp.asarray(Y0), jnp.asarray(U0s),
+                                k0=1.0, eps0=100.0)
+    s_s = sol_std.initial_state(p0, T0, jnp.asarray(Y0), jnp.asarray(U0s),
+                                k0=1.0, eps0=100.0)
+    for _ in range(4):
+        s_r, _ = sol_rng.step(s_r, dt)
+        s_s, _ = sol_std.step(s_s, dt)
+    k_r = float(np.asarray(s_r.turb[0]).max())
+    k_s = float(np.asarray(s_s.turb[0]).max())
+    assert np.isfinite(k_r) and np.isfinite(k_s)
+    assert k_r != k_s
+    assert k_r < k_s
