@@ -18,7 +18,7 @@ arrays (no per-face branching under jit).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,12 @@ class BoundaryPatch:
     b: jax.Array            # (nb,)
     normal: jax.Array       # (nb, 3) outward unit normal
     kind: str = "generic"   # original BC kind (upwind/inletOutlet need it)
+    # dominant normal axis, recorded STATICALLY where the constructor knows
+    # it (axis-aligned box patches). Shard-local patches carry traced normal
+    # arrays, so code that needs the axis at trace time (the mixed-BC
+    # shortcut in LowMachSolverFL._fix_boundary_fluxes) reads this instead
+    # of np.argmax over a tracer. None = infer from concrete normals.
+    n_axis: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,10 +67,57 @@ class FaceListMesh:
     volumes: jax.Array      # (n_cells,)
     centers: jax.Array      # (n_cells, 3)
     patches: tuple          # tuple[BoundaryPatch, ...]
+    # --- SPMD domain-decomposition extension (parallel/distributed_fl.py).
+    # On a shard-local mesh, cells [0, n_own_max) are owned (+pad) and the
+    # rest are HALO copies of remote cells (the reference's processor-patch
+    # ghost layer, src_gpu/dfMatrixOpBase.H:139-155). Crossing faces are
+    # replicated on both shards; scatter contributions landing in halo rows
+    # are discarded by restrict(). Single-device meshes leave these None and
+    # every hook degrades to the identity.
+    w_own: jax.Array | None = None   # (n_cells,) 1.0 real owned cell, else 0
+    # static dict {ring offset d: (send_idx (B_d,), recv_slot (B_d,))}:
+    # shard r receives from shard (r+d)%P; send_idx gathers MY owned slots
+    # destined for shard (r-d)%P; recv_slot scatters the arriving buffer
+    # into MY halo slots (padding = n_cells -> dropped).
+    halo: Any = None
 
     @property
     def n_faces(self) -> int:
         return int(self.owner.shape[0])
+
+    @property
+    def vol_local(self) -> jax.Array:
+        """Cell volumes for row scaling; halo/pad slots hold safe values."""
+        return self.volumes
+
+    def restrict(self, x: jax.Array) -> jax.Array:
+        """Zero non-owned (halo/pad) rows — scatter results on those rows
+        are partial sums the owning shard computes exactly itself. Uses
+        where (not multiply) so a NaN in a discarded row cannot leak
+        through 0*NaN."""
+        if self.w_own is None:
+            return x
+        w = self.w_own.reshape(self.w_own.shape + (1,) * (x.ndim - 1))
+        return jnp.where(w > 0, x, jnp.zeros_like(x))
+
+    def exchange(self, x: jax.Array) -> jax.Array:
+        """Refresh halo rows from their owning shards (ppermute over the
+        active shard axis) — the NCCL processor-patch exchange of the
+        reference (correct_boundary_conditions_processor_scalar). Identity
+        on single-device meshes. Works for (n,) and (n, k) arrays."""
+        if self.halo is None:
+            return x
+        from ..parallel.context import current_axis
+        ax = current_axis()
+        if ax is None:
+            return x
+        P = jax.lax.axis_size(ax)
+        for d, (send_idx, recv_slot) in self.halo.items():
+            buf = x[send_idx]
+            perm = [(i, (i - d) % P) for i in range(P)]
+            buf = jax.lax.ppermute(buf, ax, perm)
+            x = x.at[recv_slot].set(buf, mode="drop")
+        return x
 
     def ell_connectivity(self, width: int = 6):
         """ELLPACK cell->face adjacency: for each cell, up to `width`
@@ -117,6 +170,21 @@ class FaceListMesh:
         out = out + jax.ops.segment_sum(to_neighbour, self.neighbour,
                                         num_segments=self.n_cells)
         return out
+
+
+# Pytree registration: shard-local meshes travel THROUGH shard_map as
+# inputs (their connectivity differs per shard, so they cannot be closed
+# over — a closure is replicated). name/kind/n_axis/n_cells are static
+# metadata; everything else is leaves.
+jax.tree_util.register_dataclass(
+    BoundaryPatch,
+    data_fields=["owner", "mag_sf", "delta", "a", "b", "normal"],
+    meta_fields=["name", "kind", "n_axis"])
+jax.tree_util.register_dataclass(
+    FaceListMesh,
+    data_fields=["owner", "neighbour", "mag_sf", "delta", "weights",
+                 "normal", "volumes", "centers", "patches", "w_own", "halo"],
+    meta_fields=["n_cells"])
 
 
 def _cell_id(i, j, k, ny, nz):
@@ -230,7 +298,7 @@ def from_structured(mesh: StructuredMesh, bcs: FieldBCs,
                     normal=jnp.asarray(np.broadcast_to(sign * eye[ax],
                                                        (ob.shape[0], 3)),
                                        dtype),
-                    kind=bc.kind))
+                    kind=bc.kind, n_axis=ax))
 
     if own:
         own_np = np.concatenate(own)
@@ -352,7 +420,7 @@ def graded_box(x_edges, y_edges, z_edges, bcs: FieldBCs,
                     normal=jnp.asarray(np.broadcast_to(sign * eye[ax],
                                                        (ob.shape[0], 3)),
                                        dtype),
-                    kind=bc.kind))
+                    kind=bc.kind, n_axis=ax))
 
     own_np = np.concatenate(own) if own else np.zeros(0, np.int64)
     nei_np = np.concatenate(nei) if nei else np.zeros(0, np.int64)

@@ -26,16 +26,31 @@ import jax.numpy as jnp
 from ..mesh.facelist import FaceListMesh
 
 __all__ = ["FvMatrixFL", "interpolate_fl", "grad_fl", "div_flux_fl",
-           "flux_of_fl", "fvm_ddt_fl", "fvm_div_fl", "fvm_laplacian_fl",
-           "fvm_source_implicit_fl", "laplacian_explicit_fl"]
+           "flux_of_fl", "sngrad_fl", "fvm_ddt_fl", "fvm_div_fl",
+           "fvm_laplacian_fl", "fvm_source_implicit_fl",
+           "laplacian_explicit_fl"]
 
 
 # ------------------------------------------------------------- explicit ops
+#
+# SPMD note: every op that gathers cell values across faces first calls
+# m.exchange(x) — on a shard-local mesh that refreshes the halo rows from
+# their owning shards (mesh/facelist.py exchange; the reference's NCCL
+# processor-patch exchange inside operator kernels, src_gpu/
+# dfMatrixOpBase.H:139-155 & :287-295). On single-device meshes exchange is
+# the identity, so the single-chip path is untouched.
 
 def interpolate_fl(m: FaceListMesh, x: jax.Array) -> jax.Array:
     """Linear owner/neighbour face interpolation (interior faces)."""
+    x = m.exchange(x)
     w = m.weights
     return w * x[m.owner] + (1.0 - w) * x[m.neighbour]
+
+
+def sngrad_fl(m: FaceListMesh, x: jax.Array) -> jax.Array:
+    """Face-normal gradient (x_nei - x_own)/|d| on interior faces."""
+    x = m.exchange(x)
+    return (x[m.neighbour] - x[m.owner]) / m.delta
 
 
 def _boundary_face_value(p, x):
@@ -81,17 +96,26 @@ def flux_of_fl(m: FaceListMesh, u_cell: jax.Array,
 
 
 def div_flux_fl(m: FaceListMesh, phi: jax.Array, phi_b=None) -> jax.Array:
-    """(1/V) sum_f phi_f magSf with outward orientation per cell."""
+    """(1/V) sum_f phi_f magSf with outward orientation per cell.
+
+    Halo rows (partial sums on a shard-local mesh) are refreshed on exit so
+    state updates built from this divergence (rhoEqn) keep physical values
+    everywhere — a NaN-free guarantee for the pointwise chemistry/thermo
+    that runs on halo rows redundantly."""
     out = m.scatter_faces(phi * m.mag_sf)
     if phi_b is not None:
         for p, fb in zip(m.patches, phi_b):
             out = out + jax.ops.segment_sum(fb * p.mag_sf, p.owner,
                                             num_segments=m.n_cells)
-    return out / m.volumes
+    return m.exchange(out / m.volumes)
 
 
 def grad_fl(m: FaceListMesh, x: jax.Array) -> jax.Array:
-    """Gauss-linear cell gradient (n_cells, 3)."""
+    """Gauss-linear cell gradient (n_cells, 3).
+
+    Owned rows see every incident face locally, so they are exact; halo
+    rows (partial sums) are refreshed from the owning shard on exit, making
+    the result safe to gather across faces (TVD upwind-cell gradients)."""
     xf = interpolate_fl(m, x)
     out = jnp.zeros((m.n_cells, 3), x.dtype)
     face_vec = (xf * m.mag_sf)[:, None] * m.normal
@@ -103,12 +127,13 @@ def grad_fl(m: FaceListMesh, x: jax.Array) -> jax.Array:
             out = out.at[:, c].add(
                 jax.ops.segment_sum(fb * p.normal[:, c], p.owner,
                                     num_segments=m.n_cells))
-    return out / m.volumes[:, None]
+    return m.exchange(out / m.volumes[:, None])
 
 
 def laplacian_explicit_fl(m: FaceListMesh, gamma_f: jax.Array, x: jax.Array,
                           gamma_b=None) -> jax.Array:
     """(1/V) sum_f gamma_f magSf snGrad(x) — explicit form."""
+    x = m.exchange(x)
     sng = (x[m.neighbour] - x[m.owner]) / m.delta
     out = m.scatter_faces(gamma_f * sng * m.mag_sf)
     for ip, p in enumerate(m.patches):
@@ -149,6 +174,7 @@ class FvMatrixFL:
 
     def apply(self, x: jax.Array) -> jax.Array:
         m = self.mesh
+        x = m.exchange(x)
         # owner rows accumulate upper*x[nei]; neighbour rows lower*x[own]
         off = m.scatter_both(self.upper * x[m.neighbour],
                              self.lower * x[m.owner])
@@ -268,6 +294,7 @@ def fvm_div_fl(m: FaceListMesh, phi: jax.Array, bcs_phi_b,
         w_nei_F = jnp.minimum(F, 0.0)
         g = grad_fl(m, x_now)                               # (n, 3)
         d_vec = m.centers[m.neighbour] - m.centers[m.owner]
+        x_now = m.exchange(x_now)
         xo, xn = x_now[m.owner], x_now[m.neighbour]
         up_cell = jnp.where(F >= 0, m.owner, m.neighbour)
         g_up_d = jnp.sum(g[up_cell] * d_vec, axis=1)

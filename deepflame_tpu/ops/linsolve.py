@@ -164,9 +164,17 @@ def solve_fvmatrix(eqn, x0: jax.Array, symmetric: bool = False,
                    max_iter: int = 1000) -> SolverResult:
     """Solve an FvMatrix with Jacobi preconditioning (diag from coloring)."""
     b = eqn.rhs()
+    apply = eqn.apply
+    mesh = getattr(eqn, "mesh", None)
+    if mesh is not None and getattr(mesh, "w_own", None) is not None:
+        # shard-local face-list mesh: halo/pad rows are not this shard's
+        # equations — zero them out of b and A so every Krylov reduction
+        # (dot products, |r| norms) sums exactly the globally-owned rows
+        b = mesh.restrict(b)
+        apply = lambda x: mesh.restrict(eqn.apply(x))
     d = eqn.diag()
     d_inv = 1.0 / jnp.where(jnp.abs(d) > 1e-300, d, 1.0)
     M_inv = lambda r: d_inv * r
     if symmetric:
-        return cg(eqn.apply, b, x0, M_inv, tol, rel_tol, max_iter)
-    return bicgstab(eqn.apply, b, x0, M_inv, tol, rel_tol, max_iter)
+        return cg(apply, b, x0, M_inv, tol, rel_tol, max_iter)
+    return bicgstab(apply, b, x0, M_inv, tol, rel_tol, max_iter)

@@ -26,9 +26,10 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["shard_axis", "current_axis", "gsum", "gmax", "gmin", "gmean",
-           "gsize"]
+           "gsize", "cell_weight", "current_cell_weight"]
 
 _AXIS: list[str | None] = [None]
+_WEIGHT: list = [None]
 
 
 @contextlib.contextmanager
@@ -39,6 +40,24 @@ def shard_axis(name: str | None):
         yield
     finally:
         _AXIS.pop()
+
+
+@contextlib.contextmanager
+def cell_weight(w):
+    """Activate a per-cell ownership weight (1 = real owned cell, 0 = halo/
+    pad slot) so that gmean over shard-local cell arrays averages exactly
+    the REAL cells — bit-matching the single-device mean up to summation
+    order. Only arrays whose leading dim matches the weight length are
+    affected; everything else keeps plain mean semantics."""
+    _WEIGHT.append(w)
+    try:
+        yield
+    finally:
+        _WEIGHT.pop()
+
+
+def current_cell_weight():
+    return _WEIGHT[-1]
 
 
 def current_axis() -> str | None:
@@ -73,4 +92,11 @@ def gsize(x) -> jax.Array | int:
 
 
 def gmean(x):
+    w = _WEIGHT[-1]
+    if (w is not None and hasattr(x, "ndim") and x.ndim >= 1
+            and x.shape[0] == w.shape[0]):
+        wb = w.reshape(w.shape + (1,) * (x.ndim - 1))
+        num = gsum(jnp.where(wb > 0, x, jnp.zeros_like(x)))
+        cnt = gsum(wb * jnp.ones_like(x, dtype=w.dtype))
+        return num / cnt
     return gsum(x) / gsize(x)

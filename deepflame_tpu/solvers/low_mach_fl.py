@@ -120,6 +120,11 @@ class LowMachSolverFL:
     keps_variant: str = "standard"   # standard | RNG
     eta0: float = 4.38
     beta_rng: float = 0.012
+    # AMG pressure preconditioner (ops/amg_fl.py AMGSetupFL built over m_p's
+    # connectivity — the reference's AmgX AGGREGATION V-cycle role,
+    # src/dfMatrix/amgxSolver.H:58-82). None = Jacobi-CG. Single-device
+    # only: on shard-local meshes (w_own set) the loop falls back to Jacobi.
+    p_mg: Any = None
 
     @property
     def mesh(self) -> FaceListMesh:
@@ -601,10 +606,20 @@ class LowMachSolverFL:
             # absolute-tolerance semantics, and on uniform meshes the
             # scaling is exactly 1 (bit-identical to the structured path)
             Vn = m.vol_local / gmean(m.vol_local)
-            apply_v = lambda x: eqn_p.apply(x) * Vn
-            d_p = eqn_p.diag() * Vn
-            d_inv = 1.0 / jnp.where(jnp.abs(d_p) > 1e-300, d_p, 1.0)
-            res_p = cg(apply_v, eqn_p.rhs() * Vn, p, lambda r: d_inv * r,
+            # restrict: on a shard-local mesh, halo/pad rows are not this
+            # shard's equations — zero them out of A(x) and b so every
+            # Krylov psum reduction sums exactly the globally-owned rows
+            apply_v = lambda x: m.restrict(eqn_p.apply(x) * Vn)
+            if self.p_mg is not None and m.w_own is None:
+                # aggregation-AMG V-cycle (AmgX AGGREGATION role); PCG is
+                # invariant to scalar scaling of M, so the V-scaled
+                # hierarchy preconditions the Vn-scaled system directly
+                M_inv = self.p_mg.preconditioner(eqn_p, m.volumes)
+            else:
+                d_p = eqn_p.diag() * Vn
+                d_inv = 1.0 / jnp.where(jnp.abs(d_p) > 1e-300, d_p, 1.0)
+                M_inv = lambda r: d_inv * r
+            res_p = cg(apply_v, m.restrict(eqn_p.rhs() * Vn), p, M_inv,
                        tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
                        max_iter=cfg.max_iter_p)
             p = res_p.x

@@ -69,6 +69,14 @@ class WallFunctionsFL:
         return jnp.where(self.mask > 0, wall_value, field)
 
 
+# Pytree registration: shard-local wall masks travel through shard_map as
+# sharded inputs (parallel/distributed_fl.py localizes mask/y/n_wall).
+jax.tree_util.register_dataclass(
+    WallFunctionsFL,
+    data_fields=["mask", "y", "n_wall"],
+    meta_fields=["kappa", "E", "Cmu"])
+
+
 def make_wall_functions_fl(gm, wall_patch_names,
                            dtype=jnp.float64) -> WallFunctionsFL:
     """Build wall masks from a GeneralMesh's named wall patches."""

@@ -278,15 +278,18 @@ def test_fl_rng_k_epsilon():
     np.testing.assert_allclose(np.asarray(s_r.turb[1]),
                                np.asarray(s_s.turb[1]), rtol=1e-12)
 
-    # (b) strong shear: RNG C1_eff < C1 (for eta > eta0 the correction is
-    # negative) -> more eps production -> lower k
+    # (b) strong shear with eta > eta0: R < 0 so C1_eff > C1 -> more eps
+    # production -> lower k. eps0 = 500 keeps the run OUT of the
+    # P <= 10 rho eps realizability clip (inside the clip P tracks eps and
+    # the ordering inverts): P_raw ~ rho*2700 < clip 5000*rho, and
+    # eta = |S| k/eps = 4000/500 = 8 > eta0 = 4.38.
     X, Yg, _ = mesh.cell_centers()
     U0s = np.zeros((nc, 3))
     U0s[:, 0] = 400.0 * np.asarray(Yg).ravel() / L
     s_r = sol_rng.initial_state(p0, T0, jnp.asarray(Y0), jnp.asarray(U0s),
-                                k0=1.0, eps0=100.0)
+                                k0=1.0, eps0=500.0)
     s_s = sol_std.initial_state(p0, T0, jnp.asarray(Y0), jnp.asarray(U0s),
-                                k0=1.0, eps0=100.0)
+                                k0=1.0, eps0=500.0)
     for _ in range(4):
         s_r, _ = sol_rng.step(s_r, dt)
         s_s, _ = sol_std.step(s_s, dt)
