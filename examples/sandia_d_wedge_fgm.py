@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--deepfgm", action="store_true",
                     help="DeePFGM parity: distill the table into an NN and "
                          "run the manifold through it (twoD_SandiaD_DeePFGM)")
+    ap.add_argument("--restore", default=None,
+                    help="resume from a checkpoint.npz written by a prior "
+                         "run (startFrom latestTime parity)")
     args = ap.parse_args()
 
     import jax
@@ -217,6 +220,14 @@ def main():
     s = sol.fgm_initial_state(
         jnp.asarray(np.full(n, 1e5), dtype), jnp.asarray(Z0, dtype),
         jnp.asarray(c0, dtype), jnp.asarray(U0, dtype), k0=30.0, eps0=3e4)
+    if args.restore and os.path.exists(args.restore):
+        ck = np.load(args.restore)
+        leaves, treedef = jax.tree_util.tree_flatten(s)
+        loaded = [jnp.asarray(ck[f"leaf{i}"], leaves[i].dtype)
+                  for i in range(len(leaves))]
+        s = jax.tree_util.tree_unflatten(treedef, loaded)
+        print(f"restored checkpoint {args.restore} at t = "
+              f"{float(s.time)*1e3:.2f} ms", flush=True)
 
     ctr_np = np.asarray(gm.centers)
     axis_sel = ctr_np[:, 0] < 0.0006
@@ -230,7 +241,7 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     dt = args.dt
-    n_steps = int(round(args.t_end / dt))
+    n_steps = int(round((args.t_end - float(s.time)) / dt))
     step = jax.jit(lambda st: sol.step(st, dt))
     import time as _t
     t0 = _t.perf_counter()
@@ -254,6 +265,13 @@ def main():
             np.savetxt(os.path.join(args.out, "data_T.xy"),
                        np.stack([z_stations, Tst], 1), fmt="%.6g",
                        header=f"t = {float(s.time):.6f} s")
+            # full-state checkpoint (atomic) so a cut run can --restore
+            leaves, _ = jax.tree_util.tree_flatten(s)
+            ck_path = os.path.join(args.out, "checkpoint.npz")
+            np.savez(ck_path + ".tmp.npz",
+                     **{f"leaf{j}": np.asarray(lf)
+                        for j, lf in enumerate(leaves)})
+            os.replace(ck_path + ".tmp.npz", ck_path)
             if not (np.isfinite(float(s.T.max()))
                     and np.isfinite(float(jnp.abs(s.U).max()))
                     and np.isfinite(float(s.k.max()))):
