@@ -191,15 +191,19 @@ class FvMatrixFL:
         structured FvMatrix.H, ops/fv.py)."""
         return self.rhs() - (self.apply(x) - self.diag_c * x)
 
-    def ell(self, width: int = 6):
+    def ell(self, width: int = 6, conn=None):
         """(nbr (n,w) int32, coef (n,w)) ELLPACK form of the off-diagonal:
         A(x) = diag_c*x + (1/V) sum_w coef[:,w] * x[nbr[:,w]].
 
         Precomputed once per matrix; `apply_ell` then needs ONE dense gather
         + masked sum per matvec — the layout for the Pallas SpMV kernel
-        (pallas_kernels.ell_matvec) and for XLA's native gather."""
+        (pallas_kernels.ell_matvec) and for XLA's native gather.
+        `conn` takes a precomputed ell_connectivity() triple — REQUIRED under
+        jit/shard_map where mesh index leaves are tracers (the host-side
+        connectivity walk cannot run on tracers)."""
         m = self.mesh
-        face_ids, side, nbr = m.ell_connectivity(width)
+        face_ids, side, nbr = (conn if conn is not None
+                               else m.ell_connectivity(width))
         f_safe = jnp.maximum(face_ids, 0)
         coef = jnp.where(side > 0, self.upper[f_safe],
                          jnp.where(side < 0, self.lower[f_safe], 0.0))
@@ -207,9 +211,18 @@ class FvMatrixFL:
         return nbr, coef
 
     def apply_ell(self, x: jax.Array, nbr: jax.Array,
-                  coef: jax.Array) -> jax.Array:
-        """Matvec through the ELL layout (equivalent to apply())."""
-        return self.diag_c * x + jnp.sum(coef * x[nbr], axis=1)
+                  coef: jax.Array, pallas: bool = False) -> jax.Array:
+        """Matvec through the ELL layout (equivalent to apply()): ONE dense
+        gather + width-w reduction instead of two face->cell segment_sums.
+        Halo-aware: nbr indices address the exchanged local vector, so the
+        shard-local [owned | halo] layout works unchanged. With pallas=True
+        the gather+reduce runs in the Mosaic ELL SpMV kernel
+        (ops/pallas_kernels.ell_matvec — x held whole in VMEM)."""
+        xe = self.mesh.exchange(x)
+        if pallas:
+            from .pallas_kernels import ell_matvec
+            return ell_matvec(xe, self.diag_c, nbr, coef)
+        return self.diag_c * x + jnp.sum(coef * xe[nbr], axis=1)
 
 
 def _empty_matrix(m: FaceListMesh, dtype) -> FvMatrixFL:

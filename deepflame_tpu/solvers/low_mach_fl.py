@@ -125,6 +125,15 @@ class LowMachSolverFL:
     # src/dfMatrix/amgxSolver.H:58-82). None = Jacobi-CG. Single-device
     # only: on shard-local meshes (w_own set) the loop falls back to Jacobi.
     p_mg: Any = None
+    # ELL SpMV route for the pressure CG matvec: m_p.ell_connectivity()
+    # triple precomputed at construction (host walk — cannot run on the
+    # tracer leaves seen under jit/shard_map). None = the scatter_both
+    # segment-sum matvec. With it set, each CG matvec is ONE dense gather +
+    # width-6 reduction, and on TPU the Mosaic ELL kernel
+    # (ops/pallas_kernels.ell_matvec, x VMEM-resident) when
+    # config.use_pallas == "auto". Reference SpMV role: src_gpu CSR +
+    # AmgX (dfMatrixOpBase.H:117-125).
+    p_ell: Any = None
 
     @property
     def mesh(self) -> FaceListMesh:
@@ -609,7 +618,14 @@ class LowMachSolverFL:
             # restrict: on a shard-local mesh, halo/pad rows are not this
             # shard's equations — zero them out of A(x) and b so every
             # Krylov psum reduction sums exactly the globally-owned rows
-            apply_v = lambda x: m.restrict(eqn_p.apply(x) * Vn)
+            if self.p_ell is not None:
+                nbr_e, coef_e = eqn_p.ell(conn=self.p_ell)
+                pallas_ok = (cfg.use_pallas == "auto"
+                             and jax.default_backend() == "tpu")
+                apply_v = lambda x: m.restrict(
+                    eqn_p.apply_ell(x, nbr_e, coef_e, pallas=pallas_ok) * Vn)
+            else:
+                apply_v = lambda x: m.restrict(eqn_p.apply(x) * Vn)
             if self.p_mg is not None and m.w_own is None:
                 # aggregation-AMG V-cycle (AmgX AGGREGATION role); PCG is
                 # invariant to scalar scaling of M, so the V-scaled
