@@ -52,6 +52,11 @@ class BoundaryPatch:
     # shortcut in LowMachSolverFL._fix_boundary_fluxes) reads this instead
     # of np.argmax over a tracer. None = infer from concrete normals.
     n_axis: int | None = None
+    # boundary non-orthogonal correction vector (nb, 3): Sf split against
+    # df = f_ctr - C_own as Sf = (magSf/(n.df)) df + k_no, so the boundary
+    # flux gains a deferred k_no . grad(x)_own term on meshes whose walls
+    # are not normal to the owner-center-to-face line (see FaceListMesh.k_no)
+    k_no: jax.Array | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,6 +85,19 @@ class FaceListMesh:
     # destined for shard (r-d)%P; recv_slot scatters the arriving buffer
     # into MY halo slots (padding = n_cells -> dropped).
     halo: Any = None
+    # --- Non-orthogonal / skew mesh corrections (OpenFOAM's `corrected`
+    # snGrad + skewCorrected interpolation; reference pEqn nonOrthogonal
+    # corrector loop, SURVEY §3.1). Over-relaxed decomposition of the face
+    # area vector Sf = magSf*normal into an implicit orthogonal part along
+    # d = C_nei - C_own (already encoded in `delta`, geometry.py) plus the
+    # explicit k_no = Sf - (magSf/delta) d, applied as a deferred gradient
+    # correction. None (orthogonal meshes: boxes, from_structured) = both
+    # corrections vanish identically and the ops skip the work.
+    k_no: jax.Array | None = None   # (nf, 3)
+    # skew vector: face centroid minus the own->nei line's intersection
+    # with the face plane — skewCorrected face interpolation adds
+    # skew . grad_f(x).
+    skew: jax.Array | None = None   # (nf, 3)
 
     @property
     def n_faces(self) -> int:
@@ -178,12 +196,13 @@ class FaceListMesh:
 # metadata; everything else is leaves.
 jax.tree_util.register_dataclass(
     BoundaryPatch,
-    data_fields=["owner", "mag_sf", "delta", "a", "b", "normal"],
+    data_fields=["owner", "mag_sf", "delta", "a", "b", "normal", "k_no"],
     meta_fields=["name", "kind", "n_axis"])
 jax.tree_util.register_dataclass(
     FaceListMesh,
     data_fields=["owner", "neighbour", "mag_sf", "delta", "weights",
-                 "normal", "volumes", "centers", "patches", "w_own", "halo"],
+                 "normal", "volumes", "centers", "patches", "w_own", "halo",
+                 "k_no", "skew"],
     meta_fields=["n_cells"])
 
 

@@ -185,6 +185,21 @@ class GeneralMesh:
             a = np.broadcast_to(np.asarray(a, np.float64), delta.shape)
             b = np.broadcast_to(np.asarray(b, np.float64), delta.shape)
             kind = bc.kind
+        # boundary non-orthogonality: Sf = (magSf/(n.df)) df + k_b against
+        # df = f_ctr - C_own; the deferred k_b . grad_own term corrects
+        # walls that are not normal to the owner-to-face line (the boundary
+        # analogue of the interior over-relaxed split below). Only VALUE-type
+        # BCs need it — gradient-type BCs (zeroGradient/fixedGradient/
+        # symmetry) prescribe the normal flux directly, exactly.
+        k_b_j = None
+        if kind == "fixedValue":
+            df = p.f_ctr - self.centers[p.owner]
+            ndf = np.einsum("fi,fi->f", p.normal, df)
+            k_b = p.mag_sf[:, None] * (
+                p.normal - df / np.maximum(ndf, 1e-300)[:, None])
+            k_b = np.where((p.mag_sf > 1e-300)[:, None], k_b, 0.0)
+            if np.abs(k_b).max() > 1e-9 * max(p.mag_sf.max(), 1e-300):
+                k_b_j = jnp.asarray(k_b, dtype)
         return BoundaryPatch(
             name=p.name,
             owner=jnp.asarray(p.owner, jnp.int32),
@@ -193,7 +208,7 @@ class GeneralMesh:
             a=jnp.asarray(a, dtype),
             b=jnp.asarray(b, dtype),
             normal=jnp.asarray(p.normal, dtype),
-            kind=kind)
+            kind=kind, k_no=k_b_j)
 
     def with_bcs(self, spec: Dict[str, BC] | None, dtype=jnp.float64,
                  component: int | None = None) -> FaceListMesh:
@@ -206,6 +221,24 @@ class GeneralMesh:
             self._patch_block(p, self._bc_for(spec, p, component), dtype,
                               component)
             for p in self.patches)
+        # non-orthogonal / skew correction vectors (OpenFOAM corrected
+        # snGrad + skewCorrected interpolation). Over-relaxed split:
+        # Sf = (magSf/delta) d + k_no; skew = f_ctr - (own->nei line ^ face
+        # plane). Dropped (None) when negligible so orthogonal meshes pay
+        # nothing — from_structured/graded_box boxes never build them.
+        d = self.centers[self.neighbour] - self.centers[self.owner]
+        sf = self.mag_sf[:, None] * self.normal
+        k_no = sf - (self.mag_sf / self.delta)[:, None] * d
+        sfd = np.einsum("fi,fi->f", sf, d)
+        lam = np.einsum("fi,fi->f", sf, self.f_ctr
+                        - self.centers[self.owner]) / np.maximum(sfd, 1e-300)
+        skew = self.f_ctr - (self.centers[self.owner] + lam[:, None] * d)
+        scale = np.maximum(self.mag_sf.max(), 1e-300)
+        d_scale = np.maximum(np.linalg.norm(d, axis=1).max(), 1e-300)
+        k_no_j = (jnp.asarray(k_no, dtype)
+                  if np.abs(k_no).max() > 1e-9 * scale else None)
+        skew_j = (jnp.asarray(skew, dtype)
+                  if np.abs(skew).max() > 1e-9 * d_scale else None)
         return FaceListMesh(
             n_cells=self.n_cells,
             owner=jnp.asarray(self.owner, jnp.int32),
@@ -216,7 +249,7 @@ class GeneralMesh:
             normal=jnp.asarray(self.normal, dtype),
             volumes=jnp.asarray(self.volumes, dtype),
             centers=jnp.asarray(self.centers, dtype),
-            patches=blocks)
+            patches=blocks, k_no=k_no_j, skew=skew_j)
 
     def with_vector_bcs(self, spec, dtype=jnp.float64):
         """(m_x, m_y, m_z) FaceListMesh triple for a vector field. spec maps

@@ -28,7 +28,8 @@ from ..mesh.facelist import FaceListMesh
 __all__ = ["FvMatrixFL", "interpolate_fl", "grad_fl", "div_flux_fl",
            "flux_of_fl", "sngrad_fl", "fvm_ddt_fl", "fvm_div_fl",
            "fvm_laplacian_fl", "fvm_source_implicit_fl",
-           "laplacian_explicit_fl"]
+           "laplacian_explicit_fl", "face_grad_fl",
+           "laplacian_nonortho_corr_fl", "interpolate_skew_fl"]
 
 
 # ------------------------------------------------------------- explicit ops
@@ -142,6 +143,82 @@ def laplacian_explicit_fl(m: FaceListMesh, gamma_f: jax.Array, x: jax.Array,
             gb * _boundary_sngrad(p, x) * p.mag_sf, p.owner,
             num_segments=m.n_cells)
     return out / m.volumes
+
+
+def fvm_laplacian_corrected_fl(m: FaceListMesh, gamma_f: jax.Array, gamma_b,
+                               x_curr: jax.Array, dtype=jnp.float64,
+                               sign: float = 1.0) -> "FvMatrixFL":
+    """sign * laplacian(gamma, x) with the non-orthogonal cross-diffusion
+    part deferred against the current field value (OpenFOAM `Gauss linear
+    corrected`): implicit over-relaxed orthogonal operator + explicit
+    -sign*corr(x_curr) source. Identical to fvm_laplacian_fl on orthogonal
+    meshes (k_no None)."""
+    eqn = fvm_laplacian_fl(m, gamma_f, gamma_b, dtype, sign=sign)
+    if m.k_no is not None or any(p.k_no is not None for p in m.patches):
+        eqn = eqn.with_source(
+            -sign * laplacian_nonortho_corr_fl(m, gamma_f, x_curr,
+                                               gamma_b=gamma_b))
+    return eqn
+
+
+def face_grad_fl(m: FaceListMesh, x: jax.Array,
+                 grad: jax.Array | None = None) -> jax.Array:
+    """Face-interpolated cell gradient (nf, 3). Pass a precomputed grad_fl
+    result to share one Gauss gradient across several corrections."""
+    if grad is None:
+        grad = grad_fl(m, x)
+    w = m.weights[:, None]
+    return w * grad[m.owner] + (1.0 - w) * grad[m.neighbour]
+
+
+def laplacian_nonortho_corr_fl(m: FaceListMesh, gamma_f: jax.Array,
+                               x: jax.Array,
+                               grad: jax.Array | None = None,
+                               gamma_b=None) -> jax.Array:
+    """Explicit cross-diffusion correction of laplacian(gamma, x) on
+    non-orthogonal meshes (per-volume units, add to an FvMatrixFL source).
+
+    OpenFOAM `laplacian(gamma,x) Gauss linear corrected`: the face-normal
+    gradient splits over-relaxed into the implicit orthogonal part
+    (magSf/delta, already in fvm_laplacian_fl) plus k_no . grad_f(x)
+    evaluated with the deferred (current-iterate) field — the reference's
+    nonOrthogonalCorrector source (SURVEY §3.1 pEqn loop; OpenFOAM
+    gaussLaplacianScheme correction()). Boundary patches with value-type
+    BCs on tilted walls carry their own k_no (patch split against the
+    owner-to-face-centroid vector; gamma_b per-patch diffusivities).
+    Zero (and free) on fully orthogonal meshes."""
+    need_b = any(p.k_no is not None for p in m.patches)
+    if m.k_no is None and not need_b:
+        return jnp.zeros((m.n_cells,), x.dtype)
+    if grad is None:
+        grad = grad_fl(m, x)
+    out = jnp.zeros((m.n_cells,), x.dtype)
+    if m.k_no is not None:
+        gf = face_grad_fl(m, x, grad)
+        corr = gamma_f * jnp.sum(m.k_no * gf, axis=1)
+        out = out + m.scatter_faces(corr)
+    for ip, p in enumerate(m.patches):
+        if p.k_no is None:
+            continue
+        gb = gamma_b[ip] if gamma_b is not None else 1.0
+        corr_b = gb * jnp.sum(p.k_no * grad[p.owner], axis=1)
+        out = out + jax.ops.segment_sum(corr_b, p.owner,
+                                        num_segments=m.n_cells)
+    return out / m.volumes
+
+
+def interpolate_skew_fl(m: FaceListMesh, x: jax.Array,
+                        grad: jax.Array | None = None) -> jax.Array:
+    """skewCorrected linear face interpolation: the linear owner/neighbour
+    blend plus skew . grad_f(x) moving the interpolated value from the
+    own->nei line's face intersection to the face centroid (OpenFOAM
+    skewCorrectedSnGrad/skewCorrectionVectors role). Falls back to plain
+    linear on skew-free meshes."""
+    xf = interpolate_fl(m, x)
+    if m.skew is None:
+        return xf
+    gf = face_grad_fl(m, x, grad)
+    return xf + jnp.sum(m.skew * gf, axis=1)
 
 
 # ----------------------------------------------------- implicit (FvMatrixFL)

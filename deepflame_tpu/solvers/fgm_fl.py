@@ -26,7 +26,9 @@ from ..combustion.fgm.table import FlameletTable, lookup
 from ..constants import GAS_CONSTANT
 from ..mesh.facelist import FaceListMesh
 from ..ops.fv_facelist import (div_flux_fl, fvm_ddt_fl, fvm_div_fl,
-                               fvm_laplacian_fl, fvm_source_implicit_fl,
+                               fvm_laplacian_fl,
+                               fvm_laplacian_corrected_fl,
+                               fvm_source_implicit_fl,
                                grad_fl, _boundary_face_value)
 from ..ops.linsolve import solve_fvmatrix
 from .fgm import FGMConfig
@@ -131,7 +133,8 @@ class FGMSolverFL(LowMachSolverFL):
         eqn = (fvm_ddt_fl(mbc, rho, rho_old, q_old, dt, dtype)
                + fvm_div_fl(mbc, phi, list(phi_b), self.config.div_scheme,
                             dtype, x_now=q)
-               + fvm_laplacian_fl(mbc, D_f, D_b, dtype, sign=-1.0)
+               + fvm_laplacian_corrected_fl(mbc, D_f, D_b, q, dtype,
+                                            sign=-1.0)
                ).with_source(src)
         res = solve_fvmatrix(eqn, q, tol=tol, max_iter=iters)
         return jnp.clip(res.x, qmin, qmax)
@@ -240,8 +243,9 @@ class FGMSolverFL(LowMachSolverFL):
                                     dtype)
                          + fvm_div_fl(self.m_He, phi, list(phi_b),
                                       cfg.div_scheme, dtype, x_now=He)
-                         + fvm_laplacian_fl(self.m_He, D_f, D_b, dtype,
-                                            sign=-1.0)
+                         + fvm_laplacian_corrected_fl(self.m_He, D_f,
+                                                      D_b, He, dtype,
+                                                      sign=-1.0)
                          ).with_source(dpdt + src_h)
                 He = solve_fvmatrix(eqn_h, He, tol=cfg.h_tol,
                                     max_iter=cfg.max_iter_u).x

@@ -97,6 +97,11 @@ class LowMachConfig:
     n_outer: int = 1          # nOuterCorrectors (1 = PISO mode, the reference
                               # case setting; >1 applies inter-outer relaxation)
     n_corr: int = 2           # pressure correctors (nCorrectors)
+    n_nonortho: int = 0       # nNonOrthogonalCorrectors: EXTRA pressure
+                              # re-solves with the deferred cross-diffusion
+                              # source rebuilt from the latest p (face-list
+                              # backend, meshes with k_no set; fvSolution
+                              # parity — reference cases use 0 on hex meshes)
     p_relax: float = 0.3      # pressure under-relaxation between outers
     u_relax: float = 0.7      # velocity under-relaxation between outers
     div_scheme: str = "limitedLinear"

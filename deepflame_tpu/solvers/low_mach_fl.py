@@ -25,11 +25,12 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh.facelist import FaceListMesh
-from ..ops.fv_facelist import (FvMatrixFL, div_flux_fl, fvm_ddt_fl,
-                               fvm_div_fl, fvm_laplacian_fl,
+from ..ops.fv_facelist import (FvMatrixFL, div_flux_fl, face_grad_fl,
+                               fvm_ddt_fl, fvm_div_fl, fvm_laplacian_fl,
+                               fvm_laplacian_corrected_fl,
                                fvm_source_implicit_fl, grad_fl,
-                               interpolate_fl, sngrad_fl,
-                               _boundary_face_value)
+                               interpolate_fl, laplacian_nonortho_corr_fl,
+                               sngrad_fl, _boundary_face_value)
 from ..ops.linsolve import cg, solve_fvmatrix
 from ..parallel.context import gmean
 from .low_mach import LowMachConfig
@@ -134,6 +135,12 @@ class LowMachSolverFL:
     # config.use_pallas == "auto". Reference SpMV role: src_gpu CSR +
     # AmgX (dfMatrixOpBase.H:117-125).
     p_ell: Any = None
+    # LES SGS model (turbulence/les.py LESModel) — mutually exclusive with
+    # the k-epsilon RAS block (m_k). mu_t from per-cell tensor algebra on
+    # grad_fl; reference role: src/TurbulenceModels LES family on general
+    # meshes (Sigma.H:28-44, WALE). Enables the north-star 3D LES jet case
+    # on unstructured meshes.
+    les: Any = None
 
     @property
     def mesh(self) -> FaceListMesh:
@@ -274,7 +281,8 @@ class LowMachSolverFL:
         eqn_e = (fvm_ddt_fl(self.m_eps, rho, rho_old, eps, dt, dtype)
                  + fvm_div_fl(self.m_eps, phi, list(phi_b),
                               cfg.div_scheme, dtype, x_now=eps)
-                 + fvm_laplacian_fl(self.m_eps, D_e, D_eb, dtype, sign=-1.0)
+                 + fvm_laplacian_corrected_fl(self.m_eps, D_e, D_eb,
+                                              eps, dtype, sign=-1.0)
                  + fvm_source_implicit_fl(self.m_eps,
                                           self.C2 * rho * eps / k_s, dtype)
                  ).with_source(C1_eff * (eps / k_s) * P)
@@ -288,7 +296,8 @@ class LowMachSolverFL:
         eqn_k = (fvm_ddt_fl(self.m_k, rho, rho_old, k, dt, dtype)
                  + fvm_div_fl(self.m_k, phi, list(phi_b),
                               cfg.div_scheme, dtype, x_now=k)
-                 + fvm_laplacian_fl(self.m_k, D_k, D_kb, dtype, sign=-1.0)
+                 + fvm_laplacian_corrected_fl(self.m_k, D_k, D_kb, k,
+                                              dtype, sign=-1.0)
                  + fvm_source_implicit_fl(self.m_k, rho * eps / k_s, dtype)
                  ).with_source(P)
         res_k = solve_fvmatrix(eqn_k, k, tol=1e-8, max_iter=cfg.max_iter_u)
@@ -323,6 +332,12 @@ class LowMachSolverFL:
                 # turbulence quantities for EDC/PaSR mixing models
                 mu0, _, _ = self._mixture_update(p, T, Y)
                 turb_q = dict(k=turb[0], epsilon=turb[1], nu=mu0 / rho)
+            elif self.les is not None:
+                mu0, _, _ = self._mixture_update(p, T, Y)
+                mu_t0 = self.les.mu_t_fl(rho, U, self.m_U, m.volumes)
+                k_sgs, eps_sgs = self.les.sgs_k_epsilon_fl(mu_t0, rho,
+                                                           m.volumes)
+                turb_q = dict(k=k_sgs, epsilon=eps_sgs, nu=mu0 / rho)
             chem = self.combustion.correct(
                 T, p, Y, dt * cfg.chemistry_dt_scale, turb_q,
                 dt_start=s.chem_dt if not isinstance(s.chem_dt, tuple)
@@ -351,6 +366,11 @@ class LowMachSolverFL:
                 mu = mu + mu_t
                 alpha = alpha + mu_t / self.Pr_t
                 rhoD = rhoD + mu_t[None] / self.Sc_t
+            elif self.les is not None:
+                mu_t = self.les.mu_t_fl(rho, U, self.m_U, m.volumes)
+                mu = mu + mu_t
+                alpha = alpha + mu_t / self.les.Pr_t
+                rhoD = rhoD + mu_t[None] / self.les.Sc_t
             mu_f, mu_bf = _face_product(m, mu)
 
             # ===== UEqn
@@ -393,8 +413,8 @@ class LowMachSolverFL:
                                             cfg.div_scheme, dtype, x_now=y_i)
                                + fvm_div_fl(m_Yg, phiUc, phiUc_b,
                                             "upwind", dtype)
-                               + fvm_laplacian_fl(m_Yg, D_f, D_b, dtype,
-                                                  sign=-1.0)
+                               + fvm_laplacian_corrected_fl(
+                                   m_Yg, D_f, D_b, y_i, dtype, sign=-1.0)
                                ).with_source(src_i)
                         res = solve_fvmatrix(eqn, y_i, tol=cfg.y_tol,
                                              max_iter=cfg.max_iter_u)
@@ -449,8 +469,9 @@ class LowMachSolverFL:
             eqn_h = (fvm_ddt_fl(self.m_h, rho, rho_old, ha_old, dt, dtype)
                      + fvm_div_fl(self.m_h, phi, list(phi_b),
                                   cfg.div_scheme, dtype, x_now=ha)
-                     + fvm_laplacian_fl(self.m_h, alpha_f, alpha_b, dtype,
-                                        sign=-1.0))
+                     + fvm_laplacian_corrected_fl(self.m_h, alpha_f,
+                                                  alpha_b, ha, dtype,
+                                                  sign=-1.0))
             src_h = sources["Sh"] if sources else 0.0
             eqn_h = eqn_h.with_source(dpdt - dKdt + hcorr_div + src_h)
             if cfg.solve_energy:
@@ -519,8 +540,10 @@ class LowMachSolverFL:
                    + fvm_div_fl(self.m_U[c], phi, list(phi_b),
                                 getattr(cfg, "div_scheme_U", None)
                                 or cfg.div_scheme, dtype, x_now=U[:, c])
-                   + fvm_laplacian_fl(self.m_U[c], mu_f, mu_bf, dtype,
-                                      sign=-1.0)).with_source(srcs[:, c])
+                   + fvm_laplacian_corrected_fl(self.m_U[c], mu_f,
+                                                mu_bf, U[:, c], dtype,
+                                                sign=-1.0)
+                   ).with_source(srcs[:, c])
             res = solve_fvmatrix(eqn, U[:, c], tol=cfg.u_tol,
                                  max_iter=cfg.max_iter_u)
             U_new.append(res.x)
@@ -635,16 +658,39 @@ class LowMachSolverFL:
                 d_p = eqn_p.diag() * Vn
                 d_inv = 1.0 / jnp.where(jnp.abs(d_p) > 1e-300, d_p, 1.0)
                 M_inv = lambda r: d_inv * r
-            res_p = cg(apply_v, m.restrict(eqn_p.rhs() * Vn), p, M_inv,
-                       tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
-                       max_iter=cfg.max_iter_p)
-            p = res_p.x
-            p_res = res_p.initial_residual
-            if stats is not None:
-                stats["iters_p"] = stats.get("iters_p", 0) + res_p.iterations
-            # flux reconstruction
+            # nonOrthogonal corrector loop (reference pEqn.H `while
+            # pimple.correctNonOrthogonal()`, SURVEY §3.1): the implicit
+            # operator carries only the over-relaxed orthogonal part; the
+            # cross-diffusion k_no . grad_f(p) enters as a deferred source
+            # rebuilt from the latest p each pass. On orthogonal meshes
+            # (k_no None) the correction is skipped and ONE solve runs —
+            # bit-identical to the uncorrected path.
+            has_no = (m.k_no is not None
+                      or any(pp.k_no is not None for pp in m.patches))
+            n_solves = 1 + (cfg.n_nonortho if has_no else 0)
+            p_res = None
+            for _ in range(n_solves):
+                src_no = (laplacian_nonortho_corr_fl(m, rhorAUf, p,
+                                                     gamma_b=rhorAU_b)
+                          if has_no else 0.0)
+                res_p = cg(apply_v,
+                           m.restrict((eqn_p.rhs() + src_no) * Vn), p,
+                           M_inv, tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
+                           max_iter=cfg.max_iter_p)
+                p = res_p.x
+                if p_res is None:
+                    p_res = res_p.initial_residual
+                if stats is not None:
+                    stats["iters_p"] = (stats.get("iters_p", 0)
+                                        + res_p.iterations)
+            # flux reconstruction — includes the non-orthogonal part of the
+            # final corrector's face gradient so phi is consistent with the
+            # solved equation (OpenFOAM pEqn.flux() includes the correction)
             sng = sngrad_fl(m, p)
             phi = phiH - rhorAUf * sng
+            if m.k_no is not None:
+                gf_p = face_grad_fl(m, p)
+                phi = phi - rhorAUf * jnp.sum(m.k_no * gf_p, axis=1) / m.mag_sf
             phi_b = []
             for ip, p_ in enumerate(m.patches):
                 po = p[p_.owner]

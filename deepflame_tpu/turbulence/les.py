@@ -53,17 +53,47 @@ class LESModel:
     def mu_t(self, rho, U, bcs_U, mesh: StructuredMesh):
         delta = (mesh.dx * mesh.dy * mesh.dz) ** (1.0 / 3.0)
         g = _grad_U(U, bcs_U, mesh)            # (3, 3, nx, ny, nz): g[i][j] = dU_i/dx_j
+        if self.kind == "dynamicSmagorinsky":
+            return rho * _dyn_smag_nut(g, U, bcs_U, mesh, delta)
+        return rho * self._nut_from_grad(g, delta)
+
+    def _nut_from_grad(self, g, delta):
+        """Shape-agnostic SGS viscosity from a velocity gradient (3, 3, ...)
+        — shared by the structured and face-list backends."""
         if self.kind == "Smagorinsky":
-            nut = _smag_nut(g, self.Cs, delta)
-        elif self.kind == "WALE":
-            nut = _wale_nut(g, self.Cw, delta)
-        elif self.kind == "Sigma":
-            nut = _sigma_nut(g, self.Csigma, delta)
-        elif self.kind == "dynamicSmagorinsky":
-            nut = _dyn_smag_nut(g, U, bcs_U, mesh, delta)
-        else:
-            raise ValueError(self.kind)
-        return rho * nut
+            return _smag_nut(g, self.Cs, delta)
+        if self.kind == "WALE":
+            return _wale_nut(g, self.Cw, delta)
+        if self.kind == "Sigma":
+            return _sigma_nut(g, self.Csigma, delta)
+        raise ValueError(self.kind)
+
+    # ------------------------------------------------- face-list backend
+    def mu_t_fl(self, rho, U, m_U, volumes):
+        """SGS viscosity on a FaceListMesh: g from the Gauss cell gradient
+        per component (ops/fv_facelist.grad_fl), delta = V^(1/3) per cell
+        (OpenFOAM cubeRootVol LESdelta). dynamicSmagorinsky needs a test
+        filter (structured box filter) — not available on general meshes
+        (same limitation as the reference: dynamicSmagorinsky.H needs an
+        LESfilter; use WALE/Sigma on unstructured cases)."""
+        from ..ops.fv_facelist import grad_fl
+        if self.kind == "dynamicSmagorinsky":
+            raise ValueError("dynamicSmagorinsky needs a structured test "
+                             "filter; use Smagorinsky/WALE/Sigma on "
+                             "face-list meshes")
+        delta = volumes ** (1.0 / 3.0)          # (n,)
+        g = jnp.stack([jnp.moveaxis(grad_fl(m_U[c], U[:, c]), -1, 0)
+                       for c in range(3)])      # (3, 3, n): g[i,j]=dU_i/dx_j
+        return rho * self._nut_from_grad(g, delta)
+
+    def sgs_k_epsilon_fl(self, mu_t, rho, volumes):
+        """Per-cell-delta variant of sgs_k_epsilon for face-list meshes."""
+        delta = volumes ** (1.0 / 3.0)
+        Ck, Ce = 0.094, 1.048
+        nu_t = mu_t / rho
+        k = (nu_t / (Ck * delta)) ** 2
+        eps = Ce * k ** 1.5 / delta
+        return k, eps
 
 
 def smagorinsky(**kw) -> LESModel:

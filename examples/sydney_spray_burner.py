@@ -60,6 +60,11 @@ def main():
     ap.add_argument("--parcels-per-step", type=int, default=4)
     ap.add_argument("--max-parcels", type=int, default=16384)
     ap.add_argument("--out", default="postProcessing_sydney")
+    ap.add_argument("--les", default=None,
+                    choices=["Smagorinsky", "WALE", "Sigma"],
+                    help="run LES SGS instead of the k-epsilon RAS (the "
+                         "reference's LES family on general meshes, "
+                         "src/TurbulenceModels Sigma.H:28-44)")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +85,7 @@ def main():
     from deepflame_tpu.solvers.low_mach import LowMachConfig
     from deepflame_tpu.solvers.low_mach_fl import LowMachSolverFL
     from deepflame_tpu.solvers.spray import SprayFLSolver
+    from deepflame_tpu.turbulence.les import LESModel
     from deepflame_tpu.turbulence.wall_functions_fl import \
         make_wall_functions_fl
 
@@ -186,9 +192,11 @@ def main():
         m_Y_groups=tuple(groups),
         m_rho=gm.with_bcs(bc_rho, dtype),
         m_U=tuple(gm.with_bcs(u_bcs(c), dtype) for c in range(3)),
-        m_k=gm.with_bcs(bc_k, dtype), m_eps=gm.with_bcs(bc_eps, dtype),
+        m_k=None if args.les else gm.with_bcs(bc_k, dtype),
+        m_eps=None if args.les else gm.with_bcs(bc_eps, dtype),
         thermo=th, transport=tr, combustion=comb, config=cfg,
-        wall_fns=wf)
+        wall_fns=None if args.les else wf,
+        les=(LESModel(kind=args.les) if args.les else None))
 
     # ===== spray: patchInjection on inletFuel (r < 5.25 mm disc at
     # z = -50 mm), area-weighted radial placement on the wedge
@@ -264,7 +272,8 @@ def main():
     np.savez(os.path.join(args.out, "fields.npz"),
              ctr=ctr, T=np.asarray(g.T), Y_fuel=np.asarray(g.Y[:, iF]),
              U=np.asarray(g.U), rho=np.asarray(g.rho),
-             k=np.asarray(g.turb[0]), eps=np.asarray(g.turb[1]),
+             k=np.asarray(g.turb[0]) if g.turb else np.zeros(0),
+             eps=np.asarray(g.turb[1]) if g.turb else np.zeros(0),
              parcel_pos=np.asarray(s.cloud.pos),
              parcel_d=np.asarray(s.cloud.d),
              parcel_active=np.asarray(s.cloud.active))
