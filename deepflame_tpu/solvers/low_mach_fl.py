@@ -260,10 +260,18 @@ class LowMachSolverFL:
         wf = self.wall_fns
         if wf is not None:
             # wall-layer production + log-layer eddy viscosity
-            # (epsilonWallFunction::calculate + nutkWallFunction)
-            G_w = wf.production(rho, k, mu, mu_t, U)
+            # (epsilonWallFunction::calculate + nutkWallFunction).
+            # G MUST use the wall-function nutw, NOT the transported-k
+            # mu_t = rho Cmu k^2/eps: with the cell value, G_w tracks the
+            # pinned eps_w for ANY k and the wall layer admits a spurious
+            # high-k equilibrium (observed: pipe k ~ 400 = 15x the log-law
+            # level, laminar-like profile, nu_t ~ 3e-3 homogenizing the
+            # Sandia jet). OpenFOAM epsilonWallFunction::calculate uses the
+            # nut BOUNDARY field (nutkWallFunction) for exactly this reason.
+            mut_w = rho * wf.nut(rho, k, mu)
+            G_w = wf.production(rho, k, mu, mut_w, U)
             P = wf.apply(G_w, P)
-            mu_t = wf.apply(rho * wf.nut(rho, k, mu), mu_t)
+            mu_t = wf.apply(mut_w, mu_t)
         k_s = jnp.maximum(k, self.k_min)
         C1_eff = self.C1
         if self.keps_variant == "RNG":

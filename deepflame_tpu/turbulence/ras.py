@@ -102,10 +102,14 @@ class KEpsilon:
         wf = self.wall_fns
         if wf is not None:
             # wall-layer production + log-layer eddy viscosity
-            # (epsilonWallFunction::calculate + nutkWallFunction)
-            G_w = wf.production(rho, k, mu, mu_t, U, bcs_U, mesh)
+            # (epsilonWallFunction::calculate + nutkWallFunction). G must
+            # use the wall-function nutw, not the transported-k mu_t —
+            # see low_mach_fl._keps_advance for the spurious-equilibrium
+            # analysis (OpenFOAM uses the nut boundary field here).
+            mut_w = rho * wf.nut(rho, k, mu)
+            G_w = wf.production(rho, k, mu, mut_w, U, bcs_U, mesh)
             P = wf.apply_mask(G_w, P)
-            mu_t = wf.apply_mask(rho * wf.nut(rho, k, mu), mu_t)
+            mu_t = wf.apply_mask(mut_w, mu_t)
 
         def diff_face(gamma):
             return tuple(interpolate(pad_field(gamma, bcs_scalar, mesh), ax)
@@ -236,9 +240,10 @@ class KOmegaSST:
         Pk = jnp.minimum(mu_t * 2.0 * SS, 10.0 * self.beta_star * rho * k * w)
         wf = self.wall_fns
         if wf is not None:
-            Pk = wf.apply_mask(wf.production(rho, k, mu, mu_t, U, bcs_U,
+            mut_w = rho * wf.nut(rho, k, mu)
+            Pk = wf.apply_mask(wf.production(rho, k, mu, mut_w, U, bcs_U,
                                              mesh), Pk)
-            mu_t = wf.apply_mask(rho * wf.nut(rho, k, mu), mu_t)
+            mu_t = wf.apply_mask(mut_w, mu_t)
 
         def diff_face(gamma):
             return tuple(interpolate(pad_field(gamma, bcs_scalar, mesh), ax)
