@@ -85,6 +85,22 @@ def interpolate(P: jax.Array, axis: Axis) -> jax.Array:
     return 0.5 * (own + nei)
 
 
+def interpolate_cubic(P: jax.Array, axis: Axis, bcs: FieldBCs) -> jax.Array:
+    """4-point cubic face interpolation (OpenFOAM `cubic` on a uniform mesh:
+    linear + gradient correction == (9(P+N) - (W+E))/16). Used for
+    div(hDiffCorrFlux) Gauss cubic in the shipped fvSchemes. Falls back to
+    a replicated ghost at physical boundaries (first-order there, as the
+    reference's boundary handling effectively is)."""
+    own, nei = face_pair(P, axis)
+    Pm, Pp = extend_padded(P, axis, bcs)
+    t = _trim(Pm, axis)
+    nfull = t.shape[axis]
+    far_own = jax.lax.slice_in_dim(t, 0, nfull - 2, axis=axis)   # own - 1
+    tp = _trim(Pp, axis)
+    far_nei = jax.lax.slice_in_dim(tp, 2, nfull, axis=axis)      # nei + 1
+    return (9.0 * (own + nei) - (far_own + far_nei)) / 16.0
+
+
 def grad(f: jax.Array, bcs: FieldBCs, mesh: StructuredMesh) -> jax.Array:
     """Gauss-linear cell gradient: (3, nx, ny, nz)."""
     P = pad_field(f, bcs, mesh)
@@ -183,6 +199,22 @@ def limited_face_values(P: jax.Array, phi_ax: jax.Array, axis: Axis,
     central = 0.5 * (own + nei)
     if scheme == "linear":
         return central
+    lim = nvd_limiter(P, phi_ax, axis, scheme, k, bcs)
+    return up + lim * (central - up)
+
+
+def nvd_limiter(P: jax.Array, phi_ax: jax.Array, axis: Axis, scheme: str,
+                k: float = 1.0, bcs: FieldBCs | None = None) -> jax.Array:
+    """Per-face TVD limiter lim in psi_f = up + lim*(central - up).
+
+    Exposed separately from limited_face_values so multivariate (grouped)
+    convection can take the field-wise min of limiters and apply ONE shared
+    weight set to every field in the group — OpenFOAM's
+    multivariateScheme/multivariateGaussConvectionScheme, used by the
+    reference for div(phi,Yi_h) (dfLowMachFoam YEqn.H:6-15, EEqn.H:15)."""
+    own, nei = face_pair(P, axis)
+    central = 0.5 * (own + nei)
+    up = jnp.where(phi_ax >= 0, own, nei)
     # limiter needs the far-upwind value: extend with a second ghost layer
     # (cyclic-exact when bcs provided — keeps the periodic seam conservative)
     if bcs is not None:
@@ -202,9 +234,21 @@ def limited_face_values(P: jax.Array, phi_ax: jax.Array, axis: Axis,
     r_pos = (own - far_own) / safe_d          # upwind gradient ratio, flux > 0
     r_neg = (nei - far_nei) / (-safe_d)
     r = jnp.where(phi_ax >= 0, r_pos, r_neg)
-    if scheme == "limitedLinear":
+    if scheme in ("limitedLinear", "limitedLinear01"):
         # OpenFOAM limitedLinear k: psi = max(min(2r/k, 1), 0) blended to linear
         lim = jnp.clip(2.0 * r / k, 0.0, 1.0)
+        if scheme == "limitedLinear01":
+            # limited01 wrapper (OpenFOAM Limited01, used for div(phi,Yi) in
+            # every shipped low-Mach case): additionally limit the limiter so
+            # the face value stays in [0,1] — active only when cell values
+            # overshoot the physical bounds
+            delta = central - up
+            big = jnp.asarray(1e30, P.dtype)
+            lim_hi = jnp.where(delta > eps, (1.0 - up) / jnp.maximum(delta, eps),
+                               big)
+            lim_lo = jnp.where(delta < -eps, up / jnp.maximum(-delta, eps), big)
+            lim = jnp.clip(jnp.minimum(lim, jnp.minimum(lim_hi, lim_lo)),
+                           0.0, None)
     elif scheme == "vanLeer":
         lim = (r + jnp.abs(r)) / (1.0 + jnp.abs(r))
     elif scheme == "minmod":
@@ -226,7 +270,7 @@ def limited_face_values(P: jax.Array, phi_ax: jax.Array, axis: Axis,
         lim = jnp.maximum(1.5 * (r * r + r) / (r * r + r + 1.0), 0.0)
     else:
         raise ValueError(f"unknown convection scheme {scheme}")
-    return up + lim * (central - up)
+    return lim
 
 
 # ------------------------------------------------------------------ FvMatrix
@@ -343,27 +387,73 @@ def fvm_ddt(coeff, x_old, dt, mesh: StructuredMesh, bcs: FieldBCs,
     return FvMatrix(mesh, bcs, [L], src)
 
 
+def multivariate_limiter(fields_padded, phi, mesh: StructuredMesh,
+                         bcs_list, scheme: str = "limitedLinear",
+                         limiter_k: float = 1.0,
+                         bounded01: tuple | None = None):
+    """Shared per-face limiter for a GROUP of convected fields: the
+    field-wise min of each member's TVD limiter — OpenFOAM's
+    multivariateScheme, which the reference uses for div(phi,Yi_h)
+    (all species + enthalpy convected with ONE weight set,
+    dfLowMachFoam YEqn.H:6-15 / EEqn.H:15). Returns per-axis face arrays.
+
+    bounded01: optional per-field flags; flagged members contribute their
+    limitedLinear01 (face value bounded to [0,1]) limiter."""
+    out = []
+    for ax in range(3):
+        lim = None
+        for i, P in enumerate(fields_padded):
+            sch = scheme
+            if bounded01 is not None and bounded01[i]:
+                sch = "limitedLinear01" if scheme == "limitedLinear" else sch
+            li = nvd_limiter(P, phi[ax], ax, sch, limiter_k, bcs_list[i])
+            lim = li if lim is None else jnp.minimum(lim, li)
+        out.append(jnp.minimum(lim, 1.0))
+    return tuple(out)
+
+
 def fvm_div(phi, psi_now: jax.Array, mesh: StructuredMesh, bcs: FieldBCs,
-            scheme: str = "upwind", limiter_k: float = 1.0) -> FvMatrix:
+            scheme: str = "upwind", limiter_k: float = 1.0,
+            limiter_override=None, weight_flux=None) -> FvMatrix:
     """fvm::div(phi, psi). For TVD schemes the limited anti-diffusive part is
-    deferred-corrected explicitly using the current iterate psi_now."""
+    deferred-corrected explicitly using the current iterate psi_now.
+
+    limiter_override: per-axis face limiter arrays (from
+    multivariate_limiter) replacing the field's own limiter — grouped
+    (multivariate Gauss) convection.
+
+    weight_flux: flux whose SIGN selects upwind/central weights when it
+    differs from the convecting flux (OpenFOAM mvConvection->fvmDiv(phiUc,
+    Yi): the weight set is built from phi at construction, then applied to
+    the correction flux phiUc)."""
     implicit_scheme = "linear" if scheme == "linear" else "upwind"
+    wf = phi if weight_flux is None else weight_flux
 
     def L(P):
         out = 0.0
         for ax, h in enumerate(mesh.spacing):
-            fv = limited_face_values(P, phi[ax], ax, implicit_scheme)
+            fv = limited_face_values(P, wf[ax], ax, implicit_scheme)
             out = out + _face_diff(phi[ax] * fv, ax) / h
         return out
 
     src = jnp.zeros(mesh.shape, psi_now.dtype)
-    if scheme in ("limitedLinear", "vanLeer", "minmod", "MUSCL", "superBee",
-                  "QUICK", "vanAlbada", "OSPRE"):
+    if limiter_override is not None:
         Pn = pad_field(psi_now, bcs, mesh)
         corr = 0.0
         for ax, h in enumerate(mesh.spacing):
-            hi = limited_face_values(Pn, phi[ax], ax, scheme, limiter_k, bcs)
-            lo = limited_face_values(Pn, phi[ax], ax, "upwind")
+            own, nei = face_pair(Pn, ax)
+            up = jnp.where(wf[ax] >= 0, own, nei)
+            central = 0.5 * (own + nei)
+            hi = up + limiter_override[ax] * (central - up)
+            corr = corr + _face_diff(phi[ax] * (hi - up), ax) / h
+        src = src - corr
+    elif scheme in ("limitedLinear", "limitedLinear01", "vanLeer", "minmod",
+                    "MUSCL", "superBee", "QUICK", "vanAlbada", "OSPRE"):
+        Pn = pad_field(psi_now, bcs, mesh)
+        corr = 0.0
+        for ax, h in enumerate(mesh.spacing):
+            hi = limited_face_values(Pn, wf[ax], ax, scheme, limiter_k, bcs)
+            lo = limited_face_values(Pn, wf[ax], ax, "upwind")
             corr = corr + _face_diff(phi[ax] * (hi - lo), ax) / h
         src = src - corr
     elif scheme not in ("upwind", "linear"):

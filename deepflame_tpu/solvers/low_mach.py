@@ -37,7 +37,8 @@ from ..mesh.structured import (BC, StructuredMesh, cyclic, empty, pad_field,
                                zero_gradient)
 from ..mesh.energy_bcs import resolve_energy_bcs
 from ..ops.fv import (face_pair, fvm_ddt, fvm_div, fvm_laplacian,
-                      fvm_source_implicit, grad, div_flux, interpolate)
+                      fvm_source_implicit, grad, div_flux, div_explicit,
+                      interpolate, interpolate_cubic, multivariate_limiter)
 from ..ops.linsolve import cg, solve_fvmatrix
 from ..parallel.context import gmax, gmin, gmean
 
@@ -108,6 +109,16 @@ class LowMachConfig:
     div_scheme_U: str = "linear"  # fvSchemes parity: div(phi,U) Gauss linear
                                   # (reference cases use central for momentum,
                                   # limitedLinear for scalars)
+    div_scheme_Y: str = "limitedLinear01"  # fvSchemes parity: div(phi,Yi)
+                                  # Gauss limitedLinear01 1 (bounded variant)
+    mv_convection: str = "per-field"  # div(phi,Yi_h) group treatment
+                                  # (reference YEqn.H:6-15 builds ONE
+                                  # multivariate scheme over all Y + ha):
+                                  # 'per-field'  — each field its own limiter
+                                  # 'group-min'  — shared min-limiter over
+                                  #                the {Y_i, ha} group
+                                  #                (multivariateScheme parity)
+                                  # 'upwind'     — whole group upwind
     u_tol: float = 1e-7
     p_tol: float = 1e-7   # fvSolution parity: p tolerance 1e-7, relTol 0.01
     p_rel_tol: float = 1e-2
@@ -336,6 +347,9 @@ class LowMachSolver:
                                           stats=diag)
 
             # ===== YEqn (YEqn.H:1-130)
+            lim_mv = None                      # shared {Y_i, ha} group limiter
+            scheme_h = ("upwind" if cfg.mv_convection == "upwind"
+                        else cfg.div_scheme)
             if ns > 1:
                 # species-flux correction: phiUc from sumYDiffError
                 sumYDiff = 0.0
@@ -351,6 +365,19 @@ class LowMachSolver:
                 srcs = RR
                 if sources is not None and sources.get("SY_index") is not None:
                     srcs = srcs.at[sources["SY_index"]].add(sources["SY"])
+                # multivariate group limiter over {Y_i, ha} (YEqn.H:6-15)
+                scheme_Y = cfg.div_scheme_Y
+                if cfg.mv_convection == "group-min":
+                    flds = [pad_field(Y[i], self._species_bcs(i), mesh)
+                            for i in range(ns)]
+                    bl = [self._species_bcs(i) for i in range(ns)]
+                    flds.append(pad_field(ha, bcs_h, mesh))
+                    bl.append(bcs_h)
+                    lim_mv = multivariate_limiter(
+                        flds, phi, mesh, bl, "limitedLinear", 1.0,
+                        bounded01=tuple([True] * ns + [False]))
+                elif cfg.mv_convection == "upwind":
+                    scheme_Y = "upwind"
                 if not isinstance(self.bcs_Y, list):
                     # fast path: one vmapped batched solve over the species
                     # axis (shared BCs). All ns Krylov solves advance in
@@ -367,9 +394,11 @@ class LowMachSolver:
                             for ax in range(3))
                         eqn = (fvm_ddt(rho, y_old_i, dt, mesh, bcs_y,
                                        coeff_old=rho_old)
-                               + fvm_div(phi, y_i, mesh, bcs_y,
-                                         cfg.div_scheme)
-                               + fvm_div(phiUc, y_i, mesh, bcs_y, "upwind")
+                               + fvm_div(phi, y_i, mesh, bcs_y, scheme_Y,
+                                         limiter_override=lim_mv)
+                               + fvm_div(phiUc, y_i, mesh, bcs_y, "upwind",
+                                         limiter_override=lim_mv,
+                                         weight_flux=phi)
                                + fvm_laplacian(D_f, mesh, bcs_y, dtype=dtype,
                                                sign=-1.0)).with_source(src_i)
                         res = solve_fvmatrix(eqn, y_i, tol=cfg.y_tol,
@@ -396,9 +425,11 @@ class LowMachSolver:
                                     for ax in range(3))
                         eqn = (fvm_ddt(rho, Y_old[i], dt, mesh, bcs_i,
                                        coeff_old=rho_old)
-                               + fvm_div(phi, Y[i], mesh, bcs_i,
-                                         cfg.div_scheme)
-                               + fvm_div(phiUc, Y[i], mesh, bcs_i, "upwind")
+                               + fvm_div(phi, Y[i], mesh, bcs_i, scheme_Y,
+                                         limiter_override=lim_mv)
+                               + fvm_div(phiUc, Y[i], mesh, bcs_i, "upwind",
+                                         limiter_override=lim_mv,
+                                         weight_flux=phi)
                                + fvm_laplacian(D_f, mesh, bcs_i, dtype=dtype,
                                                sign=-1.0))
                         eqn = eqn.with_source(srcs[i])
@@ -418,10 +449,9 @@ class LowMachSolver:
                             for ax in range(3))
             K = 0.5 * jnp.sum(U * U, axis=0)
             K_old = 0.5 * jnp.sum(U_old * U_old, axis=0)
-            dKdt = (rho * K - rho_old * K_old) / dt + div_flux(
-                tuple(phi[ax] * interpolate(
-                    pad_field(K, self.bcs_coeff, mesh), ax)
-                      for ax in range(3)), mesh)
+            # fvSchemes parity: div(phi,K) Gauss limitedLinear 1 (not linear)
+            dKdt = (rho * K - rho_old * K_old) / dt + div_explicit(
+                phi, K, self.bcs_coeff, mesh, cfg.div_scheme)
             # enthalpy-diffusion correction: div( sum_i h_i (rhoD_i - alpha) grad Y_i )
             hcorr_div = 0.0
             if ns > 1:
@@ -429,13 +459,17 @@ class LowMachSolver:
                 hcorr = 0.0
                 for i in range(ns):
                     hcorr = hcorr + h_sp[..., i] * (rhoD[i] - alpha) * gY[i]
+                # fvSchemes parity: div(hDiffCorrFlux) Gauss cubic
                 hcorr_f = tuple(
-                    interpolate(pad_field(hcorr[ax], self.bcs_coeff, mesh), ax)
+                    interpolate_cubic(
+                        pad_field(hcorr[ax], self.bcs_coeff, mesh), ax,
+                        self.bcs_coeff)
                     for ax in range(3))
                 hcorr_div = div_flux(hcorr_f, mesh)
             eqn_h = (fvm_ddt(rho, ha_old, dt, mesh, bcs_h,
                              coeff_old=rho_old)
-                     + fvm_div(phi, ha, mesh, bcs_h, cfg.div_scheme)
+                     + fvm_div(phi, ha, mesh, bcs_h, scheme_h,
+                               limiter_override=lim_mv)
                      + fvm_laplacian(alpha_f, mesh, bcs_h, dtype=dtype,
                                      sign=-1.0))
             src_h = sources["Sh"] if sources else 0.0

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--rtol", type=float, default=1e-6)
     ap.add_argument("--dtype", default="f64")
+    ap.add_argument("--mv", default="per-field",
+                    choices=["per-field", "group-min", "upwind"],
+                    help="div(phi,Yi_h) multivariate-group treatment")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +65,7 @@ def main():
         mesh=mesh, thermo=th, transport=tr, combustion=comb,
         bcs_U=(b, b, b), bcs_p=b, bcs_h=b, bcs_Y=b, bcs_rho=b,
         config=LowMachConfig(chemistry=True,
+                             mv_convection=args.mv,
                              inert_index=int(mech.species_index("N2"))))
 
     shape = mesh.shape

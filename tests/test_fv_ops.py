@@ -262,3 +262,73 @@ def test_vmapped_krylov_converged_lane_overrun_f32():
             tol_k = 5e-2 if k == 0 else 5e-3
             assert np.abs(r).max() < tol_k * np.abs(bk).max(), \
                 (solver.__name__, k)
+
+
+def test_limited_linear01_bounds_face_values():
+    """limitedLinear01 (fvSchemes div(phi,Yi) in every shipped low-Mach
+    case): identical to limitedLinear for in-bounds fields, and clamps the
+    face value to [0,1] when cell values overshoot."""
+    from deepflame_tpu.mesh import StructuredMesh, cyclic, empty
+    from deepflame_tpu.mesh.structured import pad_field
+    from deepflame_tpu.ops.fv import limited_face_values
+
+    n = 32
+    mesh = StructuredMesh.box([1.0, 1.0 / n, 1.0 / n], [n, 1, 1])
+    b = ((cyclic(), cyclic()), (empty(), empty()), (empty(), empty()))
+    X, _, _ = mesh.cell_centers()
+    phi_x = jnp.ones((n + 1, 1, 1))
+
+    q = 0.5 + 0.4 * jnp.sin(2 * jnp.pi * X)          # in [0.1, 0.9]
+    P = pad_field(q, b, mesh)
+    f_ll = limited_face_values(P, phi_x, 0, "limitedLinear", 1.0, b)
+    f_01 = limited_face_values(P, phi_x, 0, "limitedLinear01", 1.0, b)
+    np.testing.assert_allclose(np.asarray(f_01), np.asarray(f_ll), rtol=1e-14)
+
+    q2 = q.at[5, 0, 0].set(1.3).at[9, 0, 0].set(-0.2)  # overshoots
+    P2 = pad_field(q2, b, mesh)
+    f2 = np.asarray(limited_face_values(P2, phi_x, 0, "limitedLinear01",
+                                        1.0, b))
+    fll = np.asarray(limited_face_values(P2, phi_x, 0, "limitedLinear",
+                                         1.0, b))
+    # the 01 bound limits the LIMITER (OpenFOAM Limited01): faces whose
+    # upwind value is in-bounds stay in [0,1]; an out-of-bounds upwind value
+    # passes through (a limiter can only blend toward central) but is never
+    # pushed further out than plain limitedLinear
+    up2 = np.asarray(q2[:, 0, 0])            # u > 0: upwind = owner cell
+    in_bounds_up = np.concatenate([[True], (up2 >= 0) & (up2 <= 1)])
+    f2f = f2[:, 0, 0]
+    assert f2f[in_bounds_up].min() >= -1e-14
+    assert f2f[in_bounds_up].max() <= 1.0 + 1e-14
+    assert (f2f <= fll[:, 0, 0].max() + 1e-14).all()
+
+
+def test_interpolate_cubic_exact_on_cubics():
+    """interpolate_cubic (fvSchemes div(hDiffCorrFlux) Gauss cubic): exact
+    for cubic polynomials on a uniform periodic mesh, and strictly more
+    accurate than linear on a smooth non-polynomial profile."""
+    from deepflame_tpu.mesh import StructuredMesh, cyclic, empty
+    from deepflame_tpu.mesh.structured import pad_field
+    from deepflame_tpu.ops.fv import interpolate, interpolate_cubic
+
+    n = 32
+    mesh = StructuredMesh.box([1.0, 1.0 / n, 1.0 / n], [n, 1, 1])
+    b = ((cyclic(), cyclic()), (empty(), empty()), (empty(), empty()))
+    h = 1.0 / n
+    # periodic cubic in the cell index (wraps cleanly when built from a
+    # periodic coordinate): use s = sin basis instead for wrap; exactness
+    # check uses an OPEN (zeroGradient-free) interior slice of a plain cubic
+    X, _, _ = mesh.cell_centers()
+    q = 2.0 + 3.0 * X - 1.5 * X**2 + 0.7 * X**3
+    P = pad_field(q, b, mesh)
+    fc = np.asarray(interpolate_cubic(P, 0, b))[2:-2, 0, 0]
+    xf = np.arange(1, n) * h
+    exact = 2.0 + 3.0 * xf - 1.5 * xf**2 + 0.7 * xf**3
+    np.testing.assert_allclose(fc[1:-1], exact[2:-2], rtol=1e-12)
+
+    qs = jnp.sin(2 * jnp.pi * X)
+    Ps = pad_field(qs, b, mesh)
+    xf_all = np.arange(0, n + 1) * h
+    ex = np.sin(2 * np.pi * xf_all)
+    e_cub = np.abs(np.asarray(interpolate_cubic(Ps, 0, b))[:, 0, 0] - ex).max()
+    e_lin = np.abs(np.asarray(interpolate(Ps, 0))[:, 0, 0] - ex).max()
+    assert e_cub < 0.05 * e_lin, (e_cub, e_lin)
