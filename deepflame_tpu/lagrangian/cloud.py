@@ -438,29 +438,62 @@ class SprayCloud:
         Sc_f = mu_g / jnp.maximum(rho_g * D_v, 1e-20)
         Sh = 2.0 + 0.6 * jnp.sqrt(jnp.maximum(Re, 0.0)) * Sc_f**(1/3)
         Nu = 2.0 + 0.6 * jnp.sqrt(jnp.maximum(Re, 0.0)) * self.Pr_gas**(1/3)
+        # carrier cp/kappa at parcels: use solver-provided fields when
+        # available, else the air-like estimate (OpenFOAM interpolates the
+        # carrier's actual Cp/kappa to the parcel, LiquidEvaporationBoil.C:
+        # 180-197; the hardcoded 1005 underestimates kappa ~30% in the flame)
+        cp_c = g(gas["cp"]) if "cp" in gas else jnp.full_like(rho_g, 1005.0)
+        kappa_c = g(gas["kappa"]) if "kappa" in gas \
+            else mu_g * 1005.0 / self.Pr_gas
         if self.evaporation == "none":
             dm_dt = jnp.zeros_like(d)
         else:
-            p_sat = liq.p_sat(Tp)
+            # LiquidEvaporationBoil parity (LiquidEvaporationBoil.C:221-300)
+            T_boil_pc = liq.T_boil_at(p_g)
+            Td = jnp.minimum(Tp, 0.999 * T_boil_pc)
+            p_sat = liq.p_sat(Td)
+            # --- evaporation branch: MOLAR Spalding ratio with film density
+            # dm/dt = pi d Sh Dab rho_s ln(1 + Xr), Xr = (Xs - Xc)/(1 - Xs)
             x_s = jnp.clip(p_sat / jnp.maximum(p_g, 1.0), 0.0, 0.999)
             W_g = 28.9
-            Y_s = x_s * liq.W / (x_s * liq.W + (1.0 - x_s) * W_g)
-            B_M = jnp.clip((Y_s - Yv_g) / jnp.maximum(1.0 - Y_s, 1e-3),
-                           0.0, 20.0)
-            if self.evaporation == "Spalding":
-                dm_dt = jnp.pi * d * Sh * rho_g * D_v * jnp.log1p(B_M)
-            else:  # classic D2-law (dilute limit)
-                dm_dt = jnp.pi * d * Sh * rho_g * D_v * B_M
-            # boiling (LiquidEvaporationBoil parity): once T_p reaches the
-            # LOCAL-pressure boiling point (liquidProperties::pvInvert(pc),
-            # NOT the 1-atm T_boil) the rate becomes heat-transfer limited:
-            # dm/dt = pi d Nu kappa_g (T_g - T_p) / L
-            kappa_g_b = mu_g * 1005.0 / self.Pr_gas
-            dm_dt_boil = (jnp.pi * d * Nu * kappa_g_b
-                          * jnp.maximum(T_g - Tp, 0.0)
-                          / liq.latent_heat(Tp))
-            dm_dt = jnp.where(Tp > liq.T_boil_at(p_g),
-                              jnp.maximum(dm_dt, dm_dt_boil), dm_dt)
+            # carrier molar fraction of the vapor species
+            W_mix = 1.0 / (Yv_g / liq.W + (1.0 - Yv_g) / W_g)
+            X_c = Yv_g * W_mix / liq.W
+            Xr = jnp.clip((x_s - X_c) / jnp.maximum(1.0 - x_s, 1e-6),
+                          0.0, 50.0)
+            # film density at surface conditions (same p, ideal gas)
+            rho_s = rho_g * T_g / jnp.maximum(T_film, 200.0)
+            dm_dt_evap = jnp.pi * d * Sh * rho_s * D_v * jnp.log1p(Xr)
+            if self.evaporation != "Spalding":   # classic D2-law option
+                dm_dt_evap = jnp.pi * d * Sh * rho_s * D_v * Xr
+            # --- boiling branch (pSat > 0.999 pc): iterated Spalding-log
+            # heat-limited rate + empirical nucleate flash-boil
+            # (LiquidEvaporationBoil.C:252-285; note Sh used in place of Nu)
+            hv = liq.latent_heat(Td)
+            dT_sup = jnp.maximum(Tp - T_boil_pc, 0.5)   # droplet superheat
+            alphaS = jnp.where(
+                dT_sup < 5.0, 760.0 * dT_sup**0.26,
+                jnp.where(dT_sup < 25.0, 27.0 * dT_sup**2.33,
+                          13800.0 * dT_sup**0.39))
+            Gf = alphaS * dT_sup * jnp.pi * d**2 / hv
+            cp_s = liq.cp_vap(T_film)
+            A_sp = jnp.maximum(cp_c * (T_g - T_film), 0.0) / hv
+            B_sp = jnp.pi * (kappa_c / jnp.maximum(cp_s, 1.0)) * d * Sh
+
+            def _boil_iter(_, Gr):
+                G = B_sp / (1.0 + Gr) * jnp.log1p(A_sp * (1.0 + Gr))
+                return Gf / jnp.maximum(G, 1e-30)
+
+            Gr = jax.lax.fori_loop(0, 50, _boil_iter,
+                                   jnp.full_like(d, 1e-5))
+            G_heat = jnp.where(
+                A_sp > 0.0,
+                B_sp / (1.0 + Gr) * jnp.log1p(A_sp * (1.0 + Gr)), 0.0)
+            dm_dt_boil = G_heat + Gf
+            boiling = p_sat > 0.999 * jnp.maximum(p_g, 1.0)
+            saturated = X_c * jnp.maximum(p_g, 1.0) > p_sat
+            dm_dt = jnp.where(boiling, dm_dt_boil,
+                              jnp.where(saturated, 0.0, dm_dt_evap))
         dm = jnp.clip(dm_dt * dt, 0.0, 0.95 * m_d)
         m_new = m_d - dm
 
@@ -486,9 +519,22 @@ class SprayCloud:
             dm_dv_tot = jnp.zeros_like(m_new)
 
         # ==== heat transfer (Ranz-Marshall, implicit relaxation) + latent sink
-        kappa_g = mu_g * 1005.0 / self.Pr_gas       # lambda ~ mu cp / Pr
-        h_conv = Nu * kappa_g / jnp.maximum(d, 1e-9)
+        h_conv = Nu * kappa_c / jnp.maximum(d, 1e-9)
         area = jnp.pi * d**2
+        if self.evaporation != "none":
+            # Bird correction (RanzMarshall BirdCorrection true in the
+            # aachenBomb case dict, sprayCloudProperties:175-178): the
+            # Stefan flow of evaporating vapor insulates the droplet —
+            # htc *= phi/(e^phi - 1), phi = NCpW/htc with NCpW the
+            # evaporative flux heat capacity (HeatTransferModel::htc).
+            # Without it droplets near the flame heat and boil far too
+            # fast (the evaporative-cooled rich core dies early).
+            NCpW = (dm_dt / jnp.maximum(area, 1e-20)) * liq.cp_vap(T_film)
+            phi_bird = jnp.clip(NCpW / jnp.maximum(h_conv, 1e-20), 0.0, 50.0)
+            h_conv = jnp.where(
+                phi_bird > 1e-3,
+                h_conv * phi_bird / jnp.expm1(jnp.maximum(phi_bird, 1e-6)),
+                h_conv)
         cp_l = liq.cp(Tp)
         tau_T = m_d * cp_l / jnp.maximum(h_conv * area, 1e-20)
         L = liq.latent_heat(Tp)

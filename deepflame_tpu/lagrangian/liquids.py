@@ -38,6 +38,8 @@ class Liquid:
     mu_B: float = 1000.0     # Andrade exponent: mu = mu_ref exp(B(1/T-1/Tref))
     D_ref: float = 7.0e-6    # vapor-in-air diffusivity at 300 K, 1 atm
                              # [m^2/s] (OpenFOAM liquidProperties::D role)
+    cp_vap_ref: float = 1600.0  # VAPOR heat capacity at 300 K [J/kg/K]
+    cp_vap_slope: float = 2.0   # d cp_vap/dT (linear fit over 300-1500 K)
 
     def rho(self, T):
         return self.rho_ref + self.rho_slope * (T - self.T_ref)
@@ -76,6 +78,13 @@ class Liquid:
         return self.D_ref * (jnp.maximum(T, 200.0) / 300.0) ** 1.75 \
             * (1.01325e5 / jnp.maximum(p, 1e3))
 
+    def cp_vap(self, T):
+        """Vapor-phase heat capacity [J/kg/K] — the Cp of the transferred
+        species in the Bird htc correction (RanzMarshall BirdCorrection) and
+        in the boiling Spalding number (LiquidEvaporationBoil.C:264-265)."""
+        return self.cp_vap_ref + self.cp_vap_slope * (jnp.clip(T, 250.0,
+                                                               2000.0) - 300.0)
+
     def latent_heat(self, T):
         """Watson correlation scaled from the boiling point."""
         Tr = jnp.clip(T, 200.0, self.T_crit - 1.0) / self.T_crit
@@ -90,7 +99,8 @@ def n_heptane() -> Liquid:
                   rho_ref=679.5, rho_slope=-0.85, T_ref=300.0,
                   cp_ref=2242.0, cp_slope=5.0, L_ref=3.18e5,
                   antoine_A=9.2535, antoine_B=1268.636, antoine_C=-56.199,
-                  mu_ref=3.9e-4, mu_B=900.0, D_ref=7.1e-6)
+                  mu_ref=3.9e-4, mu_B=900.0, D_ref=7.1e-6,
+                  cp_vap_ref=1660.0, cp_vap_slope=2.6)
 
 
 def n_dodecane() -> Liquid:
@@ -98,7 +108,8 @@ def n_dodecane() -> Liquid:
                   rho_ref=745.0, rho_slope=-0.75, T_ref=300.0,
                   cp_ref=2210.0, cp_slope=4.5, L_ref=2.56e5,
                   antoine_A=9.328, antoine_B=1625.9, antoine_C=-92.8,
-                  mu_ref=1.34e-3, mu_B=1500.0, D_ref=5.5e-6)
+                  mu_ref=1.34e-3, mu_B=1500.0, D_ref=5.5e-6,
+                  cp_vap_ref=1590.0, cp_vap_slope=2.6)
 
 
 def ethanol() -> Liquid:
@@ -109,7 +120,8 @@ def ethanol() -> Liquid:
                   rho_ref=789.0, rho_slope=-0.90, T_ref=300.0,
                   cp_ref=2440.0, cp_slope=6.0, L_ref=8.46e5,
                   antoine_A=10.247, antoine_B=1599.0, antoine_C=-46.4,
-                  sigma=0.022, mu_ref=1.07e-3, mu_B=1600.0, D_ref=1.35e-5)
+                  sigma=0.022, mu_ref=1.07e-3, mu_B=1600.0, D_ref=1.35e-5,
+                  cp_vap_ref=1420.0, cp_vap_slope=1.9)
 
 
 def water() -> Liquid:
@@ -117,4 +129,5 @@ def water() -> Liquid:
                   rho_ref=997.0, rho_slope=-0.35, T_ref=300.0,
                   cp_ref=4184.0, cp_slope=0.5, L_ref=2.257e6,
                   antoine_A=10.196, antoine_B=1730.63, antoine_C=-39.72,
-                  sigma=0.072, mu_ref=8.5e-4, mu_B=2100.0, D_ref=2.6e-5)
+                  sigma=0.072, mu_ref=8.5e-4, mu_B=2100.0, D_ref=2.6e-5,
+                  cp_vap_ref=1864.0, cp_vap_slope=0.55)

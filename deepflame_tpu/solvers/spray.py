@@ -56,6 +56,12 @@ class SpraySolver:
             X = self.gas_solver.thermo.mole_fractions(Yt)
             mu = self.gas_solver.transport.mu_mix(gas.T, X)
             Yv = gas.Y[self.fuel_index]
+            # carrier cp/kappa at the parcels (the Bird htc correction and
+            # the boiling Spalding number need the ACTUAL carrier
+            # properties, LiquidEvaporationBoil.C:180-197)
+            cp_c = self.gas_solver.thermo.cp_mass(gas.T, Yt)
+            kappa_c = self.gas_solver.transport.lambda_mix(gas.T, X)
+            extra = dict(cp=cp_c, kappa=kappa_c)
         else:
             # FGM gas phase: viscosity from the manifold, vapor mass
             # fraction carried by the mixture fraction (vapor is pure fuel)
@@ -63,8 +69,9 @@ class SpraySolver:
                 gas.Z, gas.Zvar, gas.c, gas.cvar, gas.Zcvar, gas.He)
             mu = gas.rho * nu_tab
             Yv = gas.Z
+            extra = {}
         gas_fields = dict(rho=gas.rho, U=gas.U, T=gas.T, mu=mu, p=gas.p,
-                          Yv=Yv)
+                          Yv=Yv, **extra)
         cloud, src = self.cloud.evolve(s.cloud, gas_fields, dt, gas.time)
         sources = dict(Srho=src.Srho, SU=src.SU, Sh=src.Sh, SY=src.SY,
                        SY_index=self.fuel_index)
