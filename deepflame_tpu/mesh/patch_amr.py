@@ -182,3 +182,204 @@ class MovingPatchAMR:
         diag["T_max"] = jnp.maximum(diag_c["T_max"], jnp.max(sf2.T))
         diag["p_max"] = diag_c["p_max"]
         return PatchState(coarse=sc2, fine=sf2, offset=off_new), diag
+
+
+class RowPatchState(NamedTuple):
+    coarse: HighSpeedState
+    fine: HighSpeedState     # leading row axis: each leaf (n_rows, ...)
+    offsets: jax.Array       # (n_rows,) int32 per-row patch x-offsets
+
+
+def _zg_bcs_y(bcs):
+    """Replace the y-axis BC pair with zeroGradient (patch-interior edges
+    are buffer-seeded from the coarse state, never real boundaries)."""
+    from .structured import zero_gradient
+    zg = zero_gradient()
+    return (bcs[0], (zg, zg), bcs[2])
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontPatchAMR2D:
+    """Front-SHAPED moving refinement: one fine x-patch PER y-ROW, each with
+    its own x-offset tracking the local front position — the tile-row
+    granularity analogue of dfDynamicRefineFvMesh's per-cell refinement
+    (multiCritRefinement.H:105-158) for curved/cellular 2D fronts, with
+    static shapes (vmapped over rows; offsets move by dynamic_slice, no
+    retraces).
+
+    Each row patch covers (pc coarse cells in x) x (nyb + 2*buffer_y in y),
+    refined `ratio`x along x (front-normal). Row patches overlap their
+    neighbours by buffer_y rows; buffers (x and y) are re-seeded from the
+    coarse solution every coarse step and excluded from the restriction, so
+    row-seam and patch-edge contamination is discarded each step. The y
+    BCs of the patch solver are zeroGradient placeholders under the seeded
+    buffers. Same conservation trade as MovingPatchAMR (overwrite coupling).
+    """
+    coarse: HighSpeedSolver
+    fine: HighSpeedSolver            # mesh: (pc*r, nyb + 2*by, nz)
+    ratio: int
+    pc: int
+    n_rows: int
+    buffer_c: int = 4                # x-buffer width [coarse cells, per side]
+    buffer_y: int = 4                # y-buffer width [cells, per side]
+
+    @staticmethod
+    def build(coarse: HighSpeedSolver, pc: int, n_rows: int, ratio: int = 4,
+              buffer_c: int = 4, buffer_y: int = 4) -> "FrontPatchAMR2D":
+        m = coarse.mesh
+        assert m.ny % n_rows == 0, (m.ny, n_rows)
+        nyb = m.ny // n_rows
+        fine_mesh = StructuredMesh(pc * ratio, nyb + 2 * buffer_y, m.nz,
+                                   m.dx / ratio, m.dy, m.dz,
+                                   m.x0, m.y0, m.z0)
+        fine = dataclasses.replace(
+            coarse, mesh=fine_mesh,
+            bcs_rho=_zg_bcs_y(coarse.bcs_rho),
+            bcs_U=tuple(_zg_bcs_y(b) for b in coarse.bcs_U),
+            bcs_p=_zg_bcs_y(coarse.bcs_p),
+            bcs_Y=_zg_bcs_y(coarse.bcs_Y))
+        return FrontPatchAMR2D(coarse=coarse, fine=fine, ratio=ratio, pc=pc,
+                               n_rows=n_rows, buffer_c=buffer_c,
+                               buffer_y=buffer_y)
+
+    # ------------------------------------------------------------ plumbing
+    @property
+    def nyb(self):
+        return self.coarse.mesh.ny // self.n_rows
+
+    def _cons(self, s: HighSpeedState):
+        return (s.rho, s.rhoU, s.rhoE, s.rhoY, s.T)
+
+    def _with(self, s: HighSpeedState, vals) -> HighSpeedState:
+        rho, rhoU, rhoE, rhoY, T = vals
+        return s._replace(rho=rho, rhoU=rhoU, rhoE=rhoE, rhoY=rhoY, T=T)
+
+    def _pad_y(self, q):
+        """Edge-replicate pad by buffer_y along y so every row window
+        (pc, nyb + 2 by) gathers without clamping."""
+        by = self.buffer_y
+        pw = [(0, 0)] * q.ndim
+        pw[-2] = (by, by)
+        return jnp.pad(q, pw, mode="edge")
+
+    def _window(self, q_pady, offx, j):
+        """Row-j window (pc, nyb + 2 by[, nz]) of a y-padded coarse field."""
+        z = jnp.zeros((), jnp.int32)
+        ys = jnp.asarray(j * self.nyb, jnp.int32)
+        starts = (z,) * (q_pady.ndim - 3) + (jnp.asarray(offx, jnp.int32),
+                                             ys, z)
+        sizes = q_pady.shape[:-3] + (self.pc, self.nyb + 2 * self.buffer_y,
+                                     q_pady.shape[-1])
+        return jax.lax.dynamic_slice(q_pady, starts, sizes)
+
+    def prolong_rows(self, sc: HighSpeedState, offs) -> HighSpeedState:
+        """Per-row fine states from coarse windows (p.w. constant in x)."""
+        rows = jnp.arange(self.n_rows, dtype=jnp.int32)
+
+        def one(q):
+            qp = self._pad_y(q)
+            return jax.vmap(lambda o, j: _repeat_x(self._window(qp, o, j),
+                                                   self.ratio))(offs, rows)
+
+        vals = tuple(one(q) for q in self._cons(sc))
+        t = jnp.broadcast_to(sc.time, (self.n_rows,))
+        return HighSpeedState(rho=vals[0], rhoU=vals[1], rhoE=vals[2],
+                              rhoY=vals[3], T=vals[4], time=t)
+
+    def _fronts(self, rho):
+        """Per-row front x-index from max |d rho/dx| within the row."""
+        g = jnp.abs(jnp.diff(rho, axis=0)).max(axis=2)     # (nx-1, ny)
+        gr = g.reshape(g.shape[0], self.n_rows, self.nyb).max(axis=2)
+        return jnp.argmax(gr, axis=0).astype(jnp.int32)    # (n_rows,)
+
+    # ---------------------------------------------------------------- init
+    def initial_state(self, p, T, Y, U=None, time=0.0) -> RowPatchState:
+        sc = self.coarse.initial_state(p, T, Y, U, time)
+        nxc = self.coarse.mesh.nx
+        offs = jnp.clip(self._fronts(sc.rho) - self.pc // 2, 0,
+                        nxc - self.pc)
+        return RowPatchState(coarse=sc, fine=self.prolong_rows(sc, offs),
+                             offsets=offs)
+
+    # ---------------------------------------------------------------- step
+    def step(self, ps: RowPatchState, dt) -> tuple[RowPatchState, dict]:
+        r = self.ratio
+        b = self.buffer_c
+        by = self.buffer_y
+        pc, nyb = self.pc, self.nyb
+        sc, sf, offs = ps
+        rows = jnp.arange(self.n_rows, dtype=jnp.int32)
+
+        # 1. coarse step over the whole domain
+        sc2, diag_c = self.coarse.step(sc, dt)
+
+        # 2. re-seed x- and y-buffers of every row patch from the coarse
+        #    start-of-step state
+        nxf = pc * r
+        nyf = nyb + 2 * by
+        ix = jnp.arange(nxf)
+        iy = jnp.arange(nyf)
+        in_buf = ((ix[:, None] < b * r) | (ix[:, None] >= nxf - b * r)
+                  | (iy[None, :] < by) | (iy[None, :] >= nyf - by))
+        seeded = []
+        for qf, qc in zip(self._cons(sf), self._cons(sc)):
+            qp = self._pad_y(qc)
+            proj = jax.vmap(lambda o, j: _repeat_x(self._window(qp, o, j),
+                                                   r))(offs, rows)
+            shape = [1] * qf.ndim
+            shape[-3], shape[-2] = nxf, nyf
+            mask = in_buf.reshape(shape)
+            seeded.append(jnp.where(mask, proj, qf))
+        sf = self._with(sf, seeded)
+
+        # 3. fine substeps, vmapped over rows
+        def advance(s):
+            def sub(st, _):
+                st2, _ = self.fine.step(st, dt / r)
+                return st2, None
+            s2, _ = jax.lax.scan(sub, s, None, length=r)
+            return s2
+
+        sf2 = jax.vmap(advance)(sf)
+
+        # 4. conservative restriction of each row interior onto the coarse
+        restricted = []
+        for qf, qc in zip(self._cons(sf2), self._cons(sc2)):
+            qr = jax.vmap(lambda q: _mean_x(q, r))(qf)   # (R, ..., pc, nyf, nz)
+            inner = qr[..., b:pc - b, by:by + nyb, :]
+            z = jnp.zeros((), jnp.int32)
+
+            def ins(acc, j):
+                starts = (z,) * (qc.ndim - 3) + (offs[j] + b, j * nyb, z)
+                return jax.lax.dynamic_update_slice(acc, inner[j], starts), None
+
+            out, _ = jax.lax.scan(ins, qc, rows)
+            restricted.append(out)
+        sc2 = self._with(sc2, restricted)
+        _, _, _, T_new, _ = self.coarse.primitives(sc2)
+        sc2 = sc2._replace(T=T_new)
+
+        # 5. recenter each row on its local front
+        nxc = self.coarse.mesh.nx
+        offs_new = jnp.clip(self._fronts(sc2.rho) - pc // 2, 0, nxc - pc)
+
+        # 6. shift fine data per row; newly exposed cells take the coarse
+        #    prolongation
+        fresh = self.prolong_rows(sc2, offs_new)
+        shift_f = (offs_new - offs) * r                   # (n_rows,)
+        valid = ((ix[None, :] + shift_f[:, None] >= 0)
+                 & (ix[None, :] + shift_f[:, None] < nxf))  # (R, nxf)
+        shifted = []
+        for qf, qp in zip(self._cons(sf2), self._cons(fresh)):
+            rolled = jax.vmap(lambda q, s: jnp.roll(q, -s, axis=-3))(qf,
+                                                                     shift_f)
+            m = valid.reshape((self.n_rows,) + (1,) * (qf.ndim - 4)
+                              + (nxf, 1, 1))
+            shifted.append(jnp.where(m, rolled, qp))
+        sf2 = self._with(fresh, shifted)
+        sf2 = sf2._replace(time=jnp.broadcast_to(sc2.time, (self.n_rows,)))
+
+        diag = dict(diag_c)
+        diag["patch_offsets"] = offs_new
+        diag["T_max"] = jnp.maximum(diag_c["T_max"], jnp.max(sf2.T))
+        return RowPatchState(coarse=sc2, fine=sf2, offsets=offs_new), diag

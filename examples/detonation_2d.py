@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--flux", default="HLLC")
     ap.add_argument("--cfl", type=float, default=0.3)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--amr", action="store_true",
+                    help="front-shaped AMR: per-y-row moving fine patches "
+                         "(FrontPatchAMR2D), x-refined by --amr-ratio")
+    ap.add_argument("--amr-ratio", type=int, default=4)
+    ap.add_argument("--amr-pc", type=int, default=24,
+                    help="patch width in coarse cells")
+    ap.add_argument("--amr-rows", type=int, default=5)
     args = ap.parse_args()
     if args.full:
         args.nx, args.ny = 2000, 100
@@ -98,13 +105,30 @@ def main():
     T = jnp.where(hot, 2000.0, T0).astype(dtype)
     p = jnp.where(hot, 100.0 * p0, p0).astype(dtype)
     Y = jnp.asarray(np.tile(Yv[:, None, None, None], (1,) + mesh.shape), dtype)
-    s = solver.initial_state(p, T, Y)
+    if args.amr:
+        from deepflame_tpu.mesh.patch_amr import FrontPatchAMR2D
+        amr = FrontPatchAMR2D.build(solver, pc=args.amr_pc,
+                                    n_rows=args.amr_rows,
+                                    ratio=args.amr_ratio, buffer_c=4,
+                                    buffer_y=3)
+        s = amr.initial_state(p, T, Y)
+        r, by = args.amr_ratio, 3
+        cu_amr = nx * ny + args.amr_rows * (args.amr_pc * r) \
+            * (ny // args.amr_rows + 2 * by) * r
+        cu_fine = (nx * r) * ny * r
+        print(f"AMR cell-updates/coarse-step: {cu_amr} vs uniform-x-fine "
+              f"{cu_fine} ({cu_fine / cu_amr:.1f}x fewer)")
+    else:
+        s = solver.initial_state(p, T, Y)
 
     a_bound = 3200.0
     dt = args.cfl * mesh.dx / a_bound
     n_steps = int(args.t_end / dt)
     out_every = max(n_steps // 40, 1)
-    step = jax.jit(lambda st: solver.step(st, dt)[0])
+    if args.amr:
+        step = jax.jit(lambda st: amr.step(st, dt)[0])
+    else:
+        step = jax.jit(lambda st: solver.step(st, dt)[0])
 
     xs = np.asarray(X)[:, 0, 0]
     front_t, front_x = [], []
@@ -112,16 +136,18 @@ def main():
     for i in range(n_steps):
         s = step(s)
         if (i + 1) % out_every == 0:
-            _, _, p_now, T_now, _ = solver.primitives(s)
+            _, _, p_now, T_now, _ = solver.primitives(
+                s.coarse if args.amr else s)
             p_np = np.asarray(p_now)[:, :, 0]
             # per-row front position; mean = front location, spread =
             # transverse (cellular) structure
             ix_rows = np.argmax(p_np, axis=0)
             ix = int(np.round(ix_rows.mean()))
-            front_t.append(float(s.time))
+            front_t.append(float(s.coarse.time if args.amr else s.time))
             front_x.append(xs[ix])
             p_line = p_np[ix]             # pressure across the front
-            print(f"t={float(s.time)*1e6:8.2f} us  front={xs[ix]*1000:7.1f} mm"
+            t_now = float(s.coarse.time if args.amr else s.time)
+            print(f"t={t_now*1e6:8.2f} us  front={xs[ix]*1000:7.1f} mm"
                   f"  p_max={p_np.max()/1e3:9.1f} kPa"
                   f"  T_max={float(np.asarray(T_now).max()):7.1f} K"
                   f"  transverse dp/p={(p_line.max()-p_line.min())/p_line.mean():6.3f}"

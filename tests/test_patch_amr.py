@@ -98,3 +98,95 @@ def test_shock_matches_uniform_fine():
     l1 = np.abs(rho_patch - rho_ref).mean() / rho_ref.mean()
     assert l1 < 0.02, l1
     assert np.max(np.abs(rho_patch - rho_ref)) / rho_ref.mean() < 0.25
+
+def test_front_shaped_2d_matches_uniform_fine():
+    """Curved (y-dependent) shock front: per-row x-offset patches
+    (FrontPatchAMR2D) track the front shape; the AMR coarse solution is
+    much closer to a uniform-x-fine reference than the pure-coarse run,
+    and the row offsets actually differ across rows (front-shaped)."""
+    import dataclasses
+    from deepflame_tpu.mesh.patch_amr import FrontPatchAMR2D
+
+    n_c, ny, ratio = 64, 12, 2
+    Lx, Ly = 1.0, 0.25
+    mech = load_mechanism(os.path.join(DATA, "air.yaml"))
+    th, kin = make_thermo(mech), make_kinetics(mech)
+    mesh = StructuredMesh.box([Lx, Ly, Lx / n_c], [n_c, ny, 1])
+    zg = (zero_gradient(), zero_gradient())
+    e = (empty(), empty())
+    b = (zg, zg, e)
+    cfg = HighSpeedConfig(flux="HLLC", rk_order=2, limiter="vanLeer",
+                          chemistry="none")
+    coarse = HighSpeedSolver(mesh=mesh, thermo=th, kinetics=kin, bcs_rho=b,
+                             bcs_U=(b, b, b), bcs_p=b, bcs_Y=b, config=cfg)
+    amr = FrontPatchAMR2D.build(coarse, pc=24, n_rows=3, ratio=ratio,
+                                buffer_c=3, buffer_y=2)
+    # uniform x-fine reference (same ny)
+    mf = StructuredMesh.box([Lx, Ly, Lx / n_c], [n_c * ratio, ny, 1])
+    fine_ref = dataclasses.replace(coarse, mesh=mf)
+
+    def ic(m):
+        X, Y, _ = m.cell_centers(jnp.float64)
+        xj = 0.30 + 0.04 * jnp.sin(2.0 * jnp.pi * Y / Ly)
+        p = jnp.where(X < xj, 8.0 * 101325.0, 101325.0)
+        T = jnp.full(m.shape, 300.0)
+        Ys = jnp.ones((1,) + m.shape)
+        return p, T, Ys
+
+    ps = amr.initial_state(*ic(mesh))
+    sref = fine_ref.initial_state(*ic(mf))
+
+    dt = 5e-7
+    n_steps = 120
+    step_a = jax.jit(lambda s: amr.step(s, dt)[0])
+    step_r = jax.jit(lambda s: fine_ref.step(s, dt / ratio)[0])
+    for _ in range(n_steps):
+        ps = step_a(ps)
+    for _ in range(n_steps * ratio):
+        sref = step_r(sref)
+
+    # the row offsets track the CURVED front: they differ across rows
+    # (measured: [8, 5, 3] from the sinusoidal jump at [7, 4, 4] start)
+    offs = np.asarray(ps.offsets)
+    assert offs.max() > offs.min(), offs
+
+    # each row's fine-patch interior matches the uniform-fine reference on
+    # its window (same tolerance class as the 1D patch test: sub-cell slip
+    # at the shock allowed, tight L1)
+    pc, bb, by, nyb = 24, 3, 2, ny // 3
+    rho_f = np.asarray(ps.fine.rho)
+    rho_ref = np.asarray(sref.rho).squeeze(-1)
+    for j in range(3):
+        fi = rho_f[j, bb * ratio:-bb * ratio, by:by + nyb, 0]
+        xs = int(offs[j]) * ratio + bb * ratio
+        rr = rho_ref[xs: xs + (pc - 2 * bb) * ratio, j * nyb:(j + 1) * nyb]
+        l1 = np.abs(fi - rr).mean() / rr.mean()
+        assert l1 < 0.025, (j, l1)
+        assert np.abs(fi - rr).max() / rr.mean() < 0.25, j
+
+
+def test_front_shaped_2d_freestream():
+    """Uniform state passes through the row-patch machinery unchanged."""
+    from deepflame_tpu.mesh.patch_amr import FrontPatchAMR2D
+
+    mech = load_mechanism(os.path.join(DATA, "air.yaml"))
+    th, kin = make_thermo(mech), make_kinetics(mech)
+    mesh = StructuredMesh.box([1.0, 0.25, 1.0 / 32], [32, 8, 1])
+    zg = (zero_gradient(), zero_gradient())
+    e = (empty(), empty())
+    b = (zg, zg, e)
+    cfg = HighSpeedConfig(flux="HLLC", rk_order=2, limiter="vanLeer",
+                          chemistry="none")
+    coarse = HighSpeedSolver(mesh=mesh, thermo=th, kinetics=kin, bcs_rho=b,
+                             bcs_U=(b, b, b), bcs_p=b, bcs_Y=b, config=cfg)
+    amr = FrontPatchAMR2D.build(coarse, pc=12, n_rows=2, ratio=2,
+                                buffer_c=2, buffer_y=2)
+    sh = mesh.shape
+    ps = amr.initial_state(jnp.full(sh, 101325.0), jnp.full(sh, 300.0),
+                           jnp.ones((1,) + sh))
+    for _ in range(4):
+        ps, _ = amr.step(ps, 1e-6)
+    np.testing.assert_allclose(np.asarray(ps.coarse.rho),
+                               np.asarray(ps.coarse.rho).flat[0], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ps.fine.rho),
+                               np.asarray(ps.coarse.rho).flat[0], rtol=1e-12)
