@@ -30,6 +30,41 @@ __all__ = ["FaceListMesh", "BoundaryPatch", "from_structured",
            "graded_box", "structured_face_maps"]
 
 
+def ell_arrays(own: np.ndarray, nei: np.ndarray, n_cells: int,
+               width: int | None = None, exclude: np.ndarray | None = None):
+    """Host-side ELLPACK cell->face incidence: (face_idx (n,w) int32 padded
+    with nf, sign (n,w) f32 {+1 owner, -1 neighbour, 0 pad}).
+
+    A face appears twice (owner side +1, neighbour side -1) — INCLUDING
+    self-faces (own == nei, e.g. a 1-cell cyclic axis), which matter for
+    scatter_both. `exclude` masks faces to drop entirely (the distributed
+    backend's zero-area pad faces, which would otherwise pile width onto
+    one cell)."""
+    own = np.asarray(own).astype(np.int64)
+    nei = np.asarray(nei).astype(np.int64)
+    nf = own.shape[0]
+    n = n_cells
+    keep = (np.nonzero(~np.asarray(exclude))[0] if exclude is not None
+            else np.arange(nf))
+    ids = np.concatenate([own[keep], nei[keep]])
+    faces = np.concatenate([keep, keep])
+    side = np.concatenate([np.ones(keep.shape[0], np.float32),
+                           -np.ones(keep.shape[0], np.float32)])
+    order = np.argsort(ids, kind="stable")
+    ids_s, faces_s, side_s = ids[order], faces[order], side[order]
+    counts = np.bincount(ids, minlength=n)
+    w = int(counts.max()) if width is None else int(width)
+    assert counts.max() <= w, f"cell with {counts.max()} faces > {w}"
+    starts = np.zeros(n, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos = np.arange(ids.shape[0]) - starts[ids_s]
+    face_idx = np.full((n, w), nf, np.int32)
+    sgn = np.zeros((n, w), np.float32)
+    face_idx[ids_s, pos] = faces_s
+    sgn[ids_s, pos] = side_s
+    return face_idx, sgn
+
+
 @dataclasses.dataclass(frozen=True)
 class BoundaryPatch:
     """One boundary patch: nb faces all owned by interior cells.
@@ -98,6 +133,27 @@ class FaceListMesh:
     # with the face plane — skewCorrected face interpolation adds
     # skew . grad_f(x).
     skew: jax.Array | None = None   # (nf, 3)
+    # --- ELLPACK cell->face incidence (TPU fast path). segment_sum lowers
+    # to scatter-add, which serializes on TPU (measured 31x slower than the
+    # structured backend at 32^3); the ELL form turns every face->cell
+    # reduction into a dense (n_cells, width) gather + row sum — the layout
+    # the VPU pipelines. Built host-side by with_ell() (constructors call
+    # it); None falls back to segment_sum (e.g. tracer-built meshes).
+    ell_face: jax.Array | None = None   # (n_cells, w) int32, pad = nf
+    ell_sign: jax.Array | None = None   # (n_cells, w) f32 {+1 own,-1 nei,0}
+
+    def with_ell(self, width: int | None = None) -> "FaceListMesh":
+        """Return a copy carrying the ELL incidence arrays (no-op if the
+        mesh has no interior faces). Requires concrete (host) owner /
+        neighbour arrays — call from constructors, not under trace."""
+        own = np.asarray(self.owner)
+        nei = np.asarray(self.neighbour)
+        nf = own.shape[0]
+        if nf == 0:
+            return self
+        face_idx, sgn = ell_arrays(own, nei, self.n_cells, width)
+        return dataclasses.replace(self, ell_face=jnp.asarray(face_idx),
+                                   ell_sign=jnp.asarray(sgn))
 
     @property
     def n_faces(self) -> int:
@@ -172,6 +228,9 @@ class FaceListMesh:
     def scatter_faces(self, face_vals: jax.Array) -> jax.Array:
         """sum_f s_f for each cell with owner +, neighbour - orientation:
         the divergence accumulation  (sum of outward fluxes)."""
+        if self.ell_face is not None:
+            fv = face_vals[jnp.minimum(self.ell_face, self.n_faces - 1)]
+            return (fv * self.ell_sign.astype(face_vals.dtype)).sum(axis=1)
         out = jax.ops.segment_sum(face_vals, self.owner,
                                   num_segments=self.n_cells,
                                   indices_are_sorted=True)
@@ -182,6 +241,14 @@ class FaceListMesh:
     def scatter_both(self, to_owner: jax.Array,
                      to_neighbour: jax.Array) -> jax.Array:
         """Separate owner/neighbour accumulations (matrix assembly)."""
+        if self.ell_face is not None:
+            idx = jnp.minimum(self.ell_face, self.n_faces - 1)
+            own_m = self.ell_sign > 0
+            nei_m = self.ell_sign < 0
+            zero = jnp.zeros((), to_owner.dtype)
+            out = (jnp.where(own_m, to_owner[idx], zero)
+                   + jnp.where(nei_m, to_neighbour[idx], zero))
+            return out.sum(axis=1)
         out = jax.ops.segment_sum(to_owner, self.owner,
                                   num_segments=self.n_cells,
                                   indices_are_sorted=True)
@@ -202,7 +269,7 @@ jax.tree_util.register_dataclass(
     FaceListMesh,
     data_fields=["owner", "neighbour", "mag_sf", "delta", "weights",
                  "normal", "volumes", "centers", "patches", "w_own", "halo",
-                 "k_no", "skew"],
+                 "k_no", "skew", "ell_face", "ell_sign"],
     meta_fields=["n_cells"])
 
 
@@ -350,7 +417,7 @@ def from_structured(mesh: StructuredMesh, bcs: FieldBCs,
         normal=jnp.asarray(nrm_np, dtype),
         volumes=jnp.full((mesh.n_cells,), mesh.volume, dtype),
         centers=jnp.asarray(centers, dtype),
-        patches=tuple(patches))
+        patches=tuple(patches)).with_ell()
 
 
 def graded_box(x_edges, y_edges, z_edges, bcs: FieldBCs,
@@ -458,4 +525,4 @@ def graded_box(x_edges, y_edges, z_edges, bcs: FieldBCs,
         normal=jnp.asarray(nrm_np[order], dtype),
         volumes=jnp.asarray(vols, dtype),
         centers=jnp.asarray(centers, dtype),
-        patches=tuple(patches))
+        patches=tuple(patches)).with_ell()

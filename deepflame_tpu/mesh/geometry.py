@@ -249,7 +249,7 @@ class GeneralMesh:
             normal=jnp.asarray(self.normal, dtype),
             volumes=jnp.asarray(self.volumes, dtype),
             centers=jnp.asarray(self.centers, dtype),
-            patches=blocks, k_no=k_no_j, skew=skew_j)
+            patches=blocks, k_no=k_no_j, skew=skew_j).with_ell()
 
     def with_vector_bcs(self, spec, dtype=jnp.float64):
         """(m_x, m_y, m_z) FaceListMesh triple for a vector field. spec maps

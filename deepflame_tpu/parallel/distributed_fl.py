@@ -269,6 +269,32 @@ class FLDecomp:
         halo = {d: (jnp.asarray(send, jnp.int32),
                     jnp.asarray(recv, jnp.int32))
                 for d, (send, recv) in self._halo_maps.items()}
+        # stacked per-shard ELL incidence (one width across shards so the
+        # leading axis maps under shard_map)
+        from ..mesh.facelist import ell_arrays
+        Pn = self._f_own.shape[0]
+
+        def _pad_faces(r):
+            # pad faces are written as own = nei = n_loc-1 (always a halo
+            # slot, whose rows restrict() discards) — real self-faces on
+            # owned cells (1-cell cyclic axis) are NOT excluded
+            return ((self._f_own[r] == self._f_nei[r])
+                    & (self._f_own[r] == self.n_loc - 1))
+
+        def _deg(r):
+            keep = ~_pad_faces(r)
+            return int(np.bincount(
+                np.concatenate([self._f_own[r][keep],
+                                self._f_nei[r][keep]]),
+                minlength=self.n_loc).max())
+
+        w_ell = max(_deg(r) for r in range(Pn))
+        ell_f = np.empty((Pn, self.n_loc, w_ell), np.int32)
+        ell_s = np.empty((Pn, self.n_loc, w_ell), np.float32)
+        for r in range(Pn):
+            ell_f[r], ell_s[r] = ell_arrays(
+                self._f_own[r], self._f_nei[r], self.n_loc, w_ell,
+                exclude=_pad_faces(r))
         return FaceListMesh(
             n_cells=self.n_loc,
             owner=jnp.asarray(self._f_own, jnp.int32),
@@ -281,7 +307,8 @@ class FLDecomp:
             centers=jnp.asarray(np.asarray(mesh.centers)[self.cell_gid], dt),
             patches=tuple(patches),
             w_own=jnp.asarray(self._w_own, dt),
-            halo=halo)
+            halo=halo,
+            ell_face=jnp.asarray(ell_f), ell_sign=jnp.asarray(ell_s))
 
     def localize_cell(self, x) -> jax.Array:
         """Global cell field (n, ...) -> stacked local (P, n_loc, ...)."""

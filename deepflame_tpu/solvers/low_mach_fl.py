@@ -196,9 +196,18 @@ class LowMachSolverFL:
         if self.m_k is not None:
             turb = (jnp.broadcast_to(jnp.asarray(k0, dtype), (n,)),
                     jnp.broadcast_to(jnp.asarray(eps0, dtype), (n,)))
+        # CVODE-style per-cell warm-started chemistry substep (same as the
+        # structured backend's initial_state: without it dt_start=None cold
+        # starts the stiff integrator EVERY step — measured 2000x slower at
+        # 32^3 on TPU)
+        chem_dt = ()
+        if self.config.chemistry and \
+                getattr(self.combustion, "ode_opts", None) is not None:
+            chem_dt = jnp.full((n,), self.combustion.ode_opts.dt_init, dtype)
         return LowMachFLState(rho=rho, U=U, p=p, ha=ha, Y=Y, T=T, phi=phi,
                               phi_b=phi_b, dpdt=jnp.zeros(n, dtype),
-                              time=jnp.asarray(time, dtype), turb=turb)
+                              time=jnp.asarray(time, dtype), turb=turb,
+                              chem_dt=chem_dt)
 
     def _fix_boundary_fluxes(self, phi_b, rho_b_face):
         """Prescribed mass flux on fixed-normal-velocity patches (mirror of
