@@ -8,8 +8,9 @@ named boundary patches assembled from block-face quads
 (e.g. /root/reference/examples/dfLowMachFoam/fgm/twoD_SandiaD_flareFGM/
 system/blockMeshDict — a 6-block graded axisymmetric wedge).
 
-Unsupported blockMesh features raise: curved `edges`, multi-section
-grading lists, mergePatchPairs (all reference cases use none of these).
+Supports simpleGrading with both plain ratios and multi-section grading
+lists (`_read_grading`). Unsupported blockMesh features raise: curved
+`edges`, mergePatchPairs (no reference case uses them).
 
 The output is a GeneralMesh (mesh/geometry.py): faces from the merged cell
 lattice by canonical-vertex-set matching, geometry by the OpenFOAM fan/

@@ -26,8 +26,52 @@ import numpy as np
 
 from .structured import BC, FieldBCs, StructuredMesh
 
-__all__ = ["FaceListMesh", "BoundaryPatch", "from_structured",
+__all__ = ["FaceListMesh", "BoundaryPatch", "ShiftPlan", "from_structured",
            "graded_box", "structured_face_maps"]
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class ShiftPlan:
+    """Static shift-execution plan for tensor-product (blockMesh-style)
+    connectivity: when the interior faces are the axis families of an
+    (nx, ny, nz) cell lattice, every face gather/scatter is a reshape +
+    static slice — the layout XLA fuses into shift stencils — instead of a
+    per-index gather, which on TPU costs ~10 ns PER FACE regardless of row
+    width (measured: a single (nf,) gather at 32^3 = 1.4 ms, 1000x off
+    HBM speed-of-light; the whole structured step is 10 ms).
+
+    Faces must be stored family-major in construction order: for each
+    active axis, the (n_ax-1) interior slabs in C order, then (cyclic axes)
+    the wrap slab. All fields are hashable statics — the plan is pytree
+    metadata, so jit specializes on it exactly like on shapes.
+
+    The general owner/neighbour arrays remain alongside (the CSR contract);
+    any mesh without a plan — shard-local FLDecomp meshes, true
+    unstructured imports — takes the ELL/segment-sum path unchanged.
+    """
+    shape: tuple              # (nx, ny, nz)
+    # per active family: (axis, wrap, n_main, n_wrap) — faces laid out
+    # [main slabs..., wrap slab] consecutively per family
+    families: tuple
+
+
+def _plan_segments(plan: ShiftPlan):
+    """[(axis, is_wrap, start, count)] face segments in storage order."""
+    segs = []
+    off = 0
+    for ax, wrap, n_main, n_wrap in plan.families:
+        segs.append((ax, False, off, n_main))
+        off += n_main
+        if wrap:
+            segs.append((ax, True, off, n_wrap))
+            off += n_wrap
+    return segs
+
+
+def _lattice_shape(shape, ax, is_wrap):
+    s = list(shape)
+    s[ax] = 1 if is_wrap else shape[ax] - 1
+    return tuple(s)
 
 
 def ell_arrays(own: np.ndarray, nei: np.ndarray, n_cells: int,
@@ -141,6 +185,9 @@ class FaceListMesh:
     # it); None falls back to segment_sum (e.g. tracer-built meshes).
     ell_face: jax.Array | None = None   # (n_cells, w) int32, pad = nf
     ell_sign: jax.Array | None = None   # (n_cells, w) f32 {+1 own,-1 nei,0}
+    # --- static shift-execution plan (see ShiftPlan): tensor-product
+    # connectivity runs face gathers/scatters as reshape+slice shifts.
+    plan: ShiftPlan | None = None
 
     def with_ell(self, width: int | None = None) -> "FaceListMesh":
         """Return a copy carrying the ELL incidence arrays (no-op if the
@@ -204,54 +251,142 @@ class FaceListMesh:
         (face_ids (n,w) int32, side (n,w) float {+1 owner,-1 neighbour,0 pad},
         nbr_ids (n,w) int32 — the cell across each face, self-index padding).
         """
-        import numpy as np
-        own = np.asarray(self.owner)
-        nei = np.asarray(self.neighbour)
+        own = np.asarray(self.owner).astype(np.int64)
+        nei = np.asarray(self.neighbour).astype(np.int64)
         n = self.n_cells
-        face_ids = -np.ones((n, width), np.int32)
-        side = np.zeros((n, width), np.float64)
-        nbr = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, width))
-        fill = np.zeros(n, np.int32)
-        for f in range(own.shape[0]):
-            c, d = own[f], nei[f]
-            face_ids[c, fill[c]] = f
-            side[c, fill[c]] = 1.0
-            nbr[c, fill[c]] = d
-            fill[c] += 1
-            face_ids[d, fill[d]] = f
-            side[d, fill[d]] = -1.0
-            nbr[d, fill[d]] = c
-            fill[d] += 1
-        assert fill.max() <= width, f"cell with {fill.max()} faces > {width}"
-        return (jnp.asarray(face_ids), jnp.asarray(side), jnp.asarray(nbr))
+        nf = own.shape[0]
+        fidx, sgn = ell_arrays(own, nei, n, width)   # vectorized host build
+        f_safe = np.minimum(fidx, max(nf - 1, 0))
+        self_col = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None],
+                                   fidx.shape)
+        nbr = np.where(sgn > 0, nei[f_safe],
+                       np.where(sgn < 0, own[f_safe], self_col))
+        face_ids = np.where(sgn != 0, fidx, -1).astype(np.int32)
+        return (jnp.asarray(face_ids), jnp.asarray(sgn.astype(np.float64)),
+                jnp.asarray(nbr.astype(np.int32)))
+
+    # ------------------------------------------------- plan (shift) path
+    #
+    # Batched arrays are processed BATCH-LEADING internally ((k, nx, ny,
+    # nz) lattices): TPU tiles the two minor dims to (8, 128), so a
+    # trailing batch of 3-10 pads the lane dimension 13-42x — measured 10x
+    # slower than batch-leading at 48^3. Transposes at the op boundary are
+    # cheap relative to that.
+
+    def _gather_plan(self, x: jax.Array, own_side: bool) -> jax.Array:
+        pl = self.plan
+        rest = x.shape[1:]
+        if rest:
+            K = 1
+            for r in rest:
+                K *= r
+            Xl = x.reshape((self.n_cells, K)).T.reshape((K,) + pl.shape)
+            lead = (slice(None),)
+        else:
+            Xl = x.reshape(pl.shape)
+            lead = ()
+        outs = []
+        for ax, is_wrap, _, _ in _plan_segments(pl):
+            sl = [slice(None)] * 3
+            n_ax = pl.shape[ax]
+            if own_side:
+                sl[ax] = (slice(n_ax - 1, n_ax) if is_wrap
+                          else slice(0, n_ax - 1))
+            else:
+                sl[ax] = slice(0, 1) if is_wrap else slice(1, n_ax)
+            seg = Xl[lead + tuple(sl)]
+            outs.append(seg.reshape((K, -1) if rest else (-1,)))
+        cat = jnp.concatenate(outs, axis=-1)
+        if rest:
+            return cat.T.reshape((-1,) + rest)
+        return cat
+
+    def gather_own(self, x: jax.Array) -> jax.Array:
+        """x (n_cells, ...) -> per-face owner values (nf, ...). Shift plan:
+        reshape + static slices; fallback: one row gather."""
+        if self.plan is None:
+            return x[self.owner]
+        return self._gather_plan(x, True)
+
+    def gather_nei(self, x: jax.Array) -> jax.Array:
+        if self.plan is None:
+            return x[self.neighbour]
+        return self._gather_plan(x, False)
+
+    def _plan_scatter(self, to_owner, to_neighbour) -> jax.Array:
+        """sum of per-face contributions into owner cells (to_owner) and
+        neighbour cells (to_neighbour) via static slice adds."""
+        pl = self.plan
+        rest = to_owner.shape[1:]
+        if rest:
+            K = 1
+            for r in rest:
+                K *= r
+            to_o = to_owner.reshape((-1, K)).T       # (K, nf)
+            to_n = to_neighbour.reshape((-1, K)).T
+            lead = (K,)
+        else:
+            to_o, to_n = to_owner, to_neighbour
+            lead = ()
+        out = jnp.zeros(lead + pl.shape, to_owner.dtype)
+        for ax, is_wrap, start, count in _plan_segments(pl):
+            n_ax = pl.shape[ax]
+            lat = _lattice_shape(pl.shape, ax, is_wrap)
+            so = to_o[..., start:start + count].reshape(lead + lat)
+            sn = to_n[..., start:start + count].reshape(lead + lat)
+            sl_o = [slice(None)] * len(lead) + [slice(None)] * 3
+            sl_n = list(sl_o)
+            off = len(lead)
+            if is_wrap:
+                sl_o[off + ax] = slice(n_ax - 1, n_ax)
+                sl_n[off + ax] = slice(0, 1)
+            else:
+                sl_o[off + ax] = slice(0, n_ax - 1)
+                sl_n[off + ax] = slice(1, n_ax)
+            out = out.at[tuple(sl_o)].add(so)
+            out = out.at[tuple(sl_n)].add(sn)
+        if rest:
+            return out.reshape((K, self.n_cells)).T.reshape(
+                (self.n_cells,) + rest)
+        return out.reshape((self.n_cells,))
 
     def scatter_faces(self, face_vals: jax.Array) -> jax.Array:
         """sum_f s_f for each cell with owner +, neighbour - orientation:
-        the divergence accumulation  (sum of outward fluxes)."""
+        the divergence accumulation (sum of outward fluxes). Accepts
+        batched face arrays (nf, ...) -> (n_cells, ...): ONE wide row
+        gather instead of k scalar gathers (the TPU-friendly layout)."""
+        if self.plan is not None:
+            return self._plan_scatter(face_vals, -face_vals)
         if self.ell_face is not None:
             fv = face_vals[jnp.minimum(self.ell_face, self.n_faces - 1)]
-            return (fv * self.ell_sign.astype(face_vals.dtype)).sum(axis=1)
+            ext = (Ellipsis,) + (None,) * (face_vals.ndim - 1)
+            sgn = self.ell_sign.astype(face_vals.dtype)[ext]
+            # where (not multiply) so a non-finite value in a clamp-gathered
+            # pad slot cannot propagate through 0*NaN (advisor r3)
+            return jnp.where(sgn != 0, fv * sgn, 0.0).sum(axis=1)
         out = jax.ops.segment_sum(face_vals, self.owner,
-                                  num_segments=self.n_cells,
-                                  indices_are_sorted=True)
+                                  num_segments=self.n_cells)
         out = out - jax.ops.segment_sum(face_vals, self.neighbour,
                                         num_segments=self.n_cells)
         return out
 
     def scatter_both(self, to_owner: jax.Array,
                      to_neighbour: jax.Array) -> jax.Array:
-        """Separate owner/neighbour accumulations (matrix assembly)."""
+        """Separate owner/neighbour accumulations (matrix assembly).
+        Accepts batched (nf, ...) inputs like scatter_faces."""
+        if self.plan is not None:
+            return self._plan_scatter(to_owner, to_neighbour)
         if self.ell_face is not None:
             idx = jnp.minimum(self.ell_face, self.n_faces - 1)
-            own_m = self.ell_sign > 0
-            nei_m = self.ell_sign < 0
+            ext = (Ellipsis,) + (None,) * (to_owner.ndim - 1)
+            own_m = (self.ell_sign > 0)[ext]
+            nei_m = (self.ell_sign < 0)[ext]
             zero = jnp.zeros((), to_owner.dtype)
             out = (jnp.where(own_m, to_owner[idx], zero)
                    + jnp.where(nei_m, to_neighbour[idx], zero))
             return out.sum(axis=1)
         out = jax.ops.segment_sum(to_owner, self.owner,
-                                  num_segments=self.n_cells,
-                                  indices_are_sorted=True)
+                                  num_segments=self.n_cells)
         out = out + jax.ops.segment_sum(to_neighbour, self.neighbour,
                                         num_segments=self.n_cells)
         return out
@@ -270,11 +405,31 @@ jax.tree_util.register_dataclass(
     data_fields=["owner", "neighbour", "mag_sf", "delta", "weights",
                  "normal", "volumes", "centers", "patches", "w_own", "halo",
                  "k_no", "skew", "ell_face", "ell_sign"],
-    meta_fields=["n_cells"])
+    meta_fields=["n_cells", "plan"])
 
 
 def _cell_id(i, j, k, ny, nz):
     return (i * ny + j) * nz + k
+
+
+def _box_plan(shape, bcs) -> ShiftPlan | None:
+    """ShiftPlan for a tensor-product box with the given per-axis BCs.
+    Degenerate axes work: n_ax == 1 cyclic wraps become self-faces, whose
+    owner and neighbour slices coincide (both contributions land on the
+    same cell — exactly the self-face semantics)."""
+    n_all = int(np.prod(shape))
+    fams = []
+    for ax in range(3):
+        lo_bc, _ = bcs[ax]
+        if lo_bc.kind == "empty":
+            continue
+        n_ax = shape[ax]
+        per_slab = n_all // n_ax
+        fams.append((ax, lo_bc.kind == "cyclic",
+                     per_slab * (n_ax - 1),
+                     per_slab if lo_bc.kind == "cyclic" else 0))
+    return ShiftPlan(shape=tuple(int(s) for s in shape),
+                     families=tuple(fams))
 
 
 def structured_face_maps(mesh: StructuredMesh, bcs: FieldBCs):
@@ -304,25 +459,10 @@ def structured_face_maps(mesh: StructuredMesh, bcs: FieldBCs):
             sl_w[ax] = slice(n_ax, n_ax + 1)   # wrap face stored at the top
             ids = np.concatenate([ids, fidx[tuple(sl_w)].ravel()])
         per_axis.append(ids)
-    # the global stable owner sort applied by from_structured
-    own = []
-    idx = np.arange(nx * ny * nz).reshape(nx, ny, nz)
-    for ax in range(3):
-        lo_bc, _ = bcs[ax]
-        if lo_bc.kind == "empty":
-            continue
-        n_ax = mesh.shape[ax]
-        sl_own = [slice(None)] * 3
-        sl_own[ax] = slice(0, n_ax - 1)
-        o = idx[tuple(sl_own)].ravel()
-        if lo_bc.kind == "cyclic":
-            sl_w = [slice(None)] * 3
-            sl_w[ax] = slice(n_ax - 1, n_ax)
-            o = np.concatenate([o, idx[tuple(sl_w)].ravel()])
-        own.append(o)
-    own_np = (np.concatenate(own) if own else np.zeros(0, np.int64))
-    order = np.argsort(own_np, kind="stable")
-    return per_axis, order
+    # faces are stored family-major in construction order (ShiftPlan
+    # layout) — the global map is the identity permutation
+    n_total = sum(ids.shape[0] for ids in per_axis if ids is not None)
+    return per_axis, np.arange(n_total)
 
 
 def from_structured(mesh: StructuredMesh, bcs: FieldBCs,
@@ -399,10 +539,10 @@ def from_structured(mesh: StructuredMesh, bcs: FieldBCs,
         dlt_np = np.zeros(0)
         nrm_np = np.zeros((0, 3))
 
-    # CSR row order: sort by owner (stable, keeps per-owner face order)
-    order = np.argsort(own_np, kind="stable")
-    own_np, nei_np = own_np[order], nei_np[order]
-    msf_np, dlt_np, nrm_np = msf_np[order], dlt_np[order], nrm_np[order]
+    # faces stay in family-major construction order (per-axis slabs, wrap
+    # last) — the ShiftPlan layout; the TPU shift path replaces the former
+    # owner-sorted CSR order (ELL fallback is order-agnostic)
+    plan = _box_plan(mesh.shape, bcs)
 
     X, Y, Z = (np.asarray(c) for c in mesh.cell_centers(jnp.float64))
     centers = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
@@ -417,7 +557,7 @@ def from_structured(mesh: StructuredMesh, bcs: FieldBCs,
         normal=jnp.asarray(nrm_np, dtype),
         volumes=jnp.full((mesh.n_cells,), mesh.volume, dtype),
         centers=jnp.asarray(centers, dtype),
-        patches=tuple(patches)).with_ell()
+        patches=tuple(patches), plan=plan).with_ell()
 
 
 def graded_box(x_edges, y_edges, z_edges, bcs: FieldBCs,
@@ -460,31 +600,48 @@ def graded_box(x_edges, y_edges, z_edges, bcs: FieldBCs,
         A2 = np.meshgrid(*(widths_1d[a] for a in tr), indexing="ij")
         area_tr = (A2[0] * A2[1])          # (n_t1, n_t2)
 
-        def face_block(i_own, i_nei, delta, w_own):
+        def axis_lattice(per_ax):
+            """Broadcast a per-axis-slab array over the family lattice in
+            C order (the ShiftPlan face layout)."""
+            shp = [1, 1, 1]
+            shp[ax] = len(per_ax)
+            lat = [nx, ny, nz]
+            lat[ax] = len(per_ax)
+            return np.broadcast_to(np.asarray(per_ax).reshape(shp),
+                                   tuple(lat)).ravel()
+
+        def face_block(sl_o_ax, sl_n_ax, deltas, w_owns):
             sl_o = [slice(None)] * 3
             sl_n = [slice(None)] * 3
-            sl_o[ax] = i_own
-            sl_n[ax] = i_nei
+            sl_o[ax] = sl_o_ax
+            sl_n[ax] = sl_n_ax
             o = idx[tuple(sl_o)].reshape(-1)
             m = idx[tuple(sl_n)].reshape(-1)
             own.append(o)
             nei.append(m)
-            msf.append(np.broadcast_to(area_tr.ravel(), o.shape).copy())
-            dlt.append(np.full(o.shape, delta))
-            wgt.append(np.full(o.shape, w_own))
+            # transverse areas broadcast along ax in C order
+            shp = [1, 1, 1]
+            for t, a in enumerate(tr):
+                shp[a] = area_tr.shape[t]
+            nsl = len(deltas)
+            lat = [nx, ny, nz]
+            lat[ax] = nsl
+            msf.append(np.broadcast_to(area_tr.reshape(tuple(shp)),
+                                       tuple(lat)).ravel().copy())
+            dlt.append(axis_lattice(deltas))
+            wgt.append(axis_lattice(w_owns))
             nrm.append(np.broadcast_to(eye[ax], (o.shape[0], 3)))
 
-        for i in range(n_ax - 1):
-            d = c1[i + 1] - c1[i]
-            # owner weight = distance(face, nei)/distance(own, nei)
-            face = edges[ax][i + 1]
-            w_own = (c1[i + 1] - face) / d
-            face_block(i, i + 1, d, w_own)
+        d_in = c1[1:] - c1[:-1]                          # (n_ax-1,)
+        faces_in = edges[ax][1:n_ax]
+        w_in = (c1[1:] - faces_in) / d_in
+        if n_ax > 1:
+            face_block(slice(0, n_ax - 1), slice(1, n_ax), d_in, w_in)
         if lo_bc.kind == "cyclic":
             if abs(w1[0] - w1[-1]) > 1e-12 * max(w1[0], w1[-1]):
                 raise ValueError("cyclic axis needs matching end spacings")
             d = 0.5 * (w1[0] + w1[-1])
-            face_block(n_ax - 1, 0, d, 0.5)
+            face_block(slice(n_ax - 1, n_ax), slice(0, 1), [d], [0.5])
         else:
             for side, bc in ((0, lo_bc), (1, hi_bc)):
                 i_b = 0 if side == 0 else n_ax - 1
@@ -514,15 +671,15 @@ def graded_box(x_edges, y_edges, z_edges, bcs: FieldBCs,
     dlt_np = np.concatenate(dlt) if dlt else np.zeros(0)
     wgt_np = np.concatenate(wgt) if wgt else np.zeros(0)
     nrm_np = np.concatenate(nrm) if nrm else np.zeros((0, 3))
-    order = np.argsort(own_np, kind="stable")
     return FaceListMesh(
         n_cells=nx * ny * nz,
-        owner=jnp.asarray(own_np[order], jnp.int32),
-        neighbour=jnp.asarray(nei_np[order], jnp.int32),
-        mag_sf=jnp.asarray(msf_np[order], dtype),
-        delta=jnp.asarray(dlt_np[order], dtype),
-        weights=jnp.asarray(wgt_np[order], dtype),
-        normal=jnp.asarray(nrm_np[order], dtype),
+        owner=jnp.asarray(own_np, jnp.int32),
+        neighbour=jnp.asarray(nei_np, jnp.int32),
+        mag_sf=jnp.asarray(msf_np, dtype),
+        delta=jnp.asarray(dlt_np, dtype),
+        weights=jnp.asarray(wgt_np, dtype),
+        normal=jnp.asarray(nrm_np, dtype),
         volumes=jnp.asarray(vols, dtype),
         centers=jnp.asarray(centers, dtype),
-        patches=tuple(patches)).with_ell()
+        patches=tuple(patches),
+        plan=_box_plan((nx, ny, nz), bcs)).with_ell()

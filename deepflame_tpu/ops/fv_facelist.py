@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..mesh.facelist import FaceListMesh
 
-__all__ = ["FvMatrixFL", "interpolate_fl", "grad_fl", "div_flux_fl",
+__all__ = ["FvMatrixFL", "interpolate_fl", "grad_fl", "grad_multi_fl",
+           "div_flux_fl",
            "flux_of_fl", "sngrad_fl", "fvm_ddt_fl", "fvm_div_fl",
            "fvm_laplacian_fl", "fvm_source_implicit_fl",
            "laplacian_explicit_fl", "face_grad_fl",
@@ -41,31 +42,39 @@ __all__ = ["FvMatrixFL", "interpolate_fl", "grad_fl", "div_flux_fl",
 # dfMatrixOpBase.H:139-155 & :287-295). On single-device meshes exchange is
 # the identity, so the single-chip path is untouched.
 
+def _fcol(a: jax.Array, x: jax.Array) -> jax.Array:
+    """Broadcast a per-face (nf,) coefficient against batched (nf, ...)."""
+    return a.reshape(a.shape + (1,) * (x.ndim - 1))
+
+
 def interpolate_fl(m: FaceListMesh, x: jax.Array) -> jax.Array:
-    """Linear owner/neighbour face interpolation (interior faces)."""
+    """Linear owner/neighbour face interpolation (interior faces).
+    Batched: x (n_cells, ...) -> (nf, ...) via ONE row gather per side."""
     x = m.exchange(x)
-    w = m.weights
-    return w * x[m.owner] + (1.0 - w) * x[m.neighbour]
+    w = _fcol(m.weights, x)
+    return w * m.gather_own(x) + (1.0 - w) * m.gather_nei(x)
 
 
 def sngrad_fl(m: FaceListMesh, x: jax.Array) -> jax.Array:
-    """Face-normal gradient (x_nei - x_own)/|d| on interior faces."""
+    """Face-normal gradient (x_nei - x_own)/|d| on interior faces.
+    Batched like interpolate_fl."""
     x = m.exchange(x)
-    return (x[m.neighbour] - x[m.owner]) / m.delta
+    return (m.gather_nei(x) - m.gather_own(x)) / _fcol(m.delta, x)
 
 
 def _boundary_face_value(p, x):
     """Face value on a boundary patch: (owner + ghost)/2 with the affine
-    ghost — identical to the structured padder's face arithmetic."""
+    ghost — identical to the structured padder's face arithmetic.
+    Batched: x (n_cells, ...) -> (nb, ...)."""
     xo = x[p.owner]
-    ghost = p.a * xo + p.b
+    ghost = _fcol(p.a, xo) * xo + _fcol(p.b, xo)
     return 0.5 * (xo + ghost)
 
 
 def _boundary_sngrad(p, x):
     xo = x[p.owner]
-    ghost = p.a * xo + p.b
-    return (ghost - xo) / p.delta
+    ghost = _fcol(p.a, xo) * xo + _fcol(p.b, xo)
+    return (ghost - xo) / _fcol(p.delta, xo)
 
 
 def flux_of_fl(m: FaceListMesh, u_cell: jax.Array,
@@ -75,8 +84,7 @@ def flux_of_fl(m: FaceListMesh, u_cell: jax.Array,
     patches_u: optional per-component patch lists for the vector BCs; when
     None the scalar-style patches stored per component are not available, so
     boundary fluxes use owner-cell extrapolation (zeroGradient)."""
-    uf = jax.vmap(lambda c: interpolate_fl(m, c), in_axes=1, out_axes=1)(
-        u_cell)
+    uf = interpolate_fl(m, u_cell)                   # (nf, 3) batched
     phi = jnp.sum(uf * m.normal, axis=1)
     phi_b = []
     for ip, p in enumerate(m.patches):
@@ -112,30 +120,62 @@ def div_flux_fl(m: FaceListMesh, phi: jax.Array, phi_b=None) -> jax.Array:
 
 
 def grad_fl(m: FaceListMesh, x: jax.Array) -> jax.Array:
-    """Gauss-linear cell gradient (n_cells, 3).
+    """Gauss-linear cell gradient: x (n_cells,) -> (n_cells, 3), or
+    batched x (n_cells, k) -> (n_cells, k, 3) through ONE wide gather /
+    scatter (k fields share each face-row fetch — the TPU-friendly form).
 
     Owned rows see every incident face locally, so they are exact; halo
     rows (partial sums) are refreshed from the owning shard on exit, making
     the result safe to gather across faces (TVD upwind-cell gradients)."""
-    xf = interpolate_fl(m, x)
-    out = jnp.zeros((m.n_cells, 3), x.dtype)
-    face_vec = (xf * m.mag_sf)[:, None] * m.normal
-    for c in range(3):
-        out = out.at[:, c].set(m.scatter_faces(face_vec[:, c]))
+    xf = interpolate_fl(m, x)                                # (nf, ...)
+    sf_vec = m.mag_sf[:, None] * m.normal                    # (nf, 3)
+    face_vec = xf[..., None] * sf_vec.reshape(
+        (sf_vec.shape[0],) + (1,) * (xf.ndim - 1) + (3,))
+    out = m.scatter_faces(face_vec)                          # (n, ..., 3)
     for p in m.patches:
-        fb = _boundary_face_value(p, x) * p.mag_sf
-        for c in range(3):
-            out = out.at[:, c].add(
-                jax.ops.segment_sum(fb * p.normal[:, c], p.owner,
-                                    num_segments=m.n_cells))
-    return m.exchange(out / m.volumes[:, None])
+        fb = _boundary_face_value(p, x) * _fcol(p.mag_sf, x[p.owner])
+        fbv = fb[..., None] * p.normal.reshape(
+            (p.normal.shape[0],) + (1,) * (fb.ndim - 1) + (3,))
+        out = out + jax.ops.segment_sum(fbv, p.owner,
+                                        num_segments=m.n_cells)
+    return m.exchange(out / m.volumes.reshape(
+        (m.volumes.shape[0],) + (1,) * (out.ndim - 1)))
+
+
+def grad_multi_fl(meshes, X: jax.Array) -> jax.Array:
+    """Gauss-linear gradient of k fields X (n_cells, k) that share interior
+    geometry but carry DIFFERENT boundary coefficients (one FaceListMesh per
+    column, e.g. the three velocity components' BC meshes): (n, k, 3) out.
+
+    Interior work is ONE batched gather/scatter; only the (surface-sized)
+    boundary terms differ per column, with patch a/b coefficients stacked
+    columnwise."""
+    m = meshes[0]
+    k = X.shape[1]
+    Xe = m.exchange(X)
+    w = m.weights[:, None]
+    xf = w * m.gather_own(Xe) + (1.0 - w) * m.gather_nei(Xe)  # (nf, k)
+    sf_vec = m.mag_sf[:, None] * m.normal                    # (nf, 3)
+    face_vec = xf[:, :, None] * sf_vec[:, None, :]           # (nf, k, 3)
+    out = m.scatter_faces(face_vec)                          # (n, k, 3)
+    for ip in range(len(m.patches)):
+        ps = [mm.patches[ip] for mm in meshes]
+        p0 = ps[0]
+        xo = X[p0.owner]                                     # (nb, k)
+        a = jnp.stack([p.a for p in ps], axis=1)
+        b = jnp.stack([p.b for p in ps], axis=1)
+        fb = (0.5 * (xo + a * xo + b)) * p0.mag_sf[:, None]  # (nb, k)
+        fbv = fb[:, :, None] * p0.normal[:, None, :]
+        out = out + jax.ops.segment_sum(fbv, p0.owner,
+                                        num_segments=m.n_cells)
+    return m.exchange(out / m.volumes[:, None, None])
 
 
 def laplacian_explicit_fl(m: FaceListMesh, gamma_f: jax.Array, x: jax.Array,
                           gamma_b=None) -> jax.Array:
     """(1/V) sum_f gamma_f magSf snGrad(x) — explicit form."""
     x = m.exchange(x)
-    sng = (x[m.neighbour] - x[m.owner]) / m.delta
+    sng = (m.gather_nei(x) - m.gather_own(x)) / m.delta
     out = m.scatter_faces(gamma_f * sng * m.mag_sf)
     for ip, p in enumerate(m.patches):
         gb = gamma_b[ip] if gamma_b is not None else 1.0
@@ -167,8 +207,10 @@ def face_grad_fl(m: FaceListMesh, x: jax.Array,
     result to share one Gauss gradient across several corrections."""
     if grad is None:
         grad = grad_fl(m, x)
-    w = m.weights[:, None]
-    return w * grad[m.owner] + (1.0 - w) * grad[m.neighbour]
+    g = grad[m.owner] if m.plan is None else m.gather_own(grad)
+    gn = grad[m.neighbour] if m.plan is None else m.gather_nei(grad)
+    w = _fcol(m.weights, g)
+    return w * g + (1.0 - w) * gn
 
 
 def laplacian_nonortho_corr_fl(m: FaceListMesh, gamma_f: jax.Array,
@@ -253,8 +295,8 @@ class FvMatrixFL:
         m = self.mesh
         x = m.exchange(x)
         # owner rows accumulate upper*x[nei]; neighbour rows lower*x[own]
-        off = m.scatter_both(self.upper * x[m.neighbour],
-                             self.lower * x[m.owner])
+        off = m.scatter_both(self.upper * m.gather_nei(x),
+                             self.lower * m.gather_own(x))
         return self.diag_c * x + off / m.volumes
 
     def rhs(self) -> jax.Array:
@@ -383,11 +425,12 @@ def fvm_div_fl(m: FaceListMesh, phi: jax.Array, bcs_phi_b,
         w_own_F = jnp.maximum(F, 0.0)
         w_nei_F = jnp.minimum(F, 0.0)
         g = grad_fl(m, x_now)                               # (n, 3)
-        d_vec = m.centers[m.neighbour] - m.centers[m.owner]
+        d_vec = m.gather_nei(m.centers) - m.gather_own(m.centers)
         x_now = m.exchange(x_now)
-        xo, xn = x_now[m.owner], x_now[m.neighbour]
-        up_cell = jnp.where(F >= 0, m.owner, m.neighbour)
-        g_up_d = jnp.sum(g[up_cell] * d_vec, axis=1)
+        xo, xn = m.gather_own(x_now), m.gather_nei(x_now)
+        g_up = jnp.where((F >= 0)[:, None], m.gather_own(g),
+                         m.gather_nei(g))
+        g_up_d = jnp.sum(g_up * d_vec, axis=1)
         dx = xn - xo
         eps = jnp.asarray(jnp.finfo(x_now.dtype).eps, x_now.dtype)
         safe = jnp.where(jnp.abs(dx) > eps, dx, eps)
@@ -397,10 +440,7 @@ def fvm_div_fl(m: FaceListMesh, phi: jax.Array, bcs_phi_b,
         central = m.weights * xo + (1.0 - m.weights) * xn
         tvd_src = m.scatter_faces(F * lim * (central - up)) / m.volumes
     inv_v = 1.0 / m.volumes
-    diag = jax.ops.segment_sum(w_own_F, m.owner, num_segments=m.n_cells,
-                               indices_are_sorted=True)
-    diag = diag - jax.ops.segment_sum(w_nei_F, m.neighbour,
-                                      num_segments=m.n_cells)
+    diag = m.scatter_both(w_own_F, -w_nei_F)
     upper = w_nei_F               # owner row, x_nei coefficient
     lower = -w_own_F              # neighbour row, x_own coefficient
     src = jnp.zeros((m.n_cells,), dtype)
@@ -431,9 +471,7 @@ def fvm_laplacian_fl(m: FaceListMesh, gamma_f: jax.Array, gamma_b,
     laplacian = (1/V) sum_f gamma_f magSf (x_nei - x_own)/delta."""
     g = sign * gamma_f * m.mag_sf / m.delta
     inv_v = 1.0 / m.volumes
-    diag = -(jax.ops.segment_sum(g, m.owner, num_segments=m.n_cells,
-                                 indices_are_sorted=True)
-             + jax.ops.segment_sum(g, m.neighbour, num_segments=m.n_cells))
+    diag = -m.scatter_both(g, g)
     upper = g                      # owner row
     lower = g                      # neighbour row
     src = jnp.zeros((m.n_cells,), dtype)

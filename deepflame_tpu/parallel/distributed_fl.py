@@ -275,11 +275,12 @@ class FLDecomp:
         Pn = self._f_own.shape[0]
 
         def _pad_faces(r):
-            # pad faces are written as own = nei = n_loc-1 (always a halo
-            # slot, whose rows restrict() discards) — real self-faces on
-            # owned cells (1-cell cyclic axis) are NOT excluded
-            return ((self._f_own[r] == self._f_nei[r])
-                    & (self._f_own[r] == self.n_loc - 1))
+            # pads are EXACTLY the faces with face_gid == -1 (set where the
+            # global face list was padded up to the per-shard max) — the
+            # own==nei==n_loc-1 heuristic would wrongly exclude a real
+            # self-face (1-cell cyclic axis) landing on slot n_loc-1 when
+            # n_halo_max == 0 (advisor r3)
+            return np.asarray(self.face_gid[r]) < 0
 
         def _deg(r):
             keep = ~_pad_faces(r)

@@ -28,14 +28,84 @@ from ..mesh.facelist import FaceListMesh
 from ..ops.fv_facelist import (FvMatrixFL, div_flux_fl, face_grad_fl,
                                fvm_ddt_fl, fvm_div_fl, fvm_laplacian_fl,
                                fvm_laplacian_corrected_fl,
-                               fvm_source_implicit_fl, grad_fl,
+                               fvm_source_implicit_fl, grad_fl, grad_multi_fl,
                                interpolate_fl, laplacian_nonortho_corr_fl,
                                sngrad_fl, _boundary_face_value)
 from ..ops.linsolve import cg, solve_fvmatrix
 from ..parallel.context import gmean
 from .low_mach import LowMachConfig
 
-__all__ = ["LowMachFLState", "LowMachSolverFL", "rng_keps_kwargs"]
+__all__ = ["LowMachFLState", "LowMachSolverFL", "rng_keps_kwargs",
+           "make_step_fl"]
+
+
+def _bake_patch_axes(m: FaceListMesh) -> FaceListMesh:
+    """Host-side: fill BoundaryPatch.n_axis from concrete normals so the
+    mixed-BC shortcut in _fix_boundary_fluxes never inspects a traced
+    normal (required when the mesh travels through jit as an argument)."""
+    import numpy as np
+    changed = False
+    pts = []
+    for p in m.patches:
+        if p.n_axis is None and int(p.owner.shape[0]) > 0:
+            n0 = np.asarray(p.normal)
+            ax = int(np.argmax(np.abs(n0[0] if n0.ndim == 2 else n0)))
+            p = dataclasses.replace(p, n_axis=ax)
+            changed = True
+        pts.append(p)
+    return dataclasses.replace(m, patches=tuple(pts)) if changed else m
+
+
+def make_step_fl(solver):
+    """jit the solver step with every mesh/connectivity array passed as a
+    TRACED argument instead of a closure constant.
+
+    Closing the solver over jit (``jax.jit(lambda s: sol.step(s, dt))``)
+    bakes the owner/neighbour/ELL index arrays in as XLA constants; XLA then
+    constant-folds every expression over them (index clamps, center deltas,
+    weight complements) separately at EVERY use site, serially, on the host
+    — compile time grows with mesh size (measured ~120 s at 16^3 and >590 s
+    at 32^3 in round 3). With the mesh as a traced pytree argument the graph
+    is size-generic modulo shapes and compile time is flat. This mirrors
+    what parallel/distributed_fl.py already does for exactly this reason.
+
+    Returns ``step(state, dt, sources=None) -> (state, diag)``. Works for
+    LowMachSolverFL and subclasses (FGMSolverFL).
+    """
+    mesh_kw = {}
+    for f in dataclasses.fields(solver):
+        v = getattr(solver, f.name)
+        if isinstance(v, FaceListMesh):
+            mesh_kw[f.name] = _bake_patch_axes(v)
+        elif f.name == "m_U" and v is not None:
+            mesh_kw[f.name] = tuple(_bake_patch_axes(x) for x in v)
+        elif f.name == "p_ell" and v is not None:
+            mesh_kw[f.name] = v
+    groups_idx = None
+    groups_meshes = None
+    if getattr(solver, "m_Y_groups", None) is not None:
+        # species index tuples must stay static (Python iteration keys);
+        # only the meshes are traced
+        groups_idx = tuple(tuple(int(i) for i in g[1])
+                           for g in solver.m_Y_groups)
+        groups_meshes = tuple(_bake_patch_axes(g[0])
+                              for g in solver.m_Y_groups)
+    base = dataclasses.replace(
+        solver, **{k: None for k in mesh_kw},
+        **({"m_Y_groups": None} if groups_idx is not None else {}))
+
+    @jax.jit
+    def _step(kw, gmeshes, s, dt, sources):
+        if gmeshes is not None:
+            kw = dict(kw, m_Y_groups=tuple(
+                (mm, gi) for mm, gi in zip(gmeshes, groups_idx)))
+        sol = dataclasses.replace(base, **kw)
+        return sol.step(s, dt, sources)
+
+    def step(s, dt, sources=None):
+        return _step(mesh_kw, groups_meshes, s, dt, sources)
+
+    return step
 
 
 def rng_keps_kwargs(C1: float = 1.42) -> dict:
@@ -166,10 +236,8 @@ class LowMachSolverFL:
         boundary coefficients (mirror of structured _face_flux)."""
         m = self.m_p
         q = rho[:, None] * U                            # (n, 3)
-        phi = 0.0
-        for c in range(3):
-            qf = interpolate_fl(self.m_U[c], q[:, c])
-            phi = phi + qf * m.normal[:, c]
+        qf = interpolate_fl(m, q)                       # (nf, 3) batched
+        phi = jnp.sum(qf * m.normal, axis=1)
         phi_b = []
         for ip, p in enumerate(m.patches):
             if p.kind in ("symmetry", "wedge", "empty"):
@@ -252,13 +320,10 @@ class LowMachSolverFL:
         cfg = self.config
         m = self.m_p
         mu_t = rho * self.Cmu * k * k / jnp.maximum(eps, self.eps_min)
-        gU = [grad_fl(self.m_U[c], U[:, c]) for c in range(3)]
-        SS = 0.0
-        for i in range(3):
-            for j in range(3):
-                Sij = 0.5 * (gU[i][:, j] + gU[j][:, i])
-                SS = SS + Sij * Sij
-        divU = gU[0][:, 0] + gU[1][:, 1] + gU[2][:, 2]
+        gU = grad_multi_fl(self.m_U, U)                  # (n, i, j)
+        S = 0.5 * (gU + jnp.swapaxes(gU, 1, 2))
+        SS = jnp.sum(S * S, axis=(1, 2))
+        divU = gU[:, 0, 0] + gU[:, 1, 1] + gU[:, 2, 2]
         P = mu_t * 2.0 * SS
         # realizability production limiter (Menter-style clip): unbounded
         # P = mu_t |S|^2 at sharp fronts outruns the lagged dissipation and
@@ -397,28 +462,28 @@ class LowMachSolverFL:
                                           else None)
 
             # ===== YEqn
-            gY = []
+            gY_all = None
             if ns > 1:
-                # species -> BC mesh map (m_Y_groups when species have
-                # distinct boundary compositions)
-                mY_of = {i: self.m_Y for i in range(ns)}
-                if self.m_Y_groups is not None:
-                    for m_Yg, idx in self.m_Y_groups:
-                        for i in idx:
-                            mY_of[i] = m_Yg
-                sumYDiff = 0.0
-                for i in range(ns):
-                    gYi = grad_fl(mY_of[i], Y[:, i])     # (n, 3)
-                    gY.append(gYi)
-                    sumYDiff = sumYDiff + rhoD[i][:, None] * gYi
-                # phiUc: correction flux density at faces
-                phiUc = 0.0
-                phiUc_b = [0.0 for _ in m.patches]
-                for c in range(3):
-                    qf, qb = _face_product(m, sumYDiff[:, c])
-                    phiUc = phiUc + qf * m.normal[:, c]
-                    for ip, p_ in enumerate(m.patches):
-                        phiUc_b[ip] = phiUc_b[ip] + qb[ip] * p_.normal[:, c]
+                # batched species gradients: ONE wide gather/scatter per
+                # BC group instead of ns scalar-field gradient pipelines
+                groups0 = self.m_Y_groups or ((self.m_Y,
+                                               tuple(range(ns))),)
+                if len(groups0) == 1:
+                    gY_all = grad_fl(groups0[0][0], Y)     # (n, ns, 3)
+                else:
+                    gY_all = jnp.zeros((n, ns, 3), dtype)
+                    for m_Yg, idx in groups0:
+                        ii = jnp.asarray(idx)
+                        gY_all = gY_all.at[:, ii, :].set(
+                            grad_fl(m_Yg, Y[:, ii]))
+                # sumYDiff_c = sum_i rhoD[i] * gY[i, c]   (rhoD is (ns, n))
+                sumYDiff = jnp.einsum("in,nic->nc", rhoD, gY_all)
+                # phiUc: correction flux density at faces (batched over the
+                # 3 components; boundary = owner extrapolation as before)
+                sYf = interpolate_fl(m, sumYDiff)          # (nf, 3)
+                phiUc = jnp.sum(sYf * m.normal, axis=1)
+                phiUc_b = [jnp.sum(sumYDiff[p_.owner] * p_.normal, axis=1)
+                           for p_ in m.patches]
 
                 def _make_solver(m_Yg):
                     def _solve_species(rhoD_i, y_i, y_old_i, src_i):
@@ -471,17 +536,12 @@ class LowMachSolverFL:
             hcorr_div = 0.0
             if ns > 1:
                 h_sp = self.thermo.h_species(T)          # (n, ns)
-                hcorr = 0.0
-                for i in range(ns):
-                    hcorr = hcorr + (h_sp[:, i] * (rhoD[i] - alpha))[:, None] \
-                        * gY[i]
-                hc_f = 0.0
-                hc_b = [0.0 for _ in m.patches]
-                for c in range(3):
-                    qf, qb = _face_product(m, hcorr[:, c])
-                    hc_f = hc_f + qf * m.normal[:, c]
-                    for ip, p_ in enumerate(m.patches):
-                        hc_b[ip] = hc_b[ip] + qb[ip] * p_.normal[:, c]
+                coeff = h_sp * (rhoD.T - alpha[:, None])  # (n, ns)
+                hcorr = jnp.einsum("ni,nic->nc", coeff, gY_all)
+                hf = interpolate_fl(m, hcorr)             # (nf, 3)
+                hc_f = jnp.sum(hf * m.normal, axis=1)
+                hc_b = [jnp.sum(hcorr[p_.owner] * p_.normal, axis=1)
+                        for p_ in m.patches]
                 hcorr_div = div_flux_fl(m, hc_f, hc_b)
             eqn_h = (fvm_ddt_fl(self.m_h, rho, rho_old, ha_old, dt, dtype)
                      + fvm_div_fl(self.m_h, phi, list(phi_b),
@@ -533,15 +593,17 @@ class LowMachSolverFL:
         m = self.m_p
         dtype = U.dtype
         gp = grad_fl(self.m_p, p)                        # (n, 3)
-        # dev2 explicit correction
-        gU = [grad_fl(self.m_U[c], U[:, c]) for c in range(3)]
-        divU = gU[0][:, 0] + gU[1][:, 1] + gU[2][:, 2]
+        # dev2 explicit correction — all 10 coefficient-field gradients
+        # (mu*dU_i/dx_c for i,c plus mu*divU) in ONE batched Gauss pass
+        gU_all = grad_multi_fl(self.m_U, U)              # (n, 3, 3) [n,i,c]
+        divU = gU_all[:, 0, 0] + gU_all[:, 1, 1] + gU_all[:, 2, 2]
+        Q = jnp.concatenate([mu[:, None] * gU_all.reshape(-1, 9),
+                             (mu * divU)[:, None]], axis=1)    # (n, 10)
+        G = self._grad_coeff(Q)                          # (n, 10, 3)
         corrs = []
         for c in range(3):
-            corr = (self._grad_coeff(mu * gU[0][:, c])[:, 0]
-                    + self._grad_coeff(mu * gU[1][:, c])[:, 1]
-                    + self._grad_coeff(mu * gU[2][:, c])[:, 2]
-                    - self._grad_coeff(mu * divU)[:, c] * (2.0 / 3.0))
+            corr = (G[:, 0 + c, 0] + G[:, 3 + c, 1] + G[:, 6 + c, 2]
+                    - G[:, 9, c] * (2.0 / 3.0))
             corrs.append(corr)
         g_vec = cfg.gravity
         srcs = jnp.stack([-gp[:, c] + corrs[c]
@@ -573,20 +635,25 @@ class LowMachSolverFL:
                 1.0 / u_diags)
 
     def _grad_coeff(self, q):
-        """Gauss gradient of a coefficient field: boundary face value =
-        owner value (structured bcs_coeff role)."""
+        """Gauss gradient of coefficient field(s): boundary face value =
+        owner value (structured bcs_coeff role). Batched: q (n,) -> (n, 3)
+        or q (n, k) -> (n, k, 3) through one wide gather/scatter."""
         m = self.m_p
-        qf = interpolate_fl(m, q)
-        out = jnp.zeros((m.n_cells, 3), q.dtype)
-        fv = (qf * m.mag_sf)[:, None] * m.normal
-        for c in range(3):
-            out = out.at[:, c].set(m.scatter_faces(fv[:, c]))
+        qf = interpolate_fl(m, q)                            # (nf, ...)
+        sf_vec = m.mag_sf[:, None] * m.normal                # (nf, 3)
+        fv = qf[..., None] * sf_vec.reshape(
+            (sf_vec.shape[0],) + (1,) * (qf.ndim - 1) + (3,))
+        out = m.scatter_faces(fv)                            # (n, ..., 3)
         for p_ in m.patches:
-            fb = q[p_.owner] * p_.mag_sf
-            for c in range(3):
-                out = out.at[:, c].add(jax.ops.segment_sum(
-                    fb * p_.normal[:, c], p_.owner, num_segments=m.n_cells))
-        return m.restrict(out) / m.vol_local[:, None]
+            qo = q[p_.owner]
+            fb = qo * p_.mag_sf.reshape(
+                (p_.mag_sf.shape[0],) + (1,) * (qo.ndim - 1))
+            fbv = fb[..., None] * p_.normal.reshape(
+                (p_.normal.shape[0],) + (1,) * (fb.ndim - 1) + (3,))
+            out = out + jax.ops.segment_sum(fbv, p_.owner,
+                                            num_segments=m.n_cells)
+        return m.restrict(out) / m.vol_local.reshape(
+            (m.vol_local.shape[0],) + (1,) * (out.ndim - 1))
 
     # ------------------------------------------------------ pressure loop
     def _pressure_loop(self, p, p_old, psi, rho_fn, HbyA, rAU, dt, rho_old,
@@ -602,12 +669,12 @@ class LowMachSolverFL:
             rho_f = interpolate_fl(self.m_rho, rho)
             rho_bf = [_boundary_face_value(pc, rho)
                       for pc in self.m_rho.patches]
-            # phiHbyA = rho_f * (HbyA . n)_f
-            phiH = 0.0
+            # phiHbyA = rho_f * (HbyA . n)_f  (interior batched over c —
+            # interpolation weights are geometry-only, shared across m_U)
+            Hf = interpolate_fl(m, HbyA)                 # (nf, 3)
+            phiH = jnp.sum(Hf * m.normal, axis=1)
             phiH_b = [0.0 for _ in m.patches]
             for c in range(3):
-                qf = interpolate_fl(self.m_U[c], HbyA[:, c])
-                phiH = phiH + qf * m.normal[:, c]
                 for ip, p_ in enumerate(m.patches):
                     if p_.kind in ("symmetry", "wedge", "empty"):
                         # exactly zero normal flux (see flux_of_fl): the
@@ -658,10 +725,15 @@ class LowMachSolverFL:
             # restrict: on a shard-local mesh, halo/pad rows are not this
             # shard's equations — zero them out of A(x) and b so every
             # Krylov psum reduction sums exactly the globally-owned rows
-            if self.p_ell is not None:
+            if self.p_ell is not None and m.plan is None:
                 nbr_e, coef_e = eqn_p.ell(conn=self.p_ell)
-                pallas_ok = (cfg.use_pallas == "auto"
-                             and jax.default_backend() == "tpu")
+                # Mosaic's gather primitive is take_along_axis-shaped only
+                # (same-shape 2D input/indices), so the arbitrary-index ELL
+                # gather cannot lower in Pallas on current TPU toolchains;
+                # XLA's native dynamic-gather HLO carries the matvec instead
+                # (the kernel remains for interpret-mode validation). Plan
+                # meshes skip ELL entirely: eqn.apply runs as shift slices.
+                pallas_ok = False
                 apply_v = lambda x: m.restrict(
                     eqn_p.apply_ell(x, nbr_e, coef_e, pallas=pallas_ok) * Vn)
             else:

@@ -76,14 +76,14 @@ class LESModel:
         filter (structured box filter) — not available on general meshes
         (same limitation as the reference: dynamicSmagorinsky.H needs an
         LESfilter; use WALE/Sigma on unstructured cases)."""
-        from ..ops.fv_facelist import grad_fl
+        from ..ops.fv_facelist import grad_multi_fl
         if self.kind == "dynamicSmagorinsky":
             raise ValueError("dynamicSmagorinsky needs a structured test "
                              "filter; use Smagorinsky/WALE/Sigma on "
                              "face-list meshes")
         delta = volumes ** (1.0 / 3.0)          # (n,)
-        g = jnp.stack([jnp.moveaxis(grad_fl(m_U[c], U[:, c]), -1, 0)
-                       for c in range(3)])      # (3, 3, n): g[i,j]=dU_i/dx_j
+        gU = grad_multi_fl(m_U, U)              # (n, 3, 3): [n, i, j]
+        g = jnp.moveaxis(gU, 0, -1)             # (3, 3, n): g[i,j]=dU_i/dx_j
         return rho * self._nut_from_grad(g, delta)
 
     def sgs_k_epsilon_fl(self, mu_t, rho, volumes):

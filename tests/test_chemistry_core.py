@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from deepflame_tpu.chemistry import (
     load_mechanism, make_thermo, make_kinetics, production_rates,
     mass_production_rates, make_transport,

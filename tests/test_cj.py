@@ -6,6 +6,8 @@ H2-air at 1 atm (test/oneD_detonationH2 case conditions).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from deepflame_tpu.chemistry import load_mechanism, make_thermo, make_kinetics
 from deepflame_tpu.utils.cj import cj_speed
 

@@ -180,6 +180,7 @@ def _build_solver(nx=16, ny=8, case="cyclic", chemistry=True):
     return solver, solver.initial_state(p, T, Y, U)
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("case", ["cyclic", "walls"])
 def test_step_distributed_matches_single(case):
     """Two full PIMPLE steps with chemistry ON: shard_map over 8 devices ==

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from deepflame_tpu.mesh import (StructuredMesh, cyclic, fixed_value,
                                 zero_gradient, fixed_gradient, empty)
 from deepflame_tpu.mesh.facelist import from_structured, structured_face_maps

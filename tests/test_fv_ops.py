@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from deepflame_tpu.mesh import (StructuredMesh, fixed_value, zero_gradient,
                                 cyclic, empty)
 from deepflame_tpu.ops import (grad, div_flux, laplacian_explicit, fvm_ddt,

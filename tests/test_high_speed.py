@@ -38,6 +38,7 @@ def make_solver(mech, th, kin, mesh, bcs_kind="transmissive", flux="HLLC",
                            bcs_Y=bx, config=cfg)
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("flux,limiter", [
     ("HLLC", "vanLeer"), ("HLLCP", "vanLeer"), ("AUSMDV", "vanLeer"),
     ("Kurganov", "vanLeer"), ("Tadmor", "vanLeer"), ("HLLC", "WENO5")])

@@ -83,7 +83,13 @@ def build_pair(n, chemistry, dtype):
 
 def time_steps(sol, state, dt, n_steps, which):
     import jax
-    step = jax.jit(lambda s: sol.step(s, dt)[0])
+    if which == "face-list":
+        # mesh arrays as traced args — compile time flat in mesh size
+        from deepflame_tpu.solvers.low_mach_fl import make_step_fl
+        raw = make_step_fl(sol)
+        step = lambda s: raw(s, dt)[0]
+    else:
+        step = jax.jit(lambda s: sol.step(s, dt)[0])
     t0 = time.perf_counter()
     state = jax.block_until_ready(step(state))
     compile_s = time.perf_counter() - t0
