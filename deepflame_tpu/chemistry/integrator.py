@@ -221,12 +221,12 @@ def rosenbrock_integrate_batched(rhs_b: Callable, y0: jax.Array,
         return f0, jnp.moveaxis(J_cols, 0, -1)        # (L, n, n)
 
     def cond(carry):
-        y, t, dt, nstep = carry
+        y, t, dt, en_prev, rej, nstep = carry
         return jnp.logical_and(jnp.any(t < t_end * (1.0 - 1e-12)),
                                nstep < opts.max_steps)
 
     def body(carry):
-        y, t, dt, nstep = carry
+        y, t, dt, en_prev, rej, nstep = carry
         act = t < t_end * (1.0 - 1e-12)               # (L,)
         dt_c = jnp.minimum(dt, t_end - t)
         dt_c = jnp.maximum(dt_c, jnp.asarray(opts.dt_min, dtype))
@@ -255,22 +255,35 @@ def rosenbrock_integrate_batched(rhs_b: Callable, y0: jax.Array,
                                  jnp.all(jnp.isfinite(y_new), axis=1))
         accept = jnp.logical_and(accept, solve_ok)
         accept = jnp.logical_and(accept, act)
-        factor = jnp.clip(opts.safety * enorm ** (-1.0 / 3.0),
-                          opts.shrink, opts.grow)
+        # PI (Gustafsson) controller: the integral-only factor
+        # enorm^(-1/3) oscillates at the stability boundary (accept/reject
+        # limit cycles — the dominant waste at tight tolerances). Blend in
+        # the previous accepted error (beta1 = 0.7/p, beta2 = 0.4/p, p = 3)
+        # and never grow on the step right after a rejection.
+        pi_fac = opts.safety * enorm ** (-0.7 / 3.0) * en_prev ** (0.4 / 3.0)
+        i_fac = opts.safety * enorm ** (-1.0 / 3.0)
+        factor = jnp.where(accept, pi_fac, jnp.minimum(i_fac, 1.0))
+        factor = jnp.clip(factor, opts.shrink, opts.grow)
+        factor = jnp.where(rej, jnp.minimum(factor, 1.0), factor)
         # a bad solve also poisons the error estimate: force shrink
         factor = jnp.where(solve_ok, factor, opts.shrink)
         dt_next = jnp.maximum(dt_c * factor, jnp.asarray(opts.dt_min, dtype))
         dt = jnp.where(act, dt_next, dt)
+        en_prev = jnp.where(accept, enorm, en_prev)
+        rej = jnp.where(act, jnp.logical_and(~accept, solve_ok), rej)
         y = jnp.where(accept[:, None], y_new, y)
         t = jnp.where(accept, t + dt_c, t)
-        return (y, t, dt, nstep + 1)
+        return (y, t, dt, en_prev, rej, nstep + 1)
 
     t0 = jnp.zeros((L,), dtype)
     if dt_start is None:
         dt0 = jnp.minimum(jnp.full((L,), opts.dt_init, dtype), t_end)
     else:
         dt0 = jnp.clip(jnp.asarray(dt_start, dtype), opts.dt_min, None)
-    y_f, t_f, dt_f, n_f = jax.lax.while_loop(cond, body, (y0, t0, dt0, 0))
+    en0 = jnp.ones((L,), dtype)
+    rej0 = jnp.zeros((L,), bool)
+    y_f, t_f, dt_f, _, _, n_f = jax.lax.while_loop(
+        cond, body, (y0, t0, dt0, en0, rej0, 0))
     return y_f, dt_f
 
 

@@ -114,12 +114,71 @@ class ChemistryResult(NamedTuple):
     dt_next: jax.Array | None = None   # (...,) warm-start step suggestion
 
 
+def _stratified_cross_shard(run, key, inputs, n_out, ax):
+    """Cross-device chemistry load balance (the reference's DLB cell
+    migration, /root/reference/src/dfChemistryModel/loadBalancing/
+    LoadBalancer.C:124-232, recast for SPMD): under lockstep shard_map the
+    WORST-loaded shard gates every step — a flame front concentrated in one
+    shard's slab makes the other shards idle through its while_loop tail.
+
+    TPU-native rebalance: each shard sorts its lanes by stiffness `key`,
+    deals them round-robin into P groups (each group then carries an equal
+    slice of every stiffness stratum), and one `lax.all_to_all` gives every
+    shard one group from every shard — so each shard integrates ~1/P of the
+    GLOBAL stiff cells. A second all_to_all (its own inverse) returns the
+    results. Cost: 2 all-to-alls of the chemistry state over ICI per step,
+    against a while_loop tail that can run 10-100x longer on the front
+    shard.
+
+    run: callable over the flat lane arrays -> n_out flat outputs.
+    inputs: tuple of (L, ...) arrays (lane axis leading). key: (L,)
+    stiffness measure (stiffest = largest). Lanes are padded to a multiple
+    of P with inactive copies of lane 0 (t_end must be 0 there; callers pad
+    with te = 0)."""
+    L = inputs[0].shape[0]
+    P = jax.lax.axis_size(ax)
+    pad = (-L) % P
+    Lp = L + pad
+
+    def pack(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:],
+                                              x.dtype)], axis=0)
+        return x
+
+    keyp = pack(key)
+    if pad:
+        # padded lanes: coldest (sort first, never exchanged into hot work)
+        keyp = keyp.at[L:].set(-jnp.inf)
+    order = jnp.argsort(keyp)                      # cold ... stiff
+    inv_order = jnp.argsort(order)
+
+    def fwd(x):
+        xs = pack(x)[order]
+        g = xs.reshape(Lp // P, P, *xs.shape[1:])
+        g = jnp.swapaxes(g, 0, 1)                  # (P, Lp/P, ...) groups
+        g = jax.lax.all_to_all(g, ax, split_axis=0, concat_axis=0,
+                               tiled=False)
+        return g.reshape(Lp, *xs.shape[1:])
+
+    def bwd(y):
+        g = y.reshape(P, Lp // P, *y.shape[1:])
+        g = jax.lax.all_to_all(g, ax, split_axis=0, concat_axis=0,
+                               tiled=False)
+        ys = jnp.swapaxes(g, 0, 1).reshape(Lp, *y.shape[1:])
+        return ys[inv_order][:L]
+
+    outs = run(*[fwd(x) for x in inputs])
+    return tuple(bwd(o) for o in outs[:n_out])
+
+
 def solve_chemistry(thermo: ThermoData, kin: KineticsData,
                     T, p, Y, dt,
                     opts: RosenbrockOptions = RosenbrockOptions(),
                     T_threshold: float = 200.0,
                     n_bins: int = 32, dt_start=None,
-                    fast_tier: bool = True, sort: str = "T") -> ChemistryResult:
+                    fast_tier: bool = True, sort: str = "T",
+                    cross_shard: bool = False) -> ChemistryResult:
     """Advance chemistry in every cell by dt at constant pressure.
 
     T, p: (...,); Y: (..., ns); dt: scalar or per-cell array (EDC integrates
@@ -172,7 +231,52 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
         accepted = None
         t_ends_rem = t_ends
 
-    n = Tf.shape[0]
+    def run_integration(s0, pf, t_ends_rem, dt0_f):
+        return _integrate_binned(integrate_chunk, s0, pf, t_ends_rem,
+                                 dt0_f, ns, n_bins, fast_tier, sort, opts,
+                                 Tf_key=s0[:, 0])
+
+    if cross_shard:
+        from ..parallel.context import current_axis
+        ax = current_axis()
+        if ax is not None:
+            # stiffness key: warm-start dt when available (small converged
+            # step = stiff), else temperature; inactive lanes coldest
+            key = (jnp.where(t_ends_rem > 0, -dt0_f, -jnp.inf)
+                   if dt_start is not None
+                   else jnp.where(t_ends_rem > 0, Tf, -jnp.inf))
+            s1, dt_next = _stratified_cross_shard(
+                run_integration, key, (s0, pf, t_ends_rem, dt0_f), 2, ax)
+        else:
+            s1, dt_next = run_integration(s0, pf, t_ends_rem, dt0_f)
+    else:
+        s1, dt_next = run_integration(s0, pf, t_ends_rem, dt0_f)
+
+    if fast_tier:
+        s1 = jnp.where(accepted[:, None], y_fast, s1)
+        dt_next = jnp.where(accepted, dt_fast, dt_next)
+    T1 = s1[:, 0]
+    Y1 = jnp.clip(s1[:, 1:], 0.0, 1.0)
+    Y1 = Y1 / jnp.sum(Y1, axis=-1, keepdims=True)
+    rho = thermo.rho(pf, Tf, Yf)
+    RR = rho[:, None] * (Y1 - Yf) / jnp.maximum(dt_f, 1e-30)[:, None]
+    # heat release from formation enthalpies: Qdot = -sum hf_i RR_i
+    Qdot = -jnp.einsum("ns,s->n", RR, thermo.h_formation)
+    return ChemistryResult(
+        T=T1.reshape(batch_shape),
+        Y=Y1.reshape(batch_shape + (ns,)),
+        RR=RR.reshape(batch_shape + (ns,)),
+        Qdot=Qdot.reshape(batch_shape),
+        dt_next=dt_next.reshape(batch_shape),
+    )
+
+
+def _integrate_binned(integrate_chunk, s0, pf, t_ends_rem, dt0_f, ns,
+                      n_bins, fast_tier, sort, opts, Tf_key):
+    """Temperature/stiffness-binned batched integration over flat lanes
+    (the data-layout half of the load balancing; see solve_chemistry)."""
+    n = s0.shape[0]
+    Tf = Tf_key
     if n_bins > 1 and n >= 2 * n_bins:
         chunk = -(-n // n_bins)                      # ceil
         pad = chunk * n_bins - n
@@ -191,7 +295,7 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
                                 .at[:, 0].set(300.0), s0[order]])
         pf_s = jnp.concatenate([jnp.full((pad,), 101325.0, pf.dtype),
                                 pf[order]])
-        te_s = jnp.concatenate([jnp.zeros((pad,), t_ends.dtype),
+        te_s = jnp.concatenate([jnp.zeros((pad,), t_ends_rem.dtype),
                                 t_ends_rem[order]])
         d0_s = jnp.concatenate([jnp.full((pad,), opts.dt_init, dt0_f.dtype),
                                 dt0_f[order]])
@@ -230,23 +334,5 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
         inv = jnp.argsort(order)
         s1 = out.reshape(n_bins * chunk, ns + 1)[pad:][inv]
         dt_next = dtn.reshape(n_bins * chunk)[pad:][inv]
-    else:
-        s1, dt_next = integrate_chunk(s0, pf, t_ends_rem, dt0_f)
-
-    if fast_tier:
-        s1 = jnp.where(accepted[:, None], y_fast, s1)
-        dt_next = jnp.where(accepted, dt_fast, dt_next)
-    T1 = s1[:, 0]
-    Y1 = jnp.clip(s1[:, 1:], 0.0, 1.0)
-    Y1 = Y1 / jnp.sum(Y1, axis=-1, keepdims=True)
-    rho = thermo.rho(pf, Tf, Yf)
-    RR = rho[:, None] * (Y1 - Yf) / jnp.maximum(dt_f, 1e-30)[:, None]
-    # heat release from formation enthalpies: Qdot = -sum hf_i RR_i
-    Qdot = -jnp.einsum("ns,s->n", RR, thermo.h_formation)
-    return ChemistryResult(
-        T=T1.reshape(batch_shape),
-        Y=Y1.reshape(batch_shape + (ns,)),
-        RR=RR.reshape(batch_shape + (ns,)),
-        Qdot=Qdot.reshape(batch_shape),
-        dt_next=dt_next.reshape(batch_shape),
-    )
+        return s1, dt_next
+    return integrate_chunk(s0, pf, t_ends_rem, dt0_f)

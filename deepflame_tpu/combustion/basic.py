@@ -36,6 +36,11 @@ class CombustionModel:
     # step (a direct stiffness measure) instead of temperature.
     n_bins: int = 32
     sort: str = "T"
+    # cross-device chemistry load balancing (reference DLB parity,
+    # LoadBalancer.C:124-232): stratified all_to_all lane exchange under an
+    # active shard axis so a front concentrated in one shard's slab does
+    # not gate the whole pod (reactor._stratified_cross_shard)
+    dlb_cross_shard: bool = False
 
     def correct(self, T, p, Y, dt, turb=None, dt_start=None) -> ChemistryResult:
         raise NotImplementedError
@@ -54,7 +59,8 @@ class Laminar(CombustionModel):
                                opts=self.ode_opts,
                                T_threshold=self.T_threshold,
                                n_bins=self.n_bins, sort=self.sort,
-                               dt_start=dt_start)
+                               dt_start=dt_start,
+                               cross_shard=self.dlb_cross_shard)
 
 
 @dataclasses.dataclass(frozen=True)

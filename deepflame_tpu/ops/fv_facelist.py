@@ -49,10 +49,32 @@ def _fcol(a: jax.Array, x: jax.Array) -> jax.Array:
 
 def interpolate_fl(m: FaceListMesh, x: jax.Array) -> jax.Array:
     """Linear owner/neighbour face interpolation (interior faces).
-    Batched: x (n_cells, ...) -> (nf, ...) via ONE row gather per side."""
+    Batched: x (n_cells, ...) -> (nf, ...) via ONE row gather per side.
+    Shift-plan meshes run per-family slab arithmetic instead."""
     x = m.exchange(x)
+    if m.plan is not None:
+        if x.ndim == 1:
+            return m.plan_interp(x)
+        return jnp.stack([m.plan_interp(x[..., j])
+                          for j in range(x.shape[-1])], axis=-1) \
+            if x.ndim == 2 else _interp_generic(m, x)
+    return _interp_generic(m, x)
+
+
+def _interp_generic(m: FaceListMesh, x: jax.Array) -> jax.Array:
     w = _fcol(m.weights, x)
     return w * m.gather_own(x) + (1.0 - w) * m.gather_nei(x)
+
+
+def flux_normal_fl(m: FaceListMesh, q: jax.Array) -> jax.Array:
+    """Interior face-normal component (q_f . n_f) of a cell vector field
+    q (n, 3). Plan meshes: three scalar slab interpolations (family
+    normals are +e_ax); generic: batched interpolation + dot."""
+    q = m.exchange(q)
+    if m.plan is not None:
+        return m.plan_flux_normal(q)
+    uf = _interp_generic(m, q)
+    return jnp.sum(uf * m.normal, axis=1)
 
 
 def sngrad_fl(m: FaceListMesh, x: jax.Array) -> jax.Array:
@@ -127,11 +149,16 @@ def grad_fl(m: FaceListMesh, x: jax.Array) -> jax.Array:
     Owned rows see every incident face locally, so they are exact; halo
     rows (partial sums) are refreshed from the owning shard on exit, making
     the result safe to gather across faces (TVD upwind-cell gradients)."""
-    xf = interpolate_fl(m, x)                                # (nf, ...)
-    sf_vec = m.mag_sf[:, None] * m.normal                    # (nf, 3)
-    face_vec = xf[..., None] * sf_vec.reshape(
-        (sf_vec.shape[0],) + (1,) * (xf.ndim - 1) + (3,))
-    out = m.scatter_faces(face_vec)                          # (n, ..., 3)
+    if m.plan is not None and x.ndim == 2:
+        # column loop: each scalar gradient is a fused slab stencil; a
+        # single (nf, k, 3) face tensor would materialize hundreds of MB
+        # through layout-hostile reshapes at production sizes
+        return jnp.stack([grad_fl(m, x[:, j]) for j in range(x.shape[1])],
+                         axis=1)
+    if m.plan is not None and x.ndim == 1:
+        out = m.plan_grad_interior(x)                        # (n, 3)
+    else:
+        out = _grad_interior_generic(m, x)
     for p in m.patches:
         fb = _boundary_face_value(p, x) * _fcol(p.mag_sf, x[p.owner])
         fbv = fb[..., None] * p.normal.reshape(
@@ -142,6 +169,14 @@ def grad_fl(m: FaceListMesh, x: jax.Array) -> jax.Array:
         (m.volumes.shape[0],) + (1,) * (out.ndim - 1)))
 
 
+def _grad_interior_generic(m: FaceListMesh, x: jax.Array) -> jax.Array:
+    xf = interpolate_fl(m, x)                                # (nf, ...)
+    sf_vec = m.mag_sf[:, None] * m.normal                    # (nf, 3)
+    face_vec = xf[..., None] * sf_vec.reshape(
+        (sf_vec.shape[0],) + (1,) * (xf.ndim - 1) + (3,))
+    return m.scatter_faces(face_vec)                         # (n, ..., 3)
+
+
 def grad_multi_fl(meshes, X: jax.Array) -> jax.Array:
     """Gauss-linear gradient of k fields X (n_cells, k) that share interior
     geometry but carry DIFFERENT boundary coefficients (one FaceListMesh per
@@ -149,8 +184,12 @@ def grad_multi_fl(meshes, X: jax.Array) -> jax.Array:
 
     Interior work is ONE batched gather/scatter; only the (surface-sized)
     boundary terms differ per column, with patch a/b coefficients stacked
-    columnwise."""
+    columnwise. Shift-plan meshes loop columns (each a fused slab
+    stencil through the column's own BC mesh) instead."""
     m = meshes[0]
+    if m.plan is not None:
+        return jnp.stack([grad_fl(meshes[min(c, len(meshes) - 1)], X[:, c])
+                          for c in range(X.shape[1])], axis=1)
     k = X.shape[1]
     Xe = m.exchange(X)
     w = m.weights[:, None]
@@ -293,11 +332,43 @@ class FvMatrixFL:
 
     def apply(self, x: jax.Array) -> jax.Array:
         m = self.mesh
+        if m.plan is not None:
+            return self._apply_plan(x)
         x = m.exchange(x)
         # owner rows accumulate upper*x[nei]; neighbour rows lower*x[own]
         off = m.scatter_both(self.upper * m.gather_nei(x),
                              self.lower * m.gather_own(x))
         return self.diag_c * x + off / m.volumes
+
+    def _apply_plan(self, x: jax.Array) -> jax.Array:
+        """Shift-plan matvec: pure slab multiply-adds on the cell lattice —
+        no (nf,) face temporaries, no concat. Inside a Krylov while_loop
+        the slab coefficient reshapes are loop-invariant (XLA LICM hoists
+        them), so each iteration is a fused 7-point stencil — the same
+        shape the structured backend's Pallas Helmholtz covers."""
+        from ..mesh.facelist import _lattice_shape, _plan_segments
+        m = self.mesh
+        pl = m.plan
+        X = x.reshape(pl.shape)
+        out = (self.diag_c * x).reshape(pl.shape)
+        invV = (1.0 / m.volumes).reshape(pl.shape)
+        for ax, is_wrap, start, count in _plan_segments(pl):
+            n_ax = pl.shape[ax]
+            lat = _lattice_shape(pl.shape, ax, is_wrap)
+            up = self.upper[start:start + count].reshape(lat)
+            lo = self.lower[start:start + count].reshape(lat)
+            sl_o = [slice(None)] * 3
+            sl_n = [slice(None)] * 3
+            if is_wrap:
+                sl_o[ax] = slice(n_ax - 1, n_ax)
+                sl_n[ax] = slice(0, 1)
+            else:
+                sl_o[ax] = slice(0, n_ax - 1)
+                sl_n[ax] = slice(1, n_ax)
+            sl_o, sl_n = tuple(sl_o), tuple(sl_n)
+            out = out.at[sl_o].add(up * X[sl_n] * invV[sl_o])
+            out = out.at[sl_n].add(lo * X[sl_o] * invV[sl_n])
+        return out.reshape(-1)
 
     def rhs(self) -> jax.Array:
         return self.source

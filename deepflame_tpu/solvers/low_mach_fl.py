@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..mesh.facelist import FaceListMesh
 from ..ops.fv_facelist import (FvMatrixFL, div_flux_fl, face_grad_fl,
+                               flux_normal_fl,
                                fvm_ddt_fl, fvm_div_fl, fvm_laplacian_fl,
                                fvm_laplacian_corrected_fl,
                                fvm_source_implicit_fl, grad_fl, grad_multi_fl,
@@ -71,7 +72,39 @@ def make_step_fl(solver):
 
     Returns ``step(state, dt, sources=None) -> (state, diag)``. Works for
     LowMachSolverFL and subclasses (FGMSolverFL).
+
+    When EVERY mesh carries a ShiftPlan the solver closes over the mesh
+    instead: the plan path has no gather-index expressions left to
+    constant-fold (compile time measured flat, 46 s at 48^3), closure
+    constants run ~20% faster, and — decisive — XLA:TPU MIscompiles the
+    traced-mesh program at 96^3 (the optimized executable yields NaNs
+    while the de-optimized interpreter of the same jaxpr is clean;
+    jax_debug_nans confirms). Traced-arg mode remains for plan-less
+    (general/unstructured) meshes, whose ELL index arrays do fold.
     """
+    meshes_all = []
+    for f in dataclasses.fields(solver):
+        v = getattr(solver, f.name)
+        if isinstance(v, FaceListMesh):
+            meshes_all.append(v)
+        elif f.name == "m_U" and v is not None:
+            meshes_all.extend(v)
+    if getattr(solver, "m_Y_groups", None) is not None:
+        meshes_all.extend(g[0] for g in solver.m_Y_groups)
+    if meshes_all and all(mm.plan is not None for mm in meshes_all):
+        baked = {}
+        for f in dataclasses.fields(solver):
+            v = getattr(solver, f.name)
+            if isinstance(v, FaceListMesh):
+                baked[f.name] = _bake_patch_axes(v)
+            elif f.name == "m_U" and v is not None:
+                baked[f.name] = tuple(_bake_patch_axes(x) for x in v)
+        if getattr(solver, "m_Y_groups", None) is not None:
+            baked["m_Y_groups"] = tuple(
+                (_bake_patch_axes(g[0]), g[1]) for g in solver.m_Y_groups)
+        sol_c = dataclasses.replace(solver, **baked)
+        jf = jax.jit(lambda s, dt, sources: sol_c.step(s, dt, sources))
+        return lambda s, dt, sources=None: jf(s, dt, sources)
     mesh_kw = {}
     for f in dataclasses.fields(solver):
         v = getattr(solver, f.name)
@@ -236,8 +269,7 @@ class LowMachSolverFL:
         boundary coefficients (mirror of structured _face_flux)."""
         m = self.m_p
         q = rho[:, None] * U                            # (n, 3)
-        qf = interpolate_fl(m, q)                       # (nf, 3) batched
-        phi = jnp.sum(qf * m.normal, axis=1)
+        phi = flux_normal_fl(m, q)
         phi_b = []
         for ip, p in enumerate(m.patches):
             if p.kind in ("symmetry", "wedge", "empty"):
@@ -480,8 +512,7 @@ class LowMachSolverFL:
                 sumYDiff = jnp.einsum("in,nic->nc", rhoD, gY_all)
                 # phiUc: correction flux density at faces (batched over the
                 # 3 components; boundary = owner extrapolation as before)
-                sYf = interpolate_fl(m, sumYDiff)          # (nf, 3)
-                phiUc = jnp.sum(sYf * m.normal, axis=1)
+                phiUc = flux_normal_fl(m, sumYDiff)
                 phiUc_b = [jnp.sum(sumYDiff[p_.owner] * p_.normal, axis=1)
                            for p_ in m.patches]
 
@@ -538,8 +569,7 @@ class LowMachSolverFL:
                 h_sp = self.thermo.h_species(T)          # (n, ns)
                 coeff = h_sp * (rhoD.T - alpha[:, None])  # (n, ns)
                 hcorr = jnp.einsum("ni,nic->nc", coeff, gY_all)
-                hf = interpolate_fl(m, hcorr)             # (nf, 3)
-                hc_f = jnp.sum(hf * m.normal, axis=1)
+                hc_f = flux_normal_fl(m, hcorr)
                 hc_b = [jnp.sum(hcorr[p_.owner] * p_.normal, axis=1)
                         for p_ in m.patches]
                 hcorr_div = div_flux_fl(m, hc_f, hc_b)
@@ -671,8 +701,7 @@ class LowMachSolverFL:
                       for pc in self.m_rho.patches]
             # phiHbyA = rho_f * (HbyA . n)_f  (interior batched over c —
             # interpolation weights are geometry-only, shared across m_U)
-            Hf = interpolate_fl(m, HbyA)                 # (nf, 3)
-            phiH = jnp.sum(Hf * m.normal, axis=1)
+            phiH = flux_normal_fl(m, HbyA)
             phiH_b = [0.0 for _ in m.patches]
             for c in range(3):
                 for ip, p_ in enumerate(m.patches):
