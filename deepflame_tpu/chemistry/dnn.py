@@ -85,6 +85,70 @@ class DFODENet:
     delta_t: float            # inferenceDeltaTime the net was trained for
     frozen_T: float = 700.0
     lam: float = 0.1
+    # MXU execution knobs. fuse=True runs the (ns-1) per-species MLPs as
+    # ONE batched matmul per layer (weights stacked (S, in, out)) — the
+    # reference launches one TorchScript module per species serially
+    # (dfChemistrySolver.cu:112-123). compute_dtype=jnp.bfloat16 runs the
+    # matmuls in bf16 with f32 accumulation (the reference's device
+    # chemistry is fp16, same role); None keeps exact f32 (checkpoint
+    # parity tests).
+    fuse: bool = True
+    compute_dtype: Any = None
+    # lanes per fused-MLP chunk: the (S, B, 1600) hidden activations are
+    # the memory AND bandwidth cost (at 96^3 f32 they would be 25 GB —
+    # over HBM); chunking bounds them, lax.map serializes chunks
+    chunk: int = 131072
+
+    def _fused_mlp(self, x):
+        """(..., ns+2) -> (..., ns-1): all species through stacked weights;
+        one dot_general per layer, S as the matmul batch dimension. With
+        compute_dtype set, hidden activations are STORED in that dtype
+        (matmul accumulation stays f32 via preferred_element_type) — the
+        activation traffic, not the MXU, bounds this workload."""
+        L = len(self.nets[0])
+        cd = self.compute_dtype
+        h = None
+        for l in range(L):
+            Ws = jnp.stack([net[l][0] for net in self.nets])   # (S, i, o)
+            bs = jnp.stack([net[l][1] for net in self.nets])   # (S, o)
+            if cd is not None:
+                Ws = Ws.astype(cd)
+            last = l == L - 1
+            if h is None:
+                xin = x.astype(cd) if cd is not None else x
+                h = jnp.einsum("...i,sio->s...o", xin, Ws,
+                               preferred_element_type=x.dtype)
+            else:
+                h = jnp.einsum("s...i,sio->s...o", h, Ws,
+                               preferred_element_type=x.dtype)
+            if cd is not None and not last:
+                h = h.astype(cd)     # fused into the matmul epilogue
+            b_cast = bs.astype(h.dtype)
+            h = h + b_cast.reshape((bs.shape[0],) + (1,) * (x.ndim - 1)
+                                   + (bs.shape[1],))
+            if not last:
+                h = jax.nn.gelu(h, approximate=False)
+        return jnp.moveaxis(h[..., 0].astype(x.dtype), 0, -1)  # (..., S)
+
+    def _fused_mlp_chunked(self, x):
+        """Flatten the batch and run _fused_mlp in `chunk`-lane pieces so
+        peak activation memory is bounded (lax.map serializes chunks)."""
+        lead = x.shape[:-1]
+        F = x.shape[-1]
+        B = 1
+        for d in lead:
+            B *= d
+        xf = x.reshape(B, F)
+        if self.chunk is None or B <= self.chunk:
+            return self._fused_mlp(xf).reshape(lead + (-1,))
+        C = self.chunk
+        pad = (-B) % C
+        if pad:
+            xf = jnp.concatenate([xf, jnp.zeros((pad, F), x.dtype)], axis=0)
+        xb = xf.reshape(-1, C, F)
+        out = jax.lax.map(self._fused_mlp, xb)               # (nc, C, S)
+        out = out.reshape(-1, out.shape[-1])[:B]
+        return out.reshape(lead + (-1,))
 
     def rates(self, T, p, Y, rho):
         """RR [kg/m^3/s] for a batch: T,p,rho (...,), Y (..., ns).
@@ -96,8 +160,13 @@ class DFODENet:
         x_bct = jnp.concatenate(
             [T[..., None], p[..., None], bct(Y, self.lam)], axis=-1)
         x = (x_bct - self.x_mean) / self.x_std
-        outs = [mlp_apply(net, x) for net in self.nets]
-        out = jnp.concatenate(outs, axis=-1)              # (..., ns-1)
+        shapes_ok = len({tuple(W.shape for W, _ in net)
+                         for net in self.nets}) == 1
+        if self.fuse and shapes_ok:
+            out = self._fused_mlp_chunked(x)              # (..., ns-1)
+        else:
+            outs = [mlp_apply(net, x) for net in self.nets]
+            out = jnp.concatenate(outs, axis=-1)          # (..., ns-1)
         new_bct = out * self.y_std + self.y_mean + x_bct[..., 2:-1]
         Y_new_active = inv_bct(new_bct, self.lam)
         Y_inert = Y[..., -1:]

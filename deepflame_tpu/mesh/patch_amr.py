@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..solvers.high_speed import HighSpeedSolver, HighSpeedState
 from .structured import StructuredMesh
 
-__all__ = ["MovingPatchAMR", "PatchState"]
+__all__ = ["MovingPatchAMR", "FrontPatchAMR2D", "NestedPatchAMR", "PatchState"]
 
 
 class PatchState(NamedTuple):
@@ -383,3 +383,217 @@ class FrontPatchAMR2D:
         diag["patch_offsets"] = offs_new
         diag["T_max"] = jnp.maximum(diag_c["T_max"], jnp.max(sf2.T))
         return RowPatchState(coarse=sc2, fine=sf2, offsets=offs_new), diag
+
+
+# ===================================================================== nested
+
+def _repeat_axes(q, r, axes):
+    """Piecewise-constant prolongation along the given SPATIAL axes
+    (0=x, 1=y, 2=z; field spatial dims are the trailing three)."""
+    for ax in axes:
+        q = jnp.repeat(q, r, axis=ax - 3)
+    return q
+
+
+def _mean_axes(q, r, axes):
+    """Conservative restriction (block mean) along the given spatial axes."""
+    for ax in axes:
+        d = ax - 3 if ax - 3 >= 0 else q.ndim + ax - 3
+        n = q.shape[d]
+        sh = q.shape[:d] + (n // r, r) + q.shape[d + 1:]
+        q = jnp.mean(q.reshape(sh), axis=d + 1)
+    return q
+
+
+@dataclasses.dataclass(frozen=True)
+class NestedPatchAMR:
+    """Multi-level 2:1 moving-patch refinement (hexRef-parity direction).
+
+    Role parity: dfDynamicRefineFvMesh's maxRefinement-level cascade with
+    2:1 interfaces and unrefinement history
+    (/root/reference/src/dynamicFvMesh/dfDynamicRefineFvMesh.H:116-160;
+    hexRef topology engine, /root/reference/src/dynamicMesh/polyTopoChange/
+    polyTopoChange/hexRef/hexRef.C). Each level is a fixed-shape fine patch
+    (static shapes — no retraces) refined `ratio`x along the tracked x
+    direction AND (isotropic mode) along every non-degenerate transverse
+    axis — the hexRef8-style cube split. Levels nest recursively: level
+    l+1's patch lives inside level l's fine array with its own x-offset,
+    each level substepping `ratio`x in time (Berger-Collela cascade).
+    Unrefinement is the moving window itself: cells the front leaves revert
+    to the coarser level holding the conservative restriction — the
+    data-parallel equivalent of dfRefinementHistory unrefine.
+
+    State is the recursive PatchState (fine = PatchState of the next
+    level). On a window shift the child's offset is re-anchored
+    (offset - shift) so deeper data stays fixed in physical space.
+    """
+    coarse: HighSpeedSolver
+    fine: HighSpeedSolver
+    child: "NestedPatchAMR | None"
+    ratio: int
+    pc: int
+    buffer_c: int = 2
+    axes: tuple = (0,)
+
+    @staticmethod
+    def build(coarse: HighSpeedSolver, pcs, ratio: int = 2,
+              buffer_c: int = 2, isotropic: bool = True) -> "NestedPatchAMR":
+        """pcs: per-level patch extents, each in the PARENT level's x-cells
+        (e.g. (16, 8) = two levels). isotropic refines every non-degenerate
+        axis (hexRef8 role); False refines x only (hexRef2 role)."""
+        m = coarse.mesh
+        axes = tuple(ax for ax in range(3)
+                     if ax == 0 or (isotropic and m.shape[ax] > 1))
+        pc = pcs[0]
+        dims = [pc * ratio if 0 in axes else pc,
+                m.ny * ratio if 1 in axes else m.ny,
+                m.nz * ratio if 2 in axes else m.nz]
+        sp = [m.dx / ratio if 0 in axes else m.dx,
+              m.dy / ratio if 1 in axes else m.dy,
+              m.dz / ratio if 2 in axes else m.dz]
+        fine_mesh = StructuredMesh(dims[0], dims[1], dims[2],
+                                   sp[0], sp[1], sp[2], m.x0, m.y0, m.z0)
+        fine = dataclasses.replace(coarse, mesh=fine_mesh)
+        child = (NestedPatchAMR.build(fine, pcs[1:], ratio, buffer_c,
+                                      isotropic)
+                 if len(pcs) > 1 else None)
+        return NestedPatchAMR(coarse=coarse, fine=fine, child=child,
+                              ratio=ratio, pc=pc, buffer_c=buffer_c,
+                              axes=axes)
+
+    # ------------------------------------------------------------ plumbing
+    def _cons(self, s):
+        return (s.rho, s.rhoU, s.rhoE, s.rhoY, s.T)
+
+    def _with(self, s, vals):
+        rho, rhoU, rhoE, rhoY, T = vals
+        return s._replace(rho=rho, rhoU=rhoU, rhoE=rhoE, rhoY=rhoY, T=T)
+
+    def _slice_c(self, q, off, n):
+        z = jnp.zeros((), jnp.int32)
+        starts = (z,) * (q.ndim - 3) + (jnp.asarray(off, jnp.int32), z, z)
+        sizes = q.shape[:-3] + (n,) + q.shape[-2:]
+        return jax.lax.dynamic_slice(q, starts, sizes)
+
+    def _insert_c(self, q, patch, off):
+        z = jnp.zeros((), jnp.int32)
+        starts = (z,) * (q.ndim - 3) + (jnp.asarray(off, jnp.int32), z, z)
+        return jax.lax.dynamic_update_slice(q, patch, starts)
+
+    def prolong(self, sc, off):
+        vals = tuple(
+            _repeat_axes(self._slice_c(q, off, self.pc), self.ratio,
+                         self.axes)
+            for q in self._cons(sc))
+        return HighSpeedState(rho=vals[0], rhoU=vals[1], rhoE=vals[2],
+                              rhoY=vals[3], T=vals[4], time=sc.time)
+
+    def initial_fine(self, sc, offset: int = 0) -> PatchState:
+        off = jnp.asarray(offset, jnp.int32)
+        sf = self.prolong(sc, off)
+        fine = (self.child.initial_fine(sf, 0) if self.child is not None
+                else sf)
+        return PatchState(coarse=sc, fine=fine, offset=off)
+
+    def initial_state(self, p, T, Y, U=None, time=0.0,
+                      offset: int = 0) -> PatchState:
+        sc = self.coarse.initial_state(p, T, Y, U, time)
+        return self.initial_fine(sc, offset)
+
+    def _base(self, fine):
+        """The fine-solver HighSpeedState inside a (possibly nested) fine."""
+        return fine.coarse if isinstance(fine, PatchState) else fine
+
+    def _set_base(self, fine, base):
+        return (fine._replace(coarse=base) if isinstance(fine, PatchState)
+                else base)
+
+    # ---------------------------------------------------------------- step
+    def step(self, ps: PatchState, dt):
+        r = self.ratio
+        b = self.buffer_c
+        pc = self.pc
+        sc, fine, off = ps
+        sf = self._base(fine)
+
+        # 1. this level's (coarse) step over its whole extent
+        sc2, diag_c = self.coarse.step(sc, dt)
+
+        # 2. seed fine x-buffer zones from the start-of-step coarse state
+        seeded = []
+        rx = r if 0 in self.axes else 1
+        for qf, qc in zip(self._cons(sf), self._cons(sc)):
+            proj = _repeat_axes(self._slice_c(qc, off, pc), r, self.axes)
+            nxf = qf.shape[-3]
+            ix = jnp.arange(nxf)
+            in_buf = (ix < b * rx) | (ix >= nxf - b * rx)
+            shape = [1] * qf.ndim
+            shape[-3] = nxf
+            seeded.append(jnp.where(in_buf.reshape(shape), proj, qf))
+        fine = self._set_base(fine, self._with(sf, seeded))
+
+        # 3. fine substeps (recursive through deeper levels)
+        if self.child is None:
+            def sub(s, _):
+                s2, _ = self.fine.step(s, dt / r)
+                return s2, None
+        else:
+            def sub(cs, _):
+                cs2, _ = self.child.step(cs, dt / r)
+                return cs2, None
+        fine2, _ = jax.lax.scan(sub, fine, None, length=r)
+        sf2 = self._base(fine2)
+
+        # 4. conservative restriction of the fine INTERIOR onto the coarse
+        restricted = []
+        for qf, qc in zip(self._cons(sf2), self._cons(sc2)):
+            qr = _mean_axes(qf, r, self.axes)            # (pc, nyc, nzc)
+            inner = self._slice_c(qr, b, pc - 2 * b) if b > 0 else qr
+            restricted.append(self._insert_c(qc, inner, off + b))
+        sc2 = self._with(sc2, restricted)
+        _, _, _, T_new, _ = self.coarse.primitives(sc2)
+        sc2 = sc2._replace(T=T_new)
+
+        # 5. recenter on the front (refCri = max|grad rho|)
+        g = jnp.abs(jnp.diff(sc2.rho, axis=0)).max(
+            axis=tuple(range(1, sc2.rho.ndim)))
+        i_front = jnp.argmax(g).astype(jnp.int32)
+        nxc = self.coarse.mesh.nx
+        off_new = jnp.clip(i_front - pc // 2, 0, nxc - pc).astype(jnp.int32)
+        fine2 = self._reframe(fine2, sc2, off, off_new)
+
+        diag = dict(diag_c)
+        diag["patch_offset"] = off_new
+        diag["T_max"] = jnp.maximum(diag_c["T_max"], jnp.max(sf2.T))
+        return PatchState(coarse=sc2, fine=fine2, offset=off_new), diag
+
+    def _reframe(self, fine, base_new, off_data, off_new):
+        """Re-anchor this level's fine structure from window position
+        off_data to off_new over the (already-updated) parent state
+        base_new: roll retained data, fill newly exposed cells by
+        prolongation, and RECURSIVELY re-anchor deeper windows so their
+        data stays fixed in physical space (a clipped child re-anchor
+        without the matching data roll mis-aligns the child interior —
+        the corruption mode this fixes)."""
+        rx = self.ratio if 0 in self.axes else 1
+        sf = self._base(fine)
+        shift_f = (jnp.asarray(off_new, jnp.int32)
+                   - jnp.asarray(off_data, jnp.int32)) * rx
+        fresh = self.prolong(base_new, off_new)
+        nxf = self.pc * rx
+        ix = jnp.arange(nxf)
+        valid = (ix + shift_f >= 0) & (ix + shift_f < nxf)
+        shifted = []
+        for qf, qp in zip(self._cons(sf), self._cons(fresh)):
+            rolled = jnp.roll(qf, -shift_f, axis=-3)
+            shape = [1] * qf.ndim
+            shape[-3] = nxf
+            shifted.append(jnp.where(valid.reshape(shape), rolled, qp))
+        sf_new = self._with(fresh, shifted)._replace(time=base_new.time)
+        if self.child is None:
+            return sf_new
+        # child data anchor expressed in THIS level's new frame
+        a_child = fine.offset - shift_f
+        c_new = jnp.clip(a_child, 0, nxf - self.child.pc).astype(jnp.int32)
+        child_fine = self.child._reframe(fine.fine, sf_new, a_child, c_new)
+        return PatchState(coarse=sf_new, fine=child_fine, offset=c_new)

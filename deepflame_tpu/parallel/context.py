@@ -84,10 +84,17 @@ def gmin(x):
 
 
 def gsize(x) -> jax.Array | int:
-    """Global element count (static per shard; psum over shards)."""
+    """Global element count (static per shard; psum over shards). The
+    active axis may be a TUPLE of mesh-axis names (multi-axis domain
+    decomposition)."""
     ax = current_axis()
     if ax is None:
         return x.size
+    if isinstance(ax, (tuple, list)):
+        n = 1
+        for a in ax:
+            n *= jax.lax.axis_size(a)
+        return x.size * n
     return x.size * jax.lax.axis_size(ax)
 
 

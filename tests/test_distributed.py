@@ -241,3 +241,59 @@ def test_chemistry_binning_per_shard():
     assert _rel(Td, ref.T) < 1e-12
     assert _rel(Yd, ref.Y) < 1e-12
     assert _rel(RRd, ref.RR) < 1e-9
+
+
+@pytest.mark.smoke
+def test_step_distributed_2x2x2_matches_single():
+    """Multi-axis domain decomposition (VERDICT r3 item 7): a (2, 2, 2)
+    device grid over a 3D box — per-axis ppermute halos on x, y AND z —
+    reproduces the single-device step (the reference's decomposePar
+    hierarchical decomposition role)."""
+    mech = load_mechanism(MECH)
+    dtype = jnp.float64
+    th = make_thermo(mech, dtype)
+    tr = make_transport(mech, dtype)
+    kin = make_kinetics(mech, dtype)
+    L = 2e-3
+    mesh = StructuredMesh.box([L, L, L], [8, 8, 8])
+    bc = (cyclic(), cyclic())
+    bz = (zero_gradient(), zero_gradient())
+    bcs_s = (bc, bc, bz)
+    bz_un = (fixed_value(0.0), fixed_value(0.0))
+    bcs_u = ((bc, bc, bz), (bc, bc, bz), (bc, bc, bz_un))
+    comb = Laminar(th, kin, ode_opts=RosenbrockOptions(
+        rtol=1e-4, atol=1e-8, max_steps=2000, grow=10.0))
+    solver = LowMachSolver(
+        mesh=mesh, thermo=th, transport=tr, combustion=comb,
+        bcs_U=bcs_u, bcs_p=bcs_s, bcs_h=bcs_s, bcs_Y=bcs_s, bcs_rho=bcs_s,
+        config=LowMachConfig(chemistry=True,
+                             inert_index=int(mech.species_index("N2"))))
+    ns = mech.n_species
+    Yf = np.zeros(ns)
+    iH2, iO2, iN2 = (mech.species_index(s) for s in ("H2", "O2", "N2"))
+    Yf[iH2], Yf[iO2], Yf[iN2] = 0.0285, 0.2264, 0.7451
+    X, Yg, Z = mesh.cell_centers(dtype)
+    r2 = (X - L / 2) ** 2 + (Yg - L / 2) ** 2 + (Z - L / 2) ** 2
+    T = jnp.where(r2 < (L / 4) ** 2, 1500.0, 800.0).astype(dtype)
+    p = jnp.full(mesh.shape, 101325.0, dtype)
+    Y = jnp.asarray(np.tile(Yf[:, None, None, None], (1,) + mesh.shape),
+                    dtype)
+    U = jnp.stack([2.0 * jnp.sin(2 * np.pi * X / L),
+                   -2.0 * jnp.cos(2 * np.pi * Yg / L),
+                   jnp.zeros(mesh.shape, dtype)])
+    s0 = solver.initial_state(p, T, Y, U)
+    dt = 1e-7
+    step1 = jax.jit(lambda s: solver.step(s, dt)[0])
+    s_ref = step1(step1(s0))
+
+    dist = DistributedLowMach(solver, mesh_shape=(2, 2, 2))
+    assert dist.n_shards == 8
+    ds = dist.shard_state(s0)
+    ds, _ = dist.step(ds, dt)
+    ds, _ = dist.step(ds, dt)
+    s_d = dist.gather_state(ds)
+    for name in ("rho", "U", "p", "ha", "Y", "T"):
+        a = np.asarray(getattr(s_ref, name))
+        b = np.asarray(getattr(s_d, name))
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-300)
+        assert rel < 1e-9, (name, rel)

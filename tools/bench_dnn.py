@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 matmuls with f32 accumulation (the "
+                         "reference device chemistry runs fp16)")
     args = ap.parse_args()
     from deepflame_tpu.runtime.platform import configure
     configure(args.platform, "f32")
@@ -52,7 +55,8 @@ def main():
         nets=init_params(jax.random.PRNGKey(0), ns),
         x_mean=jnp.zeros(ns + 2), x_std=jnp.ones(ns + 2),
         y_mean=jnp.zeros(ns - 1), y_std=jnp.full(ns - 1, 1e-12),
-        delta_t=dt, frozen_T=700.0)
+        delta_t=dt, frozen_T=700.0,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     comb = DNNChemistry(th, kin, net=net)
     solver = dataclasses.replace(solver, combustion=comb)
 
@@ -78,6 +82,7 @@ def main():
         "cell_updates_per_s": cells / wall,
         "mlp_flops_per_step": mlp_flops,
         "mlp_mfu_vs_bf16_peak": mfu,
+        "bf16": args.bf16,
         "compile_s": compile_s,
     }
     print(f"| {n}^3 | DNN chemistry (DF-ODENet in-loop) | "
