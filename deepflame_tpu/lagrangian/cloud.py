@@ -303,6 +303,12 @@ class SprayCloud:
     # dm = min(dt * A1 exp(-E/(R T)) * m_vol, m_vol) joins the gas phase
     devolatilisation: tuple = ()    # ((A1, E, Y0), ...)
     restitution: float = 0.7
+    # parcel update ordering. The reference's v1.4 "reordered mass/
+    # velocity/temperature update" (README.md:31; ReactingParcel.H:378
+    # calcPhaseChange before motion): mass_first computes phase change
+    # first and integrates drag/momentum exchange with the REDUCED parcel
+    # mass/diameter. False keeps the original velocity-first order.
+    mass_first: bool = False
     Sc_gas: float = 0.7
     Pr_gas: float = 0.7
     # ReitzDiwakar coefficients (the aachenBomb submodel defaults)
@@ -347,88 +353,12 @@ class SprayCloud:
                 & (pos[2] >= m.z0) & (pos[2] <= m.z0 + m.nz * m.dz))
 
     # ------------------------------------------------------------- evolve
-    def evolve(self, c: CloudState, gas: dict, dt,
-               time) -> tuple[CloudState, CloudSources]:
-        """One Lagrangian substep (parcels.evolve() parity).
 
-        gas: dict of cell fields rho, U (3,...), T, mu, p, (optionally Yv
-        fuel vapor mass fraction for the Spalding driving force).
-        """
-        inj = self.injector
-        liq = self.liquid
-        dtype = c.d.dtype
-        N = self.max_parcels
-
-        # ==== injection: K static slots per step, multiplicity matches mdot
-        key, k1, k2, k3 = jax.random.split(c.key, 4)
-        K = inj.parcels_per_step
-        slots = (c.inject_ptr + jnp.arange(K, dtype=jnp.int32)) % N
-        pos_inj, vel_inj, dm, mass_step, injecting = inj.sample(
-            (k1, k2, k3), time, dt, dtype)
-        m_drop = liq.rho(inj.T_inject) * jnp.pi / 6.0 * dm**3
-        n_per = jnp.where(injecting, mass_step / K / m_drop, 0.0)
-
-        def set_slots(arr, vals):
-            return arr.at[..., slots].set(jnp.where(injecting, vals,
-                                                    arr[..., slots]))
-
-        pos = set_slots(c.pos, pos_inj)
-        vel = set_slots(c.vel, vel_inj)
-        d = set_slots(c.d, dm)
-        Tp = set_slots(c.T, jnp.full((K,), inj.T_inject, dtype))
-        n_part = set_slots(c.n_part, n_per)
-        if self.devolatilisation:
-            Y0 = jnp.asarray([y0 for (_, _, y0) in self.devolatilisation],
-                             dtype)
-            m_vol = set_slots(c.m_vol, Y0[:, None] * m_drop[None, :])
-        else:
-            m_vol = c.m_vol
-        active = set_slots(c.active, jnp.where(injecting,
-                                               jnp.ones((K,), dtype), 0.0))
-        ptr = jnp.where(injecting, (c.inject_ptr + K) % N, c.inject_ptr)
-        m_injected = c.m_injected + jnp.where(injecting, mass_step, 0.0)
-
-        # ==== gas state at parcels (nearest cell)
-        ii, jj, kk = self._cell_index(pos)
-        g = lambda f: f[ii, jj, kk]
-        rho_g = g(gas["rho"])
-        T_g = g(gas["T"])
-        mu_g = g(gas["mu"])
-        p_g = g(gas["p"])
-        u_g = jnp.stack([g(gas["U"][a]) for a in range(3)])
-        Yv_g = g(gas["Yv"]) if "Yv" in gas else jnp.zeros_like(rho_g)
-
-        # ==== drag (Schiller-Naumann, analytically implicit)
+    def _phase_change(self, liq, gas, g, d, Tp, Re, rho_g, T_g, mu_g,
+                      p_g, Yv_g, dt):
+        """LiquidEvaporationBoil-parity phase change for one substep.
+        Returns (dm_dt, dm, m_new, m_d, (T_film, Sh, Nu, cp_c, kappa_c))."""
         rho_l = liq.rho(Tp)
-        rel = u_g - vel
-        rel_mag = jnp.sqrt(jnp.sum(rel**2, axis=0) + 1e-30)
-        Re = rho_g * rel_mag * d / jnp.maximum(mu_g, 1e-12)
-        if self.drag == "sphereDrag":
-            # OpenFOAM SphereDragForce (lagrangian/intermediate submodel):
-            # Cd Re/24 = 1 + Re^(2/3)/6 for Re < 1000, else 0.424 Re/24 —
-            # the singleDropletMotion validation cases use this law
-            Cd_Re24 = jnp.where(Re < 1000.0,
-                                1.0 + Re ** (2.0 / 3.0) / 6.0,
-                                0.424 * Re / 24.0)
-        else:                                     # Schiller-Naumann
-            Cd_Re24 = 1.0 + 0.15 * Re**0.687      # = Cd*Re/24
-        tau_p = rho_l * d**2 / (18.0 * jnp.maximum(mu_g, 1e-12) * Cd_Re24)
-        f_rel = dt / jnp.maximum(tau_p, 1e-12)
-        # gravity + buoyancy (particleForces gravity, GravityForce.C:
-        # g*(1 - rho_g/rho_l)): exact solution of
-        # dv/dt = (u_g - v)/tau_p + g_eff relaxes toward u_g + tau_p*g_eff
-        g_vec = jnp.asarray(self.gravity, vel.dtype)
-        if any(self.gravity):
-            g_eff = g_vec[:, None] * (1.0 - rho_g / rho_l)[None, :]
-        else:
-            g_eff = jnp.zeros((3, 1), vel.dtype)
-        rel_eq = rel + tau_p[None, :] * g_eff
-        vel_new = vel + rel_eq * (1.0 - jnp.exp(-f_rel))
-        # momentum exchanged with the GAS is the drag impulse only —
-        # gravity acts on the parcel from outside the two-phase system
-        dmom = (vel_new - vel) - g_eff * dt
-
-        # ==== evaporation
         m_d = rho_l * jnp.pi / 6.0 * d**3          # droplet mass
         # physical vapor diffusivity at film conditions (2/3 rule) — the
         # 1/p dependence is essential in pressurized chambers; the old
@@ -496,6 +426,105 @@ class SprayCloud:
                               jnp.where(saturated, 0.0, dm_dt_evap))
         dm = jnp.clip(dm_dt * dt, 0.0, 0.95 * m_d)
         m_new = m_d - dm
+        return dm_dt, dm, m_new, m_d, (T_film, Sh, Nu, cp_c, kappa_c)
+
+    def evolve(self, c: CloudState, gas: dict, dt,
+               time) -> tuple[CloudState, CloudSources]:
+        """One Lagrangian substep (parcels.evolve() parity).
+
+        gas: dict of cell fields rho, U (3,...), T, mu, p, (optionally Yv
+        fuel vapor mass fraction for the Spalding driving force).
+        """
+        inj = self.injector
+        liq = self.liquid
+        dtype = c.d.dtype
+        N = self.max_parcels
+
+        # ==== injection: K static slots per step, multiplicity matches mdot
+        key, k1, k2, k3 = jax.random.split(c.key, 4)
+        K = inj.parcels_per_step
+        slots = (c.inject_ptr + jnp.arange(K, dtype=jnp.int32)) % N
+        pos_inj, vel_inj, dm, mass_step, injecting = inj.sample(
+            (k1, k2, k3), time, dt, dtype)
+        m_drop = liq.rho(inj.T_inject) * jnp.pi / 6.0 * dm**3
+        n_per = jnp.where(injecting, mass_step / K / m_drop, 0.0)
+
+        def set_slots(arr, vals):
+            return arr.at[..., slots].set(jnp.where(injecting, vals,
+                                                    arr[..., slots]))
+
+        pos = set_slots(c.pos, pos_inj)
+        vel = set_slots(c.vel, vel_inj)
+        d = set_slots(c.d, dm)
+        Tp = set_slots(c.T, jnp.full((K,), inj.T_inject, dtype))
+        n_part = set_slots(c.n_part, n_per)
+        if self.devolatilisation:
+            Y0 = jnp.asarray([y0 for (_, _, y0) in self.devolatilisation],
+                             dtype)
+            m_vol = set_slots(c.m_vol, Y0[:, None] * m_drop[None, :])
+        else:
+            m_vol = c.m_vol
+        active = set_slots(c.active, jnp.where(injecting,
+                                               jnp.ones((K,), dtype), 0.0))
+        ptr = jnp.where(injecting, (c.inject_ptr + K) % N, c.inject_ptr)
+        m_injected = c.m_injected + jnp.where(injecting, mass_step, 0.0)
+
+        # ==== gas state at parcels (nearest cell)
+        ii, jj, kk = self._cell_index(pos)
+        g = lambda f: f[ii, jj, kk]
+        rho_g = g(gas["rho"])
+        T_g = g(gas["T"])
+        mu_g = g(gas["mu"])
+        p_g = g(gas["p"])
+        u_g = jnp.stack([g(gas["U"][a]) for a in range(3)])
+        Yv_g = g(gas["Yv"]) if "Yv" in gas else jnp.zeros_like(rho_g)
+
+        # ==== kinematic prelude (shared by drag and evaporation)
+        rho_l = liq.rho(Tp)
+        rel = u_g - vel
+        rel_mag = jnp.sqrt(jnp.sum(rel**2, axis=0) + 1e-30)
+        Re = rho_g * rel_mag * d / jnp.maximum(mu_g, 1e-12)
+
+        if self.mass_first:
+            # v1.4 parity: phase change first; drag sees the reduced mass
+            dm_dt, dm, m_new, m_d, evap_aux = self._phase_change(
+                liq, gas, g, d, Tp, Re, rho_g, T_g, mu_g, p_g, Yv_g, dt)
+            d_drag = (6.0 * m_new / (jnp.pi * rho_l)) ** (1.0 / 3.0)
+        else:
+            d_drag = d
+
+        # ==== drag (Schiller-Naumann, analytically implicit)
+        if self.drag == "sphereDrag":
+            # OpenFOAM SphereDragForce (lagrangian/intermediate submodel):
+            # Cd Re/24 = 1 + Re^(2/3)/6 for Re < 1000, else 0.424 Re/24 —
+            # the singleDropletMotion validation cases use this law
+            Cd_Re24 = jnp.where(Re < 1000.0,
+                                1.0 + Re ** (2.0 / 3.0) / 6.0,
+                                0.424 * Re / 24.0)
+        else:                                     # Schiller-Naumann
+            Cd_Re24 = 1.0 + 0.15 * Re**0.687      # = Cd*Re/24
+        tau_p = rho_l * d_drag**2 \
+            / (18.0 * jnp.maximum(mu_g, 1e-12) * Cd_Re24)
+        f_rel = dt / jnp.maximum(tau_p, 1e-12)
+        # gravity + buoyancy (particleForces gravity, GravityForce.C:
+        # g*(1 - rho_g/rho_l)): exact solution of
+        # dv/dt = (u_g - v)/tau_p + g_eff relaxes toward u_g + tau_p*g_eff
+        g_vec = jnp.asarray(self.gravity, vel.dtype)
+        if any(self.gravity):
+            g_eff = g_vec[:, None] * (1.0 - rho_g / rho_l)[None, :]
+        else:
+            g_eff = jnp.zeros((3, 1), vel.dtype)
+        rel_eq = rel + tau_p[None, :] * g_eff
+        vel_new = vel + rel_eq * (1.0 - jnp.exp(-f_rel))
+        # momentum exchanged with the GAS is the drag impulse only —
+        # gravity acts on the parcel from outside the two-phase system
+        dmom = (vel_new - vel) - g_eff * dt
+
+        # ==== evaporation (skipped here in mass_first order — already done)
+        if not self.mass_first:
+            dm_dt, dm, m_new, m_d, evap_aux = self._phase_change(
+                liq, gas, g, d, Tp, Re, rho_g, T_g, mu_g, p_g, Yv_g, dt)
+        T_film, Sh, Nu, cp_c, kappa_c = evap_aux
 
         # ==== devolatilisation (SingleKineticRateDevolatilisation parity:
         # dMassDV = min(dt * A1 exp(-E/(R T)) * massVolatile, massVolatile),

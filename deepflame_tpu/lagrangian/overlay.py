@@ -126,7 +126,7 @@ class OverlaySprayCloud:
             "mu": to_overlay(gas_fl["mu"]),
             "U": jnp.stack([to_overlay(U[a]) for a in range(3)]),
         }
-        for opt in ("Yv", "k_turb"):
+        for opt in ("Yv", "k_turb", "cp", "kappa"):
             if opt in gas_fl:
                 gas_over[opt] = to_overlay(gas_fl[opt])
 

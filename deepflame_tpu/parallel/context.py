@@ -26,10 +26,11 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["shard_axis", "current_axis", "gsum", "gmax", "gmin", "gmean",
-           "gsize", "cell_weight", "current_cell_weight"]
+           "gsize", "cell_weight", "current_cell_weight", "compensated"]
 
 _AXIS: list[str | None] = [None]
 _WEIGHT: list = [None]
+_COMP: list[bool] = [False]
 
 
 @contextlib.contextmanager
@@ -64,9 +65,28 @@ def current_axis() -> str | None:
     return _AXIS[-1]
 
 
+@contextlib.contextmanager
+def compensated(on: bool = True):
+    """Route every gsum/gmean (Krylov dots, residual norms, conservation
+    accounting) through the compensated two-float reduction
+    (ops/compensated.sum2) — the TPU accuracy tier's f64-class
+    accumulations without f64 hardware (VERDICT r3 item 9)."""
+    _COMP.append(on)
+    try:
+        yield
+    finally:
+        _COMP.pop()
+
+
 def gsum(x):
-    """Global sum of all elements (psum over the shard axis if active)."""
-    s = jnp.sum(x)
+    """Global sum of all elements (psum over the shard axis if active).
+    Under `with compensated():`, the local reduction is the two-float
+    block-Neumaier sum (f64-class accumulation in f32)."""
+    if _COMP[-1]:
+        from ..ops.compensated import sum2
+        s = sum2(x)
+    else:
+        s = jnp.sum(x)
     ax = current_axis()
     return jax.lax.psum(s, ax) if ax is not None else s
 

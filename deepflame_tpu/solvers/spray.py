@@ -181,8 +181,16 @@ class SprayFLSolver:
         gas = s.gas
         X = self.gas_solver.thermo.mole_fractions(gas.Y)
         mu = self.gas_solver.transport.mu_mix(gas.T, X)
+        # carrier cp/kappa at the parcels — the Bird htc correction and the
+        # boiling Spalding number need the ACTUAL carrier properties
+        # (LiquidEvaporationBoil.C:180-197); the structured SpraySolver has
+        # passed these since the round-3 phase-change parity work, and the
+        # two backends must feed the cloud identically
+        cp_c = self.gas_solver.thermo.cp_mass(gas.T, gas.Y)
+        kappa_c = self.gas_solver.transport.lambda_mix(gas.T, X)
         gas_fields = dict(rho=gas.rho, U=gas.U, T=gas.T, mu=mu, p=gas.p,
-                          Yv=gas.Y[:, self.fuel_index])
+                          Yv=gas.Y[:, self.fuel_index],
+                          cp=cp_c, kappa=kappa_c)
         if gas.turb:
             # RAS k for stochastic (DRW) turbulent dispersion
             gas_fields["k_turb"] = gas.turb[0]
