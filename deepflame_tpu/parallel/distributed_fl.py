@@ -45,7 +45,37 @@ from ..native import partition_slabs
 from ..solvers.low_mach_fl import LowMachFLState, LowMachSolverFL
 from .context import cell_weight, shard_axis
 
-__all__ = ["FLDecomp", "DistributedLowMachFL"]
+__all__ = ["FLDecomp", "DistributedLowMachFL", "block_order"]
+
+
+def block_order(centers, grid) -> np.ndarray:
+    """Recursive-coordinate-bisection cell ordering for a MULTI-AXIS
+    face-list decomposition (the hierarchical decomposePar role; VERDICT
+    r3 item 7): sort by x, split into grid[0] equal-count groups, sort
+    each by y, split into grid[1], then z — so FLDecomp's contiguous
+    equal-count slabs of this order ARE the (gx, gy, gz) spatial blocks,
+    and every downstream structure (halo sets, multi-offset ppermute
+    rings) follows from the assignment unchanged. Requires n divisible by
+    prod(grid) so the nested equal splits match FLDecomp's flat split."""
+    from ..native import partition_slabs as _slabs
+    centers = np.asarray(centers)
+    n = centers.shape[0]
+    Pn = int(np.prod(grid))
+    assert n % Pn == 0, (n, grid)
+    groups = [np.arange(n)]
+    for ax, g in enumerate(grid):
+        g = int(g)
+        if g == 1:
+            continue
+        nxt = []
+        for ids in groups:
+            o = ids[np.argsort(centers[ids, ax], kind="stable")]
+            st = _slabs(len(o), g)
+            nxt.extend(o[st[i]:st[i + 1]] for i in range(g))
+        groups = nxt
+    sizes = {len(g) for g in groups}
+    assert sizes == {n // Pn}, sizes
+    return np.concatenate(groups)
 
 
 def _patch_axis(normal: np.ndarray) -> int | None:

@@ -289,3 +289,54 @@ def test_fl_distributed_sandia_wedge_chemistry():
         ds, _ = dist.step(ds, dt)
     s8 = dist.gather_state(ds)
     _compare_states(s8, s1, tol=1e-9)
+
+
+def test_fl_distributed_2axis_blocks():
+    """Multi-axis FLDecomp (VERDICT r3 item 7): a (4, 2) recursive-
+    coordinate-bisection block decomposition over 8 devices — shards are
+    2D spatial blocks, halos ride multi-offset ppermute rings — matches
+    the single-device face-list solver to <= 1e-9."""
+    from deepflame_tpu.parallel.distributed_fl import block_order
+    mech = load_mechanism("/root/reference/mechanisms/H2/H2_Li.yaml")
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    n = 16
+    L = 2e-3
+    mesh = StructuredMesh.box([L, L, L / n], [n, n, 1])
+    b = ((cyclic(), cyclic()), (cyclic(), cyclic()), (empty(), empty()))
+    cfg = LowMachConfig(chemistry=True, div_scheme="upwind",
+                        inert_index=int(mech.species_index("N2")),
+                        use_pallas="never")
+    comb = Laminar(th, kin, ode_opts=RosenbrockOptions(rtol=1e-8, atol=1e-13))
+    sol = _fl_solver(mesh, (b, b, b), b, b, b, b, th, tr, comb, cfg)
+
+    ns = mech.n_species
+    iH2, iO2, iN2 = (mech.species_index(s) for s in ("H2", "O2", "N2"))
+    Yv = np.zeros(ns)
+    Yv[iH2], Yv[iO2], Yv[iN2] = 0.0285, 0.2264, 0.7451
+    X, Yg, _ = mesh.cell_centers()
+    r2 = (_flat(X) - L / 2) ** 2 + (_flat(Yg) - L / 2) ** 2
+    T0 = jnp.where(r2 < (L / 4) ** 2, 1600.0, 800.0)
+    p0 = jnp.full((mesh.n_cells,), 101325.0)
+    Y0 = jnp.asarray(np.tile(Yv[None], (mesh.n_cells, 1)))
+    U0 = jnp.stack([2.0 * jnp.sin(2 * jnp.pi * jnp.asarray(_flat(Yg)) / L),
+                    jnp.zeros(mesh.n_cells), jnp.zeros(mesh.n_cells)], 1)
+
+    s0 = sol.initial_state(p0, T0, Y0, U0)
+    dt = 5e-7
+    step1 = jax.jit(lambda st: sol.step(st, dt)[0])
+    s1 = step1(step1(s0))
+
+    order = block_order(np.asarray(sol.m_p.centers), (4, 2, 1))
+    # the order really is a (4, 2) block layout: each shard's cells span
+    # 1/4 of x and 1/2 of y
+    ctr = np.asarray(sol.m_p.centers)
+    for r in range(8):
+        ids = order[r * 32:(r + 1) * 32]
+        assert ctr[ids, 0].max() - ctr[ids, 0].min() < L / 4
+        assert ctr[ids, 1].max() - ctr[ids, 1].min() < L / 2
+    dist = DistributedLowMachFL(sol, n_shards=8, order=order)
+    ds = dist.shard_state(s0)
+    ds, _ = dist.step(ds, dt)
+    ds, _ = dist.step(ds, dt)
+    s8 = dist.gather_state(ds)
+    _compare_states(s8, s1, tol=1e-9)
