@@ -667,8 +667,21 @@ class LowMachSolverFL:
     def _grad_coeff(self, q):
         """Gauss gradient of coefficient field(s): boundary face value =
         owner value (structured bcs_coeff role). Batched: q (n,) -> (n, 3)
-        or q (n, k) -> (n, k, 3) through one wide gather/scatter."""
+        or q (n, k) -> (n, k, 3) through one wide gather/scatter. Plan
+        meshes loop columns (fused slab stencils) — the (nf, k, 3) face
+        tensor would relayout hundreds of MB at production sizes."""
         m = self.m_p
+        if m.plan is not None and q.ndim == 2:
+            return jnp.stack([self._grad_coeff(q[:, j])
+                              for j in range(q.shape[1])], axis=1)
+        if m.plan is not None:
+            out = m.plan_grad_interior(q)                    # (n, 3)
+            for p_ in m.patches:
+                fb = q[p_.owner] * p_.mag_sf
+                out = out + jax.ops.segment_sum(
+                    fb[:, None] * p_.normal, p_.owner,
+                    num_segments=m.n_cells)
+            return m.restrict(out) / m.vol_local[:, None]
         qf = interpolate_fl(m, q)                            # (nf, ...)
         sf_vec = m.mag_sf[:, None] * m.normal                # (nf, 3)
         fv = qf[..., None] * sf_vec.reshape(
