@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..mesh.facelist import FaceListMesh
 
-__all__ = ["FvMatrixFL", "interpolate_fl", "grad_fl", "grad_multi_fl",
+__all__ = ["FvMatrixFL", "apply_stencil_lattice",
+           "interpolate_fl", "grad_fl", "grad_multi_fl",
            "div_flux_fl",
            "flux_of_fl", "sngrad_fl", "fvm_ddt_fl", "fvm_div_fl",
            "fvm_laplacian_fl", "fvm_source_implicit_fl",
@@ -302,6 +303,20 @@ def interpolate_skew_fl(m: FaceListMesh, x: jax.Array,
     return xf + jnp.sum(m.skew * gf, axis=1)
 
 
+def apply_stencil_lattice(X: jax.Array, diag_lat: jax.Array,
+                          terms) -> jax.Array:
+    """Variable-coefficient stencil matvec on the cell lattice (the
+    FvMatrixFL.plan_stencil form). roll(-1) reads the +ax neighbour —
+    garbage wrapped into the last plane of non-cyclic axes multiplies a
+    zero coefficient (and is always finite: it is another plane of X).
+    The whole expression is one XLA fusion: 7 shifted reads, 7 coefficient
+    reads, 1 write — no serialized in-place slab updates."""
+    out = diag_lat * X
+    for ax, U, L in terms:
+        out = out + U * jnp.roll(X, -1, axis=ax) + L * jnp.roll(X, 1, axis=ax)
+    return out
+
+
 # ----------------------------------------------------- implicit (FvMatrixFL)
 
 @dataclasses.dataclass(frozen=True)
@@ -341,22 +356,50 @@ class FvMatrixFL:
         return self.diag_c * x + off / m.volumes
 
     def _apply_plan(self, x: jax.Array) -> jax.Array:
-        """Shift-plan matvec: pure slab multiply-adds on the cell lattice —
-        no (nf,) face temporaries, no concat. Inside a Krylov while_loop
-        the slab coefficient reshapes are loop-invariant (XLA LICM hoists
-        them), so each iteration is a fused 7-point stencil — the same
-        shape the structured backend's Pallas Helmholtz covers."""
+        """Shift-plan matvec via the lattice-resident stencil form (see
+        plan_stencil): one fused roll-stencil expression instead of 12
+        serialized slab updates."""
+        diag_lat, terms = self.plan_stencil()
+        X = x.reshape(self.mesh.plan.shape)
+        return apply_stencil_lattice(X, diag_lat, terms).reshape(-1)
+
+    def plan_stencil(self, scale: jax.Array | None = None):
+        """Lattice-resident stencil coefficients (plan meshes only):
+        (diag_lat, ((ax, U, L), ...)) with the 1/V row scaling folded in,
+        so the matvec is ONE fused expression over rolled views:
+
+            out = diag_lat * X + sum_ax U_ax * roll(X, -1, ax)
+                                        + L_ax * roll(X, +1, ax)
+
+        U_ax[c] is the coefficient of the +ax neighbour in row c (zero on
+        the last plane of non-cyclic axes; the wrap face's coefficient
+        there on cyclic axes — roll supplies exactly the wrapped value).
+        Precompute ONCE per solve and close over it: the coefficient
+        reshapes/pads leave the Krylov while_loop entirely, and each
+        iteration is a single 7-point stencil pass (the shape the
+        structured backend's Pallas Helmholtz kernel covers — the round-4
+        face-list profile put ~69% of the FV step in these loops).
+        `scale`: optional per-cell row scaling (the pEqn's V/V_mean
+        symmetrization), folded into every coefficient."""
         from ..mesh.facelist import _lattice_shape, _plan_segments
         m = self.mesh
         pl = m.plan
-        X = x.reshape(pl.shape)
-        out = (self.diag_c * x).reshape(pl.shape)
-        invV = (1.0 / m.volumes).reshape(pl.shape)
+        shape = pl.shape
+        dt = self.diag_c.dtype
+        invV = (1.0 / m.volumes).reshape(shape)
+        row = invV if scale is None else invV * scale.reshape(shape)
+        diag_lat = self.diag_c.reshape(shape)
+        if scale is not None:
+            diag_lat = diag_lat * scale.reshape(shape)
+        acc: dict[int, tuple] = {}
         for ax, is_wrap, start, count in _plan_segments(pl):
-            n_ax = pl.shape[ax]
-            lat = _lattice_shape(pl.shape, ax, is_wrap)
+            n_ax = shape[ax]
+            lat = _lattice_shape(shape, ax, is_wrap)
             up = self.upper[start:start + count].reshape(lat)
             lo = self.lower[start:start + count].reshape(lat)
+            if ax not in acc:
+                acc[ax] = (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+            U, L = acc[ax]
             sl_o = [slice(None)] * 3
             sl_n = [slice(None)] * 3
             if is_wrap:
@@ -365,10 +408,11 @@ class FvMatrixFL:
             else:
                 sl_o[ax] = slice(0, n_ax - 1)
                 sl_n[ax] = slice(1, n_ax)
-            sl_o, sl_n = tuple(sl_o), tuple(sl_n)
-            out = out.at[sl_o].add(up * X[sl_n] * invV[sl_o])
-            out = out.at[sl_n].add(lo * X[sl_o] * invV[sl_n])
-        return out.reshape(-1)
+            acc[ax] = (U.at[tuple(sl_o)].add(up),
+                       L.at[tuple(sl_n)].add(lo))
+        terms = tuple((ax, U * row, L * row)
+                      for ax, (U, L) in sorted(acc.items()))
+        return diag_lat, terms
 
     def rhs(self) -> jax.Array:
         return self.source

@@ -166,6 +166,23 @@ def solve_fvmatrix(eqn, x0: jax.Array, symmetric: bool = False,
     b = eqn.rhs()
     apply = eqn.apply
     mesh = getattr(eqn, "mesh", None)
+    plan = getattr(mesh, "plan", None) if mesh is not None else None
+    if plan is not None:
+        # shift-plan (tensor-product) face-list mesh: run the ENTIRE Krylov
+        # loop lattice-resident. Coefficients are precomputed once here
+        # (plan_stencil) so each while_loop iteration is a single fused
+        # 7-point stencil pass, and the flat<->lattice relayout reshapes
+        # happen exactly twice per solve instead of twice per iteration.
+        from .fv_facelist import apply_stencil_lattice
+        diag_lat, terms = eqn.plan_stencil()
+        A = lambda X: apply_stencil_lattice(X, diag_lat, terms)
+        d_inv = 1.0 / jnp.where(jnp.abs(diag_lat) > 1e-300, diag_lat, 1.0)
+        M_inv = lambda r: d_inv * r
+        solver = cg if symmetric else bicgstab
+        res = solver(A, b.reshape(plan.shape), x0.reshape(plan.shape),
+                     M_inv, tol, rel_tol, max_iter)
+        return SolverResult(res.x.reshape(-1), res.initial_residual,
+                            res.final_residual, res.iterations)
     if mesh is not None and getattr(mesh, "w_own", None) is not None:
         # shard-local face-list mesh: halo/pad rows are not this shard's
         # equations — zero them out of b and A so every Krylov reduction

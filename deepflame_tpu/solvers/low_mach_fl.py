@@ -767,7 +767,17 @@ class LowMachSolverFL:
             # restrict: on a shard-local mesh, halo/pad rows are not this
             # shard's equations — zero them out of A(x) and b so every
             # Krylov psum reduction sums exactly the globally-owned rows
-            if self.p_ell is not None and m.plan is None:
+            plan_shape = m.plan.shape if m.plan is not None else None
+            if plan_shape is not None:
+                # lattice-resident pressure CG (see ops/linsolve plan path):
+                # coefficients precomputed once with the Vn symmetrization
+                # folded in; each CG iteration is one fused stencil pass
+                # with NO flat<->lattice relayouts inside the while_loop.
+                from ..ops.fv_facelist import apply_stencil_lattice
+                diag_lat, stencil_terms = eqn_p.plan_stencil(scale=Vn)
+                apply_v = lambda X: apply_stencil_lattice(X, diag_lat,
+                                                          stencil_terms)
+            elif self.p_ell is not None:
                 nbr_e, coef_e = eqn_p.ell(conn=self.p_ell)
                 # Mosaic's gather primitive is take_along_axis-shaped only
                 # (same-shape 2D input/indices), so the arbitrary-index ELL
@@ -785,6 +795,14 @@ class LowMachSolverFL:
                 # invariant to scalar scaling of M, so the V-scaled
                 # hierarchy preconditions the Vn-scaled system directly
                 M_inv = self.p_mg.preconditioner(eqn_p, m.volumes)
+                if plan_shape is not None:
+                    M_flat = M_inv
+                    M_inv = lambda R: M_flat(R.reshape(-1)).reshape(
+                        plan_shape)
+            elif plan_shape is not None:
+                d_inv = 1.0 / jnp.where(jnp.abs(diag_lat) > 1e-300,
+                                        diag_lat, 1.0)
+                M_inv = lambda r: d_inv * r
             else:
                 d_p = eqn_p.diag() * Vn
                 d_inv = 1.0 / jnp.where(jnp.abs(d_p) > 1e-300, d_p, 1.0)
@@ -804,11 +822,18 @@ class LowMachSolverFL:
                 src_no = (laplacian_nonortho_corr_fl(m, rhorAUf, p,
                                                      gamma_b=rhorAU_b)
                           if has_no else 0.0)
-                res_p = cg(apply_v,
-                           m.restrict((eqn_p.rhs() + src_no) * Vn), p,
-                           M_inv, tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
-                           max_iter=cfg.max_iter_p)
-                p = res_p.x
+                b_p = m.restrict((eqn_p.rhs() + src_no) * Vn)
+                if plan_shape is not None:
+                    res_p = cg(apply_v, b_p.reshape(plan_shape),
+                               p.reshape(plan_shape), M_inv,
+                               tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
+                               max_iter=cfg.max_iter_p)
+                    p = res_p.x.reshape(-1)
+                else:
+                    res_p = cg(apply_v, b_p, p,
+                               M_inv, tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
+                               max_iter=cfg.max_iter_p)
+                    p = res_p.x
                 if p_res is None:
                     p_res = res_p.initial_residual
                 if stats is not None:
