@@ -32,6 +32,34 @@ __all__ = ["RosenbrockOptions", "rosenbrock_integrate"]
 _ROS_D = 1.0 / (2.0 + 2.0**0.5)
 _ROS_E32 = 6.0 + 2.0**0.5
 
+# L-stable 4-stage order-4 Rosenbrock (ROS4) with an embedded order-3
+# estimate, for the reference-grade tolerance tier: the error estimate is
+# O(dt^4) locally (vs ode23s's O(dt^3)), so the controller's dt scales as
+# tol^(1/4) instead of tol^(1/3) — substantially fewer substeps at
+# rtol <= 1e-6 at near-identical per-substep cost (the same ONE Jacobian +
+# ONE Gauss-Jordan inverse; one extra W_inv solve and three cheap J@v
+# einsums). Coefficients derived + order-verified by tools/derive_ros4.py:
+# the 8 autonomous order-4 conditions solved with gamma the L-stability
+# root of g^4-4g^3+3g^2-(2/3)g+1/24, structure a4j = a3j (F4 = F3, three
+# RHS evaluations), and the [1; beta; alpha^2; B] moment matrix made
+# singular so an embedded order-3 b-hat exists on the same stages.
+# Observed convergence order 3.93-3.99 (non-stiff nonlinear test); the
+# usual stiff order reduction to ~3 still beats ode23s's 2.
+_R4_G = 0.572816062482135
+_R4_A21 = 0.5
+_R4_A31 = -0.7361196555332076
+_R4_A32 = 1.7361196555332077
+_R4_G21 = -0.7278829824396041
+_R4_G31 = -0.6385225800103846
+_R4_G32 = -0.3124952497020243
+_R4_G41 = 0.7179640104563134
+_R4_G42 = 0.16039078642619697
+_R4_G43 = -1.3190296151055532
+_R4_B = (0.16666666665853, 0.6666666666766059,
+         0.02765774684458492, 0.13900891982034194)
+_R4_E = (-0.7499999999999577, 1.0,
+         -0.7205237842112873, 0.47052378421121177)   # b - b_hat
+
 
 class RosenbrockOptions(NamedTuple):
     rtol: float = 1e-6
@@ -42,6 +70,9 @@ class RosenbrockOptions(NamedTuple):
     safety: float = 0.9
     grow: float = 5.0
     shrink: float = 0.2
+    # stiff-tier method order: 2 = ode23s (default), 4 = ROS4 (the
+    # reference-grade tier's pick — fewer substeps at tight tolerance)
+    order: int = 2
 
 
 def _gj_inverse(W):
@@ -225,6 +256,8 @@ def rosenbrock_integrate_batched(rhs_b: Callable, y0: jax.Array,
         return jnp.logical_and(jnp.any(t < t_end * (1.0 - 1e-12)),
                                nstep < opts.max_steps)
 
+    p_est = 4.0 if opts.order == 4 else 3.0   # error-estimate order
+
     def body(carry):
         y, t, dt, en_prev, rej, nstep = carry
         act = t < t_end * (1.0 - 1e-12)               # (L,)
@@ -232,7 +265,8 @@ def rosenbrock_integrate_batched(rhs_b: Callable, y0: jax.Array,
         dt_c = jnp.maximum(dt_c, jnp.asarray(opts.dt_min, dtype))
         f0, jac = jac_and_f(y)
         eye = jnp.eye(n, dtype=dtype)
-        W = eye[None] - (dt_c[:, None, None] * _ROS_D) * jac
+        d_gamma = _R4_G if opts.order == 4 else _ROS_D
+        W = eye[None] - (dt_c[:, None, None] * d_gamma) * jac
         W_inv = _inverse_batched_dispatch(W)          # (n, n, L)
         solve = lambda b: jnp.einsum("nml,lm->ln", W_inv, b)
         k1 = solve(f0)
@@ -241,12 +275,29 @@ def rosenbrock_integrate_batched(rhs_b: Callable, y0: jax.Array,
         f0n = jnp.sqrt(jnp.mean(f0 * f0, axis=1))
         solve_ok = (jnp.sqrt(jnp.mean((Wk1 - f0) ** 2, axis=1))
                     <= _SOLVE_RES_MAX * (f0n + 1e-300))
-        f1 = rhs_b(y + (0.5 * dt_c)[:, None] * k1)
-        k2 = solve(f1 - k1) + k1
-        y_new = y + dt_c[:, None] * k2
-        f2 = rhs_b(y_new)
-        k3 = solve(f2 - _ROS_E32 * (k2 - f1) - 2.0 * (k1 - f0))
-        err = (dt_c / 6.0)[:, None] * (k1 - 2.0 * k2 + k3)
+        if opts.order == 4:
+            # ROS4 (see coefficient block above): same Jacobian + inverse,
+            # four solves, three RHS evaluations (F4 reuses F3), three J@v
+            # products for the dt*J*sum(g_ij k_j) stage sources.
+            jv = lambda v: jnp.einsum("lnm,lm->ln", jac, v)
+            dtc = dt_c[:, None]
+            F2 = rhs_b(y + dtc * (_R4_A21 * k1))
+            k2 = solve(F2 + dtc * jv(_R4_G21 * k1))
+            F3 = rhs_b(y + dtc * (_R4_A31 * k1 + _R4_A32 * k2))
+            k3 = solve(F3 + dtc * jv(_R4_G31 * k1 + _R4_G32 * k2))
+            k4 = solve(F3 + dtc * jv(_R4_G41 * k1 + _R4_G42 * k2
+                                     + _R4_G43 * k3))
+            y_new = y + dtc * (_R4_B[0] * k1 + _R4_B[1] * k2
+                               + _R4_B[2] * k3 + _R4_B[3] * k4)
+            err = dtc * (_R4_E[0] * k1 + _R4_E[1] * k2
+                         + _R4_E[2] * k3 + _R4_E[3] * k4)
+        else:
+            f1 = rhs_b(y + (0.5 * dt_c)[:, None] * k1)
+            k2 = solve(f1 - k1) + k1
+            y_new = y + dt_c[:, None] * k2
+            f2 = rhs_b(y_new)
+            k3 = solve(f2 - _ROS_E32 * (k2 - f1) - 2.0 * (k1 - f0))
+            err = (dt_c / 6.0)[:, None] * (k1 - 2.0 * k2 + k3)
         scale = opts.atol + opts.rtol * jnp.maximum(jnp.abs(y),
                                                     jnp.abs(y_new))
         enorm = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=1))
@@ -256,12 +307,13 @@ def rosenbrock_integrate_batched(rhs_b: Callable, y0: jax.Array,
         accept = jnp.logical_and(accept, solve_ok)
         accept = jnp.logical_and(accept, act)
         # PI (Gustafsson) controller: the integral-only factor
-        # enorm^(-1/3) oscillates at the stability boundary (accept/reject
+        # enorm^(-1/p) oscillates at the stability boundary (accept/reject
         # limit cycles — the dominant waste at tight tolerances). Blend in
-        # the previous accepted error (beta1 = 0.7/p, beta2 = 0.4/p, p = 3)
-        # and never grow on the step right after a rejection.
-        pi_fac = opts.safety * enorm ** (-0.7 / 3.0) * en_prev ** (0.4 / 3.0)
-        i_fac = opts.safety * enorm ** (-1.0 / 3.0)
+        # the previous accepted error (beta1 = 0.7/p, beta2 = 0.4/p,
+        # p = estimate order) and never grow right after a rejection.
+        pi_fac = (opts.safety * enorm ** (-0.7 / p_est)
+                  * en_prev ** (0.4 / p_est))
+        i_fac = opts.safety * enorm ** (-1.0 / p_est)
         factor = jnp.where(accept, pi_fac, jnp.minimum(i_fac, 1.0))
         factor = jnp.clip(factor, opts.shrink, opts.grow)
         factor = jnp.where(rej, jnp.minimum(factor, 1.0), factor)

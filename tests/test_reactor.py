@@ -133,6 +133,39 @@ def test_solve_chemistry_batch(setup):
     assert float(res.Qdot[3]) > 0.0
 
 
+def test_solve_chemistry_ros4_matches_ode23s(setup):
+    """The order-4 stiff tier (RosenbrockOptions(order=4), the
+    reference-grade tolerance pick) reproduces the ode23s trajectory:
+    both at rtol 1e-6 must land within the tolerance envelope of a tight
+    rtol-1e-9 reference through H2 ignition."""
+    mech, th, kin = setup
+    Yh = h2_air(mech)
+    n = 32
+    rng = np.random.default_rng(1)
+    T = jnp.asarray(rng.uniform(900.0, 1900.0, n))
+    p = jnp.full(n, 101325.0)
+    Y = jnp.asarray(np.stack([Yh] * n))
+    dt = 2e-5
+    # fast_tier off: exercise the stiff integrator on every lane
+    ref = solve_chemistry(th, kin, T, p, Y, dt, n_bins=1, fast_tier=False,
+                          opts=RosenbrockOptions(rtol=1e-9, atol=1e-15,
+                                                 max_steps=200_000))
+    r2 = solve_chemistry(th, kin, T, p, Y, dt, n_bins=1, fast_tier=False,
+                         opts=RosenbrockOptions(rtol=1e-6, atol=1e-12,
+                                                order=2))
+    r4 = solve_chemistry(th, kin, T, p, Y, dt, n_bins=1, fast_tier=False,
+                         opts=RosenbrockOptions(rtol=1e-6, atol=1e-12,
+                                                order=4))
+    # trajectory agreement: through ignition the endpoint is tolerance-
+    # limited; 1e-3 relative on T is the ode23s tier's own envelope
+    np.testing.assert_allclose(np.asarray(r4.T), np.asarray(ref.T),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(r2.T), np.asarray(ref.T),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(r4.Y), np.asarray(ref.Y),
+                               rtol=5e-3, atol=1e-6)
+
+
 def test_solve_chemistry_sort_modes_agree(setup):
     """Binning by warm-start dt (sort='dt') must reproduce the
     temperature-sorted grouping: each lane integrates independently, so
