@@ -132,13 +132,28 @@ class DFODENet:
 
     def _fused_mlp_chunked(self, x):
         """Flatten the batch and run _fused_mlp in `chunk`-lane pieces so
-        peak activation memory is bounded (lax.map serializes chunks)."""
+        peak activation memory is bounded (lax.map serializes chunks).
+        On TPU the whole thing runs instead as ONE Pallas kernel whose
+        hidden activations never leave VMEM (ops/pallas_kernels.
+        mlp_fused_lanes) — the chunked XLA path's inter-layer HBM
+        round-trips are what capped round 4's first DNN bench at 24% MFU."""
         lead = x.shape[:-1]
         F = x.shape[-1]
         B = 1
         for d in lead:
             B *= d
         xf = x.reshape(B, F)
+        if (jax.devices()[0].platform == "tpu"
+                and len(self.nets[0]) == 4 and x.dtype.itemsize <= 4):
+            from ..ops.pallas_kernels import mlp_fused_lanes
+            Ws = [jnp.stack([net[l][0] for net in self.nets])
+                  for l in range(4)]
+            bias = [jnp.stack([net[l][1] for net in self.nets])
+                    for l in range(4)]
+            cd = self.compute_dtype if self.compute_dtype is not None \
+                else x.dtype
+            out = mlp_fused_lanes(xf, Ws, bias, compute_dtype=cd)
+            return out.reshape(lead + (-1,))
         if self.chunk is None or B <= self.chunk:
             return self._fused_mlp(xf).reshape(lead + (-1,))
         C = self.chunk

@@ -21,7 +21,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["helmholtz_apply", "helmholtz_apply_tiled", "fits_vmem",
-           "fits_vmem_tiled", "gj_inverse_lanes", "ell_matvec"]
+           "fits_vmem_tiled", "gj_inverse_lanes", "ell_matvec",
+           "mlp_fused_lanes"]
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                w4_ref, b4_ref, out_ref, *, compute_dtype):
+    """One (species, lane-block) program of the fused DF-ODENet MLP:
+    x (Bt, F) -> gelu(x@W1+b1) -> gelu(@W2+b2) -> gelu(@W3+b3) -> @W4+b4.
+
+    ALL hidden activations live in VMEM for the block's lifetime — the XLA
+    path writes each (S, B, 1600)-shaped layer output to HBM and reads it
+    back for the next matmul (the measured bottleneck: activation traffic
+    ~90 kB/lane vs ~22 B/lane of x/out). Matmuls run on the MXU in
+    `compute_dtype` (bf16) with f32 accumulation."""
+    cd = compute_dtype
+    f32 = jnp.float32
+    h = x_ref[:].astype(cd)
+    for w_ref, b_ref, last in ((w1_ref, b1_ref, False),
+                               (w2_ref, b2_ref, False),
+                               (w3_ref, b3_ref, False),
+                               (w4_ref, b4_ref, True)):
+        W = w_ref[0].astype(cd)                       # (in, out)
+        h = jax.lax.dot_general(h, W, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+        h = h + b_ref[0].astype(f32)[None, :]
+        if not last:
+            h = jax.nn.gelu(h, approximate=False).astype(cd)
+    out_ref[0, :] = h[:, 0].astype(out_ref.dtype)
+
+
+def mlp_fused_lanes(x: jax.Array, Ws, bs, compute_dtype=jnp.bfloat16,
+                    block: int = 512, interpret: bool = False) -> jax.Array:
+    """Fused stacked-species MLP: x (B, F) through S parallel [F, 1600,
+    800, 400, 1] nets -> (B, S).
+
+    Ws: 4 stacked weights [(S,F,1600), (S,1600,800), (S,800,400),
+    (S,400,1)]; bs: matching stacked biases [(S,o)...]. Grid is
+    (S, B/block) with the lane-block loop INNERMOST, so each species'
+    weights are fetched into VMEM once and stay resident across every
+    lane block (weight traffic = S x 3.2 MB total, not per block).
+    Replaces the lax.map-chunked XLA path whose inter-layer activations
+    round-trip HBM (~3x the matmul time at 96^3)."""
+    B, F = x.shape
+    S = Ws[0].shape[0]
+    pad = (-B) % block
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    Bp = B + pad
+    ms = pl.ANY if interpret else pltpu.VMEM
+    bs_spec = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=ms)
+    import functools
+    kern = functools.partial(_mlp_kernel, compute_dtype=compute_dtype)
+    in_specs = [bs_spec((block, F), lambda i, j: (j, 0))]
+    for W, b in zip(Ws, bs):
+        in_specs.append(bs_spec((1,) + W.shape[1:], lambda i, j: (i, 0, 0)))
+        in_specs.append(bs_spec((1,) + b.shape[1:], lambda i, j: (i, 0)))
+    out = pl.pallas_call(
+        kern,
+        grid=(S, Bp // block),
+        in_specs=in_specs,
+        out_specs=bs_spec((1, block), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((S, Bp), x.dtype),
+        interpret=interpret,
+    )(xp, *[a for Wb in zip(Ws, bs) for a in Wb])
+    return out[:, :B].T
 
 
 def ell_matvec(x: jax.Array, diag: jax.Array, nbr: jax.Array,
