@@ -340,3 +340,89 @@ def test_fl_distributed_2axis_blocks():
     ds, _ = dist.step(ds, dt)
     s8 = dist.gather_state(ds)
     _compare_states(s8, s1, tol=1e-9)
+
+
+def test_block_order_uneven():
+    """block_order handles n NOT divisible by prod(grid) (VERDICT r4 item
+    9): leaf groups align exactly with partition_slabs(n, P) boundaries,
+    every group balanced to within one cell, the order a permutation."""
+    from deepflame_tpu.native import partition_slabs
+    from deepflame_tpu.parallel.distributed_fl import block_order
+    rng = np.random.default_rng(3)
+    n = 5170                       # the Sandia wedge's cell count
+    centers = rng.normal(size=(n, 3))
+    grid = (2, 2, 1)
+    order = block_order(centers, grid)
+    assert sorted(order.tolist()) == list(range(n))
+    starts = partition_slabs(n, 4)
+    sizes = np.diff(starts)
+    assert sizes.max() - sizes.min() <= 1
+    # each flat slab of the order is a spatial block: slab j's x range and
+    # y range are each about half the domain (block layout, not x-slabs)
+    for j in range(4):
+        ids = order[starts[j]:starts[j + 1]]
+        xr = centers[ids, 0].max() - centers[ids, 0].min()
+        yr = centers[ids, 1].max() - centers[ids, 1].min()
+        full_x = centers[:, 0].max() - centers[:, 0].min()
+        full_y = centers[:, 1].max() - centers[:, 1].min()
+        assert xr < 0.75 * full_x, (j, xr, full_x)
+        assert yr < 0.75 * full_y, (j, yr, full_y)
+
+
+def test_fl_distributed_sandia_wedge_2x2_blocks():
+    """UNEVEN multi-axis decomposition on a real mesh (VERDICT r4 item 9):
+    the Sandia D blockMesh wedge (5,170 cells — divisible by no useful
+    device grid) decomposed into (2, 1, 2) radial x axial blocks over 4
+    devices matches the single-device face-list solver to <= 1e-9."""
+    from deepflame_tpu.mesh.blockmesh import read_blockmesh
+    from deepflame_tpu.parallel.distributed_fl import block_order
+
+    mech = load_mechanism(os.path.join(DATA, "air.yaml"))
+    th, tr, kin = make_thermo(mech), make_transport(mech), make_kinetics(mech)
+    gm = read_blockmesh(SANDIA_DICT)
+    names = gm.patch_names
+    zg = zero_gradient()
+    bc_p = {n: zg for n in names}
+    bc_p["outlet"] = fixed_value(1e5)
+    bc_s = {n: zg for n in names}
+
+    def u_bcs(c):
+        d = {}
+        for n in names:
+            if n.startswith("inlet") or n.startswith("wall"):
+                d[n] = fixed_value(0.5 if (c == 2 and n.startswith("inlet"))
+                                   else 0.0)
+            else:
+                d[n] = zg
+        return d
+
+    cfg = LowMachConfig(chemistry=False, div_scheme="upwind",
+                        use_pallas="never")
+    comb = NoCombustion(th, kin)
+    sol = LowMachSolverFL(
+        m_p=gm.with_bcs(bc_p), m_h=gm.with_bcs(bc_s),
+        m_Y=gm.with_bcs(bc_s), m_rho=gm.with_bcs(bc_s),
+        m_U=tuple(gm.with_bcs(u_bcs(c)) for c in range(3)),
+        thermo=th, transport=tr, combustion=comb, config=cfg)
+
+    nc = gm.n_cells
+    assert nc % 4 != 0          # the point of the test: an uneven split
+    centers = np.asarray(gm.with_bcs(bc_s).centers)
+    T0 = jnp.asarray(800.0 + 200.0 * np.exp(
+        -((centers[:, 2] - 0.05) ** 2) / 1e-3))
+    p0 = jnp.full((nc,), 1e5)
+    Y0 = jnp.ones((nc, 1))
+    U0 = jnp.zeros((nc, 3)).at[:, 2].set(0.5)
+
+    s0 = sol.initial_state(p0, T0, Y0, U0)
+    dt = 2e-6
+    step1 = jax.jit(lambda st: sol.step(st, dt)[0])
+    s1 = step1(step1(s0))
+
+    order = block_order(centers, (2, 1, 2))
+    dist = DistributedLowMachFL(sol, n_shards=4, order=order)
+    ds = dist.shard_state(s0)
+    ds, _ = dist.step(ds, dt)
+    ds, _ = dist.step(ds, dt)
+    s4 = dist.gather_state(ds)
+    _compare_states(s4, s1, tol=1e-9)

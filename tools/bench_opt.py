@@ -1,0 +1,84 @@
+"""Round-5 optimization probes on the 96^3 flagship config (one TPU chip).
+
+Measures, per variant, 5-step wall time + Krylov iteration counts from the
+step diagnostics — targeting the two profiled hotspots from BENCH.md's
+roofline note: pressure-CG iteration count and chemistry substep shaping.
+
+Usage: python tools/bench_opt.py [--n 96] [--variants jacobi,mg]
+"""
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import _build_3d_les
+
+
+def run_variant(solver, state0, dt, n_steps=5, label=""):
+    step = jax.jit(lambda s: solver.step(s, dt))
+    t0 = time.perf_counter()
+    s, d = step(state0)
+    jax.block_until_ready(s)
+    t_compile = time.perf_counter() - t0
+    state = s
+    iters = {k: 0.0 for k in ("iters_p", "iters_U", "iters_Y", "iters_h")}
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, d = step(state)
+    jax.block_until_ready(state)
+    t1 = time.perf_counter()
+    for k in iters:
+        if k in d:
+            iters[k] = float(d[k])
+    ms = (t1 - t0) / n_steps * 1e3
+    n = state.T.shape[0]
+    cups = n ** 3 / ((t1 - t0) / n_steps)
+    print(f"{label:24s} step {ms:8.2f} ms  {cups/1e6:6.3f} Mcu/s  "
+          f"compile {t_compile:6.1f} s  last-step iters: "
+          + " ".join(f"{k.split('_')[1]}={iters[k]:.0f}" for k in iters),
+          flush=True)
+    return ms, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=96)
+    ap.add_argument("--variants", default="jacobi,mg")
+    ap.add_argument("--steps", type=int, default=5)
+    args = ap.parse_args()
+
+    solver, state = _build_3d_les(n=args.n, dtype=jnp.float32)
+    dt = 2.5e-7
+    # one warm step like bench.py, shared across variants
+    warm = jax.jit(lambda s: solver.step(s, dt)[0])
+    state = jax.block_until_ready(warm(state))
+
+    for v in args.variants.split(","):
+        v = v.strip()
+        if v == "jacobi":
+            sol = solver
+        elif v == "mg":
+            sol = dataclasses.replace(
+                solver, config=dataclasses.replace(solver.config,
+                                                   p_precond="mg"))
+        elif v == "nochem":
+            sol = dataclasses.replace(
+                solver, config=dataclasses.replace(solver.config,
+                                                   chemistry=False))
+        elif v == "nochem-mg":
+            sol = dataclasses.replace(
+                solver, config=dataclasses.replace(
+                    solver.config, chemistry=False, p_precond="mg"))
+        else:
+            raise SystemExit(f"unknown variant {v}")
+        run_variant(sol, state, dt, n_steps=args.steps, label=v)
+
+
+if __name__ == "__main__":
+    main()
