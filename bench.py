@@ -65,6 +65,37 @@ def main():
                 vs = cups / float(rec["value"])
         except Exception:
             vs = None
+
+    # ---- second metric: the NORTH-STAR-shaped config (BASELINE.json
+    # config 5): 3D LES turbulent JET FLAME with inlet/outlet/entrainment
+    # BCs and a non-periodic pressure solve — everything the periodic TGV
+    # never exercises (VERDICT r4 missing #1). vs_baseline here is the
+    # jet/TGV throughput ratio (target: within ~25% of the TGV number).
+    # Printed FIRST so the driver's tail-parse keeps the headline metric
+    # (the last JSON line) as the recorded one.
+    try:
+        from __graft_entry__ import _build_3d_jet
+        jsolver, jstate = _build_3d_jet(n=64, dtype=jnp.float32)
+        jdt = 2e-6              # mean-flow CFL ~0.2 at u_jet = 50 m/s
+        jstep = jax.jit(lambda s: jsolver.step(s, jdt)[0])
+        jstate = jax.block_until_ready(jstep(jstate))
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            jstate = jstep(jstate)
+        jax.block_until_ready(jstate)
+        t1 = time.perf_counter()
+        if not bool(jnp.all(jnp.isfinite(jstate.T))):
+            raise RuntimeError("jet bench state is not finite")
+        jcells = int(np.prod(jstate.T.shape))
+        jcups = jcells * n_steps / (t1 - t0)
+        print(json.dumps({
+            "metric": "lowmach_3d_les_jet_flame_cell_updates_per_sec_per_chip",
+            "value": jcups,
+            "unit": "cell-updates/s",
+            "vs_baseline": jcups / cups,
+        }))
+    except Exception as e:                      # the headline line must
+        print(f"# jet bench failed: {e!r}")     # still print
     print(json.dumps({
         "metric": "lowmach_3d_reacting_les_cell_updates_per_sec_per_chip",
         "value": cups,

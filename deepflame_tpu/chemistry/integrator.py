@@ -229,7 +229,7 @@ def _inverse_batched_dispatch(W):
 def rosenbrock_integrate_batched(rhs_b: Callable, y0: jax.Array,
                                  t_end: jax.Array,
                                  opts: RosenbrockOptions = RosenbrockOptions(),
-                                 dt_start=None):
+                                 dt_start=None, return_nstep: bool = False):
     """Manually batched adaptive ode23s over a lane batch.
 
     rhs_b: batched RHS (L, n) -> (L, n). y0: (L, n); t_end, dt_start: (L,).
@@ -336,6 +336,8 @@ def rosenbrock_integrate_batched(rhs_b: Callable, y0: jax.Array,
     rej0 = jnp.zeros((L,), bool)
     y_f, t_f, dt_f, _, _, n_f = jax.lax.while_loop(
         cond, body, (y0, t0, dt0, en0, rej0, 0))
+    if return_nstep:
+        return y_f, dt_f, n_f
     return y_f, dt_f
 
 

@@ -151,7 +151,8 @@ def _stratified_cross_shard(run, key, inputs, n_out, ax):
         # padded lanes: coldest (sort first, never exchanged into hot work)
         keyp = keyp.at[L:].set(-jnp.inf)
     order = jnp.argsort(keyp)                      # cold ... stiff
-    inv_order = jnp.argsort(order)
+    inv_order = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
 
     def fwd(x):
         xs = pack(x)[order]
@@ -274,7 +275,18 @@ def solve_chemistry(thermo: ThermoData, kin: KineticsData,
 def _integrate_binned(integrate_chunk, s0, pf, t_ends_rem, dt0_f, ns,
                       n_bins, fast_tier, sort, opts, Tf_key):
     """Temperature/stiffness-binned batched integration over flat lanes
-    (the data-layout half of the load balancing; see solve_chemistry)."""
+    (the data-layout half of the load balancing; see solve_chemistry).
+
+    Compact path (round 5): with the explicit fast tier in front, only the
+    stiff minority reaches this integrator (measured 2% of a 96^3 reacting
+    LES step) — but permuting the FULL lane set into sorted order costs
+    ~10 ns per gathered row on TPU (~91 ms of a 116 ms chemistry call at
+    885k lanes: 7 giant gather fusions in the trace). So: argsort the key
+    (TPU sort is fast — 1.3 ms), gather ONLY the K stiffest rows, bin and
+    integrate those, and scatter the results back. Exactness is preserved
+    by a lax.cond on the actual reject count: if it ever exceeds K (no
+    fast tier, ignition fronts filling the domain), the full sorted-binned
+    path runs instead."""
     n = s0.shape[0]
     Tf = Tf_key
     if n_bins > 1 and n >= 2 * n_bins:
@@ -290,7 +302,61 @@ def _integrate_binned(integrate_chunk, s0, pf, t_ends_rem, dt0_f, ns,
             key = jnp.where(t_ends_rem > 0, -dt0_f, -jnp.inf)
         else:
             key = jnp.where(t_ends_rem > 0, Tf, -jnp.inf)
-        order = jnp.argsort(key)
+
+        n_hot_bins = max(4, n_bins // 8)
+        K = n_hot_bins * chunk
+        if fast_tier and n_bins >= 8 and K < n:
+            def _compact_path(ops_):
+                s0_, pf_, te_, d0_ = ops_
+                order_c = jnp.argsort(key)
+                idx = order_c[n - K:]                # K stiffest lanes
+                s0_c, pf_c = s0_[idx], pf_[idx]
+                te_c, d0_c = te_[idx], d0_[idx]
+                s0_b = s0_c.reshape(n_hot_bins, chunk, ns + 1)
+                pf_b = pf_c.reshape(n_hot_bins, chunk)
+                te_b = te_c.reshape(n_hot_bins, chunk)
+                d0_b = d0_c.reshape(n_hot_bins, chunk)
+                outs, dtns = [], []
+                # coldest half of the compact set: one wide immediate-exit
+                # slab (these lanes are fast-tier survivors, te = 0)
+                n_cold = n_hot_bins // 2
+                o_c, d_c = integrate_chunk(
+                    s0_b[:n_cold].reshape(n_cold * chunk, ns + 1),
+                    pf_b[:n_cold].reshape(-1), te_b[:n_cold].reshape(-1),
+                    d0_b[:n_cold].reshape(-1))
+                outs.append(o_c.reshape(n_cold, chunk, ns + 1))
+                dtns.append(d_c.reshape(n_cold, chunk))
+                for b in range(n_cold, n_hot_bins):
+                    o_b, d_b = integrate_chunk(s0_b[b], pf_b[b], te_b[b],
+                                               d0_b[b])
+                    outs.append(o_b[None])
+                    dtns.append(d_b[None])
+                out = jnp.concatenate(outs, 0).reshape(K, ns + 1)
+                dtn = jnp.concatenate(dtns, 0).reshape(K)
+                return s0_.at[idx].set(out), d0_.at[idx].set(dtn)
+
+            def _full_path(ops_):
+                return _sorted_binned(integrate_chunk, key, *ops_, ns=ns,
+                                      n_bins=n_bins, chunk=chunk, pad=pad,
+                                      fast_tier=fast_tier, opts=opts)
+
+            n_rej = jnp.sum(t_ends_rem > 0)
+            return jax.lax.cond(n_rej <= K, _compact_path, _full_path,
+                                (s0, pf, t_ends_rem, dt0_f))
+        return _sorted_binned(integrate_chunk, key, s0, pf, t_ends_rem,
+                              dt0_f, ns=ns, n_bins=n_bins, chunk=chunk,
+                              pad=pad, fast_tier=fast_tier, opts=opts)
+    return integrate_chunk(s0, pf, t_ends_rem, dt0_f)
+
+
+def _sorted_binned(integrate_chunk, key, s0, pf, t_ends_rem, dt0_f, *, ns,
+                   n_bins, chunk, pad, fast_tier, opts):
+    """Full sorted-binned integration (every lane permuted into stiffness
+    order) — the general path; also the overflow branch of the compact
+    scheme above."""
+    n = s0.shape[0]
+    if True:                              # (kept indentation of the
+        order = jnp.argsort(key)          # pre-round-5 in-line body)
         s0_s = jnp.concatenate([jnp.zeros((pad, ns + 1), s0.dtype)
                                 .at[:, 0].set(300.0), s0[order]])
         pf_s = jnp.concatenate([jnp.full((pad,), 101325.0, pf.dtype),
@@ -331,8 +397,10 @@ def _integrate_binned(integrate_chunk, s0, pf, t_ends_rem, dt0_f, ns,
             dtns.append(d_b[None] if d_b.ndim == 1 else d_b)
         out = jnp.concatenate(outs, axis=0)
         dtn = jnp.concatenate(dtns, axis=0)
-        inv = jnp.argsort(order)
+        # inverse permutation by scatter (argsort of a permutation costs a
+        # full 885k-lane sort ~6 ms at 96^3; the scatter is one write pass)
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype))
         s1 = out.reshape(n_bins * chunk, ns + 1)[pad:][inv]
         dt_next = dtn.reshape(n_bins * chunk)[pad:][inv]
         return s1, dt_next
-    return integrate_chunk(s0, pf, t_ends_rem, dt0_f)

@@ -189,7 +189,20 @@ def solve_fvmatrix(eqn, x0: jax.Array, symmetric: bool = False,
         # (dot products, |r| norms) sums exactly the globally-owned rows
         b = mesh.restrict(b)
         apply = lambda x: mesh.restrict(eqn.apply(x))
-    d = eqn.diag()
+        d = eqn.diag()
+    else:
+        # structured backend: fused 7-point stencil path when available
+        # (one roll-multiply expression per matvec + free exact diagonal
+        # instead of ~40 unfusable face intermediates + 8 coloring probes
+        # per solve — the species BiCGStab alone cost 66 ms/step at 96^3
+        # through the padded-closure apply)
+        st = eqn.stencil() if hasattr(eqn, "stencil") else None
+        if st is not None:
+            D, lo, hi = st
+            apply = lambda x: eqn.stencil_apply(x, D, lo, hi)
+            d = D
+        else:
+            d = eqn.diag()
     d_inv = 1.0 / jnp.where(jnp.abs(d) > 1e-300, d, 1.0)
     M_inv = lambda r: d_inv * r
     if symmetric:

@@ -582,6 +582,13 @@ class LowMachSolver:
                                        sign=-1.0)).with_source(src_c)
                 res = solve_fvmatrix(eqn, u_c, tol=cfg.u_tol,
                                      max_iter=cfg.max_iter_u)
+                st = eqn.stencil()
+                if st is not None:
+                    # H = b - (A - D) x via the fused stencil; D exact, free
+                    D, lo, hi = st
+                    H = eqn.rhs() - (eqn.stencil_apply(res.x, D, lo, hi)
+                                     - D * res.x)
+                    return res.x, H + gp_c, D, res.iterations
                 return res.x, eqn.H(res.x) + gp_c, eqn.diag(), res.iterations
 
             U_st, H_st, d_st, it_u = jax.vmap(_solve_comp)(
@@ -711,7 +718,12 @@ class LowMachSolver:
                                       + src_rho)
             # fused Pallas kernel for the CG matvec (TPU, VMEM-resident)
             import jax as _jax
-            apply_A = eqn_p.apply
+            st_p = eqn_p.stencil()
+            if st_p is not None:
+                apply_A = (lambda st: lambda x:
+                           eqn_p.stencil_apply(x, *st))(st_p)
+            else:
+                apply_A = eqn_p.apply
             if (cfg.use_pallas == "auto"
                     and _jax.devices()[0].platform != "cpu"):
                 from ..ops.pallas_kernels import (fits_vmem, fits_vmem_tiled,
@@ -744,7 +756,7 @@ class LowMachSolver:
                            tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,
                            max_iter=cfg.max_iter_p)
             else:
-                d_p = eqn_p.diag()
+                d_p = st_p[0] if st_p is not None else eqn_p.diag()
                 d_inv = 1.0 / jnp.where(jnp.abs(d_p) > 1e-300, d_p, 1.0)
                 res_p = cg(apply_A, eqn_p.rhs(), p, lambda r: d_inv * r,
                            tol=cfg.p_tol, rel_tol=cfg.p_rel_tol,

@@ -160,7 +160,11 @@ def _eig3_sym(A):
     q = (a00 + a11 + a22) / 3.0
     p1 = a01**2 + a02**2 + a12**2
     p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
-    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-60))
+    # floor must be representable in the working dtype: 1e-60 underflows to
+    # ZERO in f32 (min normal 1.2e-38) and a uniform-flow region (A = q I,
+    # p2 = 0 — any laminar coflow) then divides by p = 0 -> NaN
+    floor = jnp.asarray(1e-60 if A.dtype == jnp.float64 else 1e-30, A.dtype)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, floor))
     # B = (A - q I)/p
     b00, b11, b22 = (a00 - q) / p, (a11 - q) / p, (a22 - q) / p
     b01, b02, b12 = a01 / p, a02 / p, a12 / p

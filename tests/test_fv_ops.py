@@ -334,3 +334,62 @@ def test_interpolate_cubic_exact_on_cubics():
     e_cub = np.abs(np.asarray(interpolate_cubic(Ps, 0, b))[:, 0, 0] - ex).max()
     e_lin = np.abs(np.asarray(interpolate(Ps, 0))[:, 0, 0] - ex).max()
     assert e_cub < 0.05 * e_lin, (e_cub, e_lin)
+
+
+def test_stencil_matches_apply_and_diag():
+    """Round-5 fused stencil path: FvMatrix.stencil() coefficients must
+    reproduce apply() and diag() exactly for composed ddt+div+laplacian+Sp
+    operators under mixed BCs (the Krylov loops run on the stencil)."""
+    import numpy as np
+    from deepflame_tpu.mesh import (StructuredMesh, cyclic, empty,
+                                    fixed_value, zero_gradient, symmetry)
+    from deepflame_tpu.ops.fv import (fvm_ddt, fvm_div, fvm_laplacian,
+                                      fvm_source_implicit, interpolate,
+                                      FvMatrix)
+    from deepflame_tpu.mesh.structured import pad_field
+
+    rng = np.random.default_rng(11)
+    mesh = StructuredMesh.box([0.1, 0.08, 0.01], [8, 6, 2])
+    cases = [
+        ((cyclic(), cyclic()), (cyclic(), cyclic()), (cyclic(), cyclic())),
+        ((fixed_value(2.0), zero_gradient()),
+         (zero_gradient(), fixed_value(0.5)),
+         (symmetry(negate=True), zero_gradient())),
+        ((zero_gradient(), zero_gradient()), (cyclic(), cyclic()),
+         (empty(), empty())),
+    ]
+    for bcs in cases:
+        x = jnp.asarray(rng.normal(size=mesh.shape))
+        x_old = jnp.asarray(rng.normal(size=mesh.shape))
+        rho = jnp.asarray(rng.uniform(0.5, 2.0, mesh.shape))
+        phi = tuple(jnp.asarray(rng.normal(size=interpolate(
+            pad_field(x, bcs, mesh), ax).shape)) for ax in range(3))
+        gam = tuple(jnp.asarray(rng.uniform(0.1, 1.0, p.shape))
+                    for p in phi)
+        sp = jnp.asarray(rng.uniform(0.1, 3.0, mesh.shape))
+        for scheme in ("upwind", "linear"):
+            eqn = (fvm_ddt(rho, x_old, 1e-3, mesh, bcs)
+                   + fvm_div(phi, x, mesh, bcs, scheme)
+                   + fvm_laplacian(gam, mesh, bcs, dtype=x.dtype,
+                                   sign=-1.0)
+                   + fvm_source_implicit(sp, mesh, bcs, dtype=x.dtype))
+            st = eqn.stencil()
+            assert st is not None
+            D, lo, hi = st
+            y_ref = eqn.apply(x)
+            y_st = FvMatrix.stencil_apply(x, D, lo, hi)
+            np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_ref),
+                                       rtol=1e-12, atol=1e-9)
+            np.testing.assert_allclose(np.asarray(D),
+                                       np.asarray(eqn.diag()),
+                                       rtol=1e-12, atol=1e-9)
+        # weight_flux variant (phiUc weighted by phi's sign)
+        phiUc = tuple(jnp.asarray(rng.normal(size=p.shape)) for p in phi)
+        eqn = (fvm_ddt(rho, x_old, 1e-3, mesh, bcs)
+               + fvm_div(phiUc, x, mesh, bcs, "upwind", weight_flux=phi))
+        D, lo, hi = eqn.stencil()
+        np.testing.assert_allclose(
+            np.asarray(FvMatrix.stencil_apply(x, D, lo, hi)),
+            np.asarray(eqn.apply(x)), rtol=1e-12, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(D), np.asarray(eqn.diag()),
+                                   rtol=1e-12, atol=1e-9)

@@ -94,3 +94,23 @@ def test_smagorinsky_magnitude():
     dudy_num = 2.0 * k * np.sin(k * mesh.dy) / (k * mesh.dy) * cos_max
     expected = (model.Cs * delta) ** 2 * abs(dudy_num)
     np.testing.assert_allclose(mut.max(), expected, rtol=1e-6)
+
+
+def test_eig3_sym_uniform_region_f32():
+    """f32 regression (round 5): a uniform-gradient region (A = q I, p2 = 0)
+    must not divide by a flushed-to-zero floor — 1e-60 underflows in f32,
+    which NaN'd the Sigma model in any laminar coflow (jet-flame configs)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from deepflame_tpu.turbulence.les import _eig3_sym
+
+    A = jnp.broadcast_to(2.5 * jnp.eye(3, dtype=jnp.float32)[:, :, None],
+                         (3, 3, 4)).astype(jnp.float32)
+    e1, e2, e3 = _eig3_sym(A)
+    for e in (e1, e2, e3):
+        assert bool(jnp.all(jnp.isfinite(e)))
+        np.testing.assert_allclose(np.asarray(e), 2.5, rtol=1e-5)
+    # exact-zero matrix too
+    Z = jnp.zeros((3, 3, 4), jnp.float32)
+    for e in _eig3_sym(Z):
+        assert bool(jnp.all(jnp.isfinite(e)))

@@ -75,6 +75,28 @@ def main():
             sol = dataclasses.replace(
                 solver, config=dataclasses.replace(
                     solver.config, chemistry=False, p_precond="mg"))
+        # ---- ablations (all chemistry-OFF): subtract from 'nochem' to
+        # attribute the FV-side time
+        elif v == "nochem-noenergy":
+            sol = dataclasses.replace(
+                solver, config=dataclasses.replace(
+                    solver.config, chemistry=False, solve_energy=False))
+        elif v == "nochem-1corr":
+            sol = dataclasses.replace(
+                solver, config=dataclasses.replace(
+                    solver.config, chemistry=False, n_corr=1))
+        elif v == "nochem-lewis":
+            sol = dataclasses.replace(
+                solver, config=dataclasses.replace(
+                    solver.config, chemistry=False, unity_lewis=True))
+        elif v == "nochem-upwindY":
+            sol = dataclasses.replace(
+                solver, config=dataclasses.replace(
+                    solver.config, chemistry=False, div_scheme_Y="upwind"))
+        elif v == "nochem-loosep":
+            sol = dataclasses.replace(
+                solver, config=dataclasses.replace(
+                    solver.config, chemistry=False, p_rel_tol=0.05))
         else:
             raise SystemExit(f"unknown variant {v}")
         run_variant(sol, state, dt, n_steps=args.steps, label=v)

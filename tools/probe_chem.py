@@ -40,7 +40,7 @@ def main():
         state = step(state)
     state = jax.block_until_ready(state)
 
-    th, kin = solver.thermo, solver.combustion.kin
+    th, kin = solver.thermo, solver.combustion.kinetics
     opts = solver.combustion.ode_opts
     Tf = state.T.reshape(-1)
     pf = state.p.reshape(-1)
