@@ -200,6 +200,15 @@ def solve_fvmatrix(eqn, x0: jax.Array, symmetric: bool = False,
         if st is not None:
             D, lo, hi = st
             apply = lambda x: eqn.stencil_apply(x, D, lo, hi)
+            if jax.devices()[0].platform == "tpu" and D.dtype.itemsize <= 4:
+                from .pallas_kernels import (fits_stencil_tiled,
+                                             stencil_apply_tiled)
+                shape = eqn.mesh.shape
+                for _tx in (8, 4, 2):
+                    if fits_stencil_tiled(shape, D.dtype, tx=_tx):
+                        apply = (lambda tx: lambda x: stencil_apply_tiled(
+                            x, D, lo, hi, tx=tx))(_tx)
+                        break
             d = D
         else:
             d = eqn.diag()

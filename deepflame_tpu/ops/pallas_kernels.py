@@ -22,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["helmholtz_apply", "helmholtz_apply_tiled", "fits_vmem",
            "fits_vmem_tiled", "gj_inverse_lanes", "ell_matvec",
-           "mlp_fused_lanes"]
+           "mlp_fused_lanes", "stencil_apply_tiled", "fits_stencil_tiled"]
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
@@ -307,6 +307,85 @@ def helmholtz_apply_tiled(x_padded: jax.Array, gamma, diag: jax.Array,
         out_shape=jax.ShapeDtypeStruct(diag.shape, diag.dtype),
         interpret=interpret,
     )(x_padded, x_padded, gamma[0], gamma[0], gamma[1], gamma[2], diag)
+
+
+def _stencil_tiled_kernel(xp0_ref, xp1_ref, d_ref, lx_ref, hx_ref, ly_ref,
+                          hy_ref, lz_ref, hz_ref, out_ref, *, axes):
+    """One x-tile of the general (asymmetric) 7-point stencil
+    out = d x + lo_ax x_{-ax} + hi_ax x_{+ax}. Same two-consecutive-block
+    halo trick as _tiled_kernel. Coefficients are CELL arrays with
+    boundary ghosts already folded into d (FvMatrix.stencil())."""
+    xp = jnp.concatenate([xp0_ref[:], xp1_ref[:2]], axis=0)   # (tx+2, ..)
+    x = xp[1:-1, 1:-1, 1:-1]
+    out = d_ref[:] * x
+    if 0 in axes:
+        out = out + lx_ref[:] * xp[:-2, 1:-1, 1:-1] \
+                  + hx_ref[:] * xp[2:, 1:-1, 1:-1]
+    if 1 in axes:
+        out = out + ly_ref[:] * xp[1:-1, :-2, 1:-1] \
+                  + hy_ref[:] * xp[1:-1, 2:, 1:-1]
+    if 2 in axes:
+        out = out + lz_ref[:] * xp[1:-1, 1:-1, :-2] \
+                  + hz_ref[:] * xp[1:-1, 1:-1, 2:]
+    out_ref[:] = out
+
+
+def fits_stencil_tiled(shape, dtype, tx: int = 8,
+                       budget_bytes: int = 10 * 2**20) -> bool:
+    """VMEM feasibility of one x-tile of the general stencil kernel."""
+    import numpy as np
+    per = np.dtype(dtype).itemsize
+    if per > 4:
+        return False                      # Mosaic: no 64-bit
+    nx, ny, nz = shape
+    if nx % tx != 0 or tx < 2:
+        return False
+    sub = {4: 8, 2: 16, 1: 32}.get(per, 8)
+
+    def padded_bytes(s):
+        d0, d1, d2 = s
+        return d0 * (-(-d1 // sub) * sub) * (-(-d2 // 128) * 128) * per
+
+    total = (2 * padded_bytes((tx, ny + 2, nz + 2))        # xp blocks i, i+1
+             + 8 * padded_bytes((tx, ny, nz)))             # d + 6 coeff + out
+    return total < budget_bytes
+
+
+def stencil_apply_tiled(x: jax.Array, D: jax.Array, lo, hi, tx: int = 8,
+                        interpret: bool = False) -> jax.Array:
+    """General 7-point stencil apply (the fused-Krylov matvec for FvMatrix
+    stencil coefficients): out = D x + sum_ax (lo_ax x_{-ax} + hi_ax
+    x_{+ax}), with x wrapped-padded (cyclic neighbors exact; non-cyclic
+    boundary coefficients are zero so the wrap reads there are masked).
+
+    Replaces the roll-based XLA expression whose 6 rolls each materialize
+    a full-field copy (measured: the 9-species BiCGStab at 96^3 spends
+    44 ms/step in roll+multiply traffic)."""
+    nx, ny, nz = x.shape[-3:]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 3) + [(1, 1)] * 3, mode="wrap")
+    axes = tuple(ax for ax in range(3) if (nx, ny, nz)[ax] > 1)
+    import functools
+    kern = functools.partial(_stencil_tiled_kernel, axes=axes)
+    ms = pl.ANY if interpret else pltpu.VMEM
+    bs = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=ms)
+    return pl.pallas_call(
+        kern,
+        grid=(nx // tx,),
+        in_specs=[
+            bs((tx, ny + 2, nz + 2), lambda i: (i, 0, 0)),      # xp blk i
+            bs((tx, ny + 2, nz + 2), lambda i: (i + 1, 0, 0)),  # xp blk i+1
+            bs((tx, ny, nz), lambda i: (i, 0, 0)),              # D
+            bs((tx, ny, nz), lambda i: (i, 0, 0)),              # lo_x
+            bs((tx, ny, nz), lambda i: (i, 0, 0)),              # hi_x
+            bs((tx, ny, nz), lambda i: (i, 0, 0)),              # lo_y
+            bs((tx, ny, nz), lambda i: (i, 0, 0)),              # hi_y
+            bs((tx, ny, nz), lambda i: (i, 0, 0)),              # lo_z
+            bs((tx, ny, nz), lambda i: (i, 0, 0)),              # hi_z
+        ],
+        out_specs=bs((tx, ny, nz), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(D.shape, D.dtype),
+        interpret=interpret,
+    )(xp, xp, D, lo[0], hi[0], lo[1], hi[1], lo[2], hi[2])
 
 
 def _kernel(xp_ref, gx_ref, gy_ref, gz_ref, d_ref, out_ref, *, inv_h2):

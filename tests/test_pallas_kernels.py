@@ -111,3 +111,42 @@ def test_gj_inverse_lanes_interpret():
     eye = np.einsum("lij,ljk->lik", np.asarray(W), inv)
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(n), (L, n, n)),
                                atol=5e-3)
+
+
+def test_stencil_apply_tiled_matches_roll():
+    """General 7-point stencil kernel (round 5) == roll-based reference,
+    incl. cyclic wrap and batched (vmapped) operands."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from deepflame_tpu.ops.fv import FvMatrix
+    from deepflame_tpu.ops.pallas_kernels import stencil_apply_tiled
+
+    rng = np.random.default_rng(5)
+    shape = (16, 12, 8)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    D = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    lo = tuple(jnp.asarray(rng.normal(size=shape), jnp.float32)
+               for _ in range(3))
+    hi = tuple(jnp.asarray(rng.normal(size=shape), jnp.float32)
+               for _ in range(3))
+    ref = FvMatrix.stencil_apply(x, D, lo, hi)
+    out = stencil_apply_tiled(x, D, lo, hi, tx=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-6,
+                               atol=1e-6)
+
+    # batched via vmap (the species-solve path)
+    xb = jnp.asarray(rng.normal(size=(3,) + shape), jnp.float32)
+    Db = jnp.asarray(rng.normal(size=(3,) + shape), jnp.float32)
+    lob = tuple(jnp.asarray(rng.normal(size=(3,) + shape), jnp.float32)
+                for _ in range(3))
+    hib = tuple(jnp.asarray(rng.normal(size=(3,) + shape), jnp.float32)
+                for _ in range(3))
+    ref_b = jax.vmap(FvMatrix.stencil_apply)(xb, Db, lob, hib)
+    out_b = jax.vmap(lambda x_, d_, l0, l1, l2, h0, h1, h2:
+                     stencil_apply_tiled(x_, d_, (l0, l1, l2),
+                                         (h0, h1, h2), tx=4,
+                                         interpret=True))(
+        xb, Db, *lob, *hib)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               rtol=2e-6, atol=1e-6)
