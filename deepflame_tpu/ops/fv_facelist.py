@@ -310,7 +310,30 @@ def apply_stencil_lattice(X: jax.Array, diag_lat: jax.Array,
     garbage wrapped into the last plane of non-cyclic axes multiplies a
     zero coefficient (and is always finite: it is another plane of X).
     The whole expression is one XLA fusion: 7 shifted reads, 7 coefficient
-    reads, 1 write — no serialized in-place slab updates."""
+    reads, 1 write. A/B-measured against the tiled-VMEM Pallas stencil
+    kernel at 96^3 chem-OFF: roll 151.6 ms/step vs Pallas 193.5 — here the
+    roll form is ALREADY one fusion per Krylov iteration, and the kernel
+    call only adds the wrap-pad copy + double halo streaming and blocks
+    fusion with the surrounding CG vector ops (the structured backend's
+    padded-closure apply had the opposite economics). Pallas stays opt-in
+    via DEEPFLAME_LATTICE_PALLAS=1 for future re-measurement."""
+    import os as _os
+    if jax.devices()[0].platform == "tpu" and X.dtype.itemsize <= 4 \
+            and X.ndim == 3 and all(X.shape[ax] > 1 for ax, _, _ in terms) \
+            and _os.environ.get("DEEPFLAME_LATTICE_PALLAS"):
+        # (n=1 cyclic self-neighbour axes stay on the roll path, which
+        # reduces them to (U+L)*X exactly; the kernel skips n=1 axes)
+        from .pallas_kernels import fits_stencil_tiled, stencil_apply_tiled
+        for _tx in (8, 4, 2):
+            if fits_stencil_tiled(X.shape, X.dtype, tx=_tx):
+                z = jnp.zeros_like(diag_lat)
+                lo = [z, z, z]
+                hi = [z, z, z]
+                for ax, U, L in terms:
+                    hi[ax] = U          # U multiplies roll(X, -1) = x_{+ax}
+                    lo[ax] = L
+                return stencil_apply_tiled(X, diag_lat, tuple(lo),
+                                           tuple(hi), tx=_tx)
     out = diag_lat * X
     for ax, U, L in terms:
         out = out + U * jnp.roll(X, -1, axis=ax) + L * jnp.roll(X, 1, axis=ax)

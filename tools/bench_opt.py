@@ -37,8 +37,8 @@ def run_variant(solver, state0, dt, n_steps=5, label=""):
         if k in d:
             iters[k] = float(d[k])
     ms = (t1 - t0) / n_steps * 1e3
-    n = state.T.shape[0]
-    cups = n ** 3 / ((t1 - t0) / n_steps)
+    import numpy as _np
+    cups = int(_np.prod(state.T.shape)) / ((t1 - t0) / n_steps)
     print(f"{label:24s} step {ms:8.2f} ms  {cups/1e6:6.3f} Mcu/s  "
           f"compile {t_compile:6.1f} s  last-step iters: "
           + " ".join(f"{k.split('_')[1]}={iters[k]:.0f}" for k in iters),
@@ -51,10 +51,17 @@ def main():
     ap.add_argument("--n", type=int, default=96)
     ap.add_argument("--variants", default="jacobi,mg")
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--config", default="tgv")
+    ap.add_argument("--dt", type=float, default=None)
     args = ap.parse_args()
 
-    solver, state = _build_3d_les(n=args.n, dtype=jnp.float32)
-    dt = 2.5e-7
+    if args.config == "jet":
+        from __graft_entry__ import _build_3d_jet
+        solver, state = _build_3d_jet(n=args.n, dtype=jnp.float32)
+        dt = args.dt or 2e-6
+    else:
+        solver, state = _build_3d_les(n=args.n, dtype=jnp.float32)
+        dt = args.dt or 2.5e-7
     # one warm step like bench.py, shared across variants
     warm = jax.jit(lambda s: solver.step(s, dt)[0])
     state = jax.block_until_ready(warm(state))

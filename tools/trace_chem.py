@@ -46,6 +46,13 @@ def main():
             solve_chemistry, th, kin, opts=opts, n_bins=128, fast_tier=True,
             sort="T"))
         run = lambda: jax.block_until_ready(f(T, p, Yt, dt, dt_start=d0))
+    elif args.what == "fl":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import bench_facelist as bf
+        _, _, sol_f, s_f = bf.build_pair(args.n, False, jnp.float32)
+        stepf = jax.jit(lambda s: sol_f.step(s, dt)[0])
+        s_f = jax.block_until_ready(stepf(s_f))
+        run = lambda: jax.block_until_ready(stepf(s_f))
     elif args.what == "nochem":
         import dataclasses
         sol_nc = dataclasses.replace(
