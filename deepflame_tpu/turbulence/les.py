@@ -142,9 +142,16 @@ def _wale_nut(g, Cw, delta):
 def _sigma_nut(g, Csig, delta):
     """Sigma model (Nicoud et al. 2011): D = sigma3 (sigma1 - sigma2)
     (sigma2 - sigma3) / sigma1^2, sigma_i singular values of grad U."""
-    # G = g^T g, symmetric PSD; singular values = sqrt(eigenvalues of G)
-    G = jnp.einsum("ki...,kj...->ij...", g, g)
-    l1, l2, l3 = _eig3_sym(G)                      # descending
+    # G = g^T g, symmetric PSD; singular values = sqrt(eigenvalues of G).
+    # The 6 unique entries are built with explicit elementwise sums: the
+    # einsum form lowers to a batched dot whose producer XLA duplicates
+    # into the eigenvalue consumers (two 17 ms fusions at 96^3 on the
+    # face-list backend)
+    def comp(i, j):
+        return g[0, i] * g[0, j] + g[1, i] * g[1, j] + g[2, i] * g[2, j]
+
+    l1, l2, l3 = _eig3_sym_comps(comp(0, 0), comp(1, 1), comp(2, 2),
+                                 comp(0, 1), comp(0, 2), comp(1, 2))
     s1 = jnp.sqrt(jnp.maximum(l1, 0.0))
     s2 = jnp.sqrt(jnp.maximum(l2, 0.0))
     s3 = jnp.sqrt(jnp.maximum(l3, 0.0))
@@ -155,15 +162,20 @@ def _sigma_nut(g, Csig, delta):
 def _eig3_sym(A):
     """Analytic eigenvalues of a symmetric 3x3 field (A: (3,3,...)),
     descending order (trigonometric/Cardano method, vectorized)."""
-    a00, a11, a22 = A[0, 0], A[1, 1], A[2, 2]
-    a01, a02, a12 = A[0, 1], A[0, 2], A[1, 2]
+    return _eig3_sym_comps(A[0, 0], A[1, 1], A[2, 2],
+                           A[0, 1], A[0, 2], A[1, 2])
+
+
+def _eig3_sym_comps(a00, a11, a22, a01, a02, a12):
+    """Eigenvalues from the 6 unique symmetric components (elementwise)."""
     q = (a00 + a11 + a22) / 3.0
     p1 = a01**2 + a02**2 + a12**2
     p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
     # floor must be representable in the working dtype: 1e-60 underflows to
     # ZERO in f32 (min normal 1.2e-38) and a uniform-flow region (A = q I,
     # p2 = 0 — any laminar coflow) then divides by p = 0 -> NaN
-    floor = jnp.asarray(1e-60 if A.dtype == jnp.float64 else 1e-30, A.dtype)
+    floor = jnp.asarray(1e-60 if a00.dtype == jnp.float64 else 1e-30,
+                        a00.dtype)
     p = jnp.sqrt(jnp.maximum(p2 / 6.0, floor))
     # B = (A - q I)/p
     b00, b11, b22 = (a00 - q) / p, (a11 - q) / p, (a22 - q) / p

@@ -30,9 +30,14 @@ def run_variant(solver, state0, dt, n_steps=5, label=""):
     iters = {k: 0.0 for k in ("iters_p", "iters_U", "iters_Y", "iters_h")}
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, d = step(state)
-    jax.block_until_ready(state)
+        # block EVERY step: after a long (~300 s) compile the axon tunnel
+        # has twice returned instantly from an async 5-step enqueue
+        # (0.2 ms "steps"); per-step blocking costs ~nothing at these
+        # step times and keeps the measurement honest
+        state, d = jax.block_until_ready(step(state))
     t1 = time.perf_counter()
+    if (t1 - t0) < 2e-3 * n_steps:
+        raise RuntimeError("implausibly fast steps - device not executing")
     for k in iters:
         if k in d:
             iters[k] = float(d[k])
