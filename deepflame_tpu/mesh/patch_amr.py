@@ -434,13 +434,20 @@ class NestedPatchAMR:
     pc: int
     buffer_c: int = 2
     axes: tuple = (0,)
+    criteria: "object | None" = None   # RefinementCriteria (mesh/amr.py):
+    # multi-criteria window targeting (the multiCritRefinement role,
+    # dfDynamicRefineFvMesh.H:116-160) — the window recenters on the
+    # CENTROID of the marked-cell field instead of max|grad rho|
 
     @staticmethod
     def build(coarse: HighSpeedSolver, pcs, ratio: int = 2,
-              buffer_c: int = 2, isotropic: bool = True) -> "NestedPatchAMR":
+              buffer_c: int = 2, isotropic: bool = True,
+              criteria=None) -> "NestedPatchAMR":
         """pcs: per-level patch extents, each in the PARENT level's x-cells
         (e.g. (16, 8) = two levels). isotropic refines every non-degenerate
-        axis (hexRef8 role); False refines x only (hexRef2 role)."""
+        axis (hexRef8 role); False refines x only (hexRef2 role).
+        criteria: optional RefinementCriteria driving the window target
+        (field windows / gradient / curl / interface marks, buffered)."""
         m = coarse.mesh
         axes = tuple(ax for ax in range(3)
                      if ax == 0 or (isotropic and m.shape[ax] > 1))
@@ -455,11 +462,11 @@ class NestedPatchAMR:
                                    sp[0], sp[1], sp[2], m.x0, m.y0, m.z0)
         fine = dataclasses.replace(coarse, mesh=fine_mesh)
         child = (NestedPatchAMR.build(fine, pcs[1:], ratio, buffer_c,
-                                      isotropic)
+                                      isotropic, criteria)
                  if len(pcs) > 1 else None)
         return NestedPatchAMR(coarse=coarse, fine=fine, child=child,
                               ratio=ratio, pc=pc, buffer_c=buffer_c,
-                              axes=axes)
+                              axes=axes, criteria=criteria)
 
     # ------------------------------------------------------------ plumbing
     def _cons(self, s):
@@ -554,11 +561,34 @@ class NestedPatchAMR:
         _, _, _, T_new, _ = self.coarse.primitives(sc2)
         sc2 = sc2._replace(T=T_new)
 
-        # 5. recenter on the front (refCri = max|grad rho|)
-        g = jnp.abs(jnp.diff(sc2.rho, axis=0)).max(
-            axis=tuple(range(1, sc2.rho.ndim)))
-        i_front = jnp.argmax(g).astype(jnp.int32)
+        # 5. recenter: criteria-driven (multiCritRefinement role) when a
+        # RefinementCriteria is set — window centers on the centroid of the
+        # marked-cell field; else the default refCri = max|grad rho|
         nxc = self.coarse.mesh.nx
+        if self.criteria is not None:
+            from .amr import mark_cells
+            rhoI, U, p_f, T_f, Y_f = self.coarse.primitives(sc2)
+            fields = {"rho": sc2.rho, "T": T_f, "p": p_f, "U": U}
+            for k, i_sp in getattr(self.criteria, "species", ()):  # optional
+                fields[k] = Y_f[i_sp]
+            mark = mark_cells(self.criteria, fields, self.coarse.bcs_rho,
+                              self.coarse.mesh)
+            m_x = jnp.sum(mark, axis=(1, 2)) > 0
+            tot = jnp.sum(m_x)
+            ix = jnp.arange(nxc)
+            # LEAD edge of the marked set (largest marked x-index): a
+            # front's wake (burned column, shocked region) can mark a span
+            # far longer than the window, and a centroid target then lags
+            # until the front escapes the fine region. Anchor the window
+            # with the lead edge at its 3/4 point (wake fills the rest).
+            i_lead = jnp.max(jnp.where(m_x, ix, -1))
+            tgt = i_lead - (3 * pc) // 4 + pc // 2       # -> off uses -pc//2
+            i_front = jnp.where(tot > 0, tgt, off + pc // 2)
+            i_front = i_front.astype(jnp.int32)
+        else:
+            g = jnp.abs(jnp.diff(sc2.rho, axis=0)).max(
+                axis=tuple(range(1, sc2.rho.ndim)))
+            i_front = jnp.argmax(g).astype(jnp.int32)
         off_new = jnp.clip(i_front - pc // 2, 0, nxc - pc).astype(jnp.int32)
         fine2 = self._reframe(fine2, sc2, off, off_new)
 

@@ -33,6 +33,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--coarse-cells", type=int, default=300)
     ap.add_argument("--ratio", type=int, default=4)
+    ap.add_argument("--levels", type=int, default=1,
+                    help="1: MovingPatchAMR (ratio r); 2+: NestedPatchAMR "
+                    "2:1 cascade (ratio 2 per level) with multi-criteria "
+                    "window tracking (mark_cells: |grad rho| + p window)")
     ap.add_argument("--patch-cells", type=int, default=40,
                     help="patch extent in COARSE cells")
     ap.add_argument("--buffer", type=int, default=6,
@@ -80,8 +84,24 @@ def main():
                              bcs_rho=b_scalar,
                              bcs_U=(b_un, b_scalar, b_scalar),
                              bcs_p=b_scalar, bcs_Y=b_scalar, config=cfg)
-    amr = MovingPatchAMR.build(coarse, pc=args.patch_cells, ratio=r,
-                               buffer_c=args.buffer)
+    if args.levels >= 2:
+        # criteria-driven 2:1 nest (multiCritRefinement role,
+        # dfDynamicRefineFvMesh.H:116-160): mark on density-gradient AND a
+        # pressure window around the von Neumann spike; window = marked
+        # centroid. Effective resolution = dx / 2^levels.
+        from deepflame_tpu.mesh.amr import RefinementCriteria
+        from deepflame_tpu.mesh.patch_amr import NestedPatchAMR
+        crit = RefinementCriteria(
+            gradients=(("rho", 0.03),),          # |grad rho| dx >= 0.03
+            fields=(("p", 3e5, 1e9),),           # shocked region
+            n_buffer=2)
+        amr = NestedPatchAMR.build(coarse, pcs=(args.patch_cells,) * args.levels,
+                                   ratio=2, buffer_c=args.buffer,
+                                   isotropic=False, criteria=crit)
+        r = 2 ** args.levels                     # effective ratio for output
+    else:
+        amr = MovingPatchAMR.build(coarse, pc=args.patch_cells, ratio=r,
+                                   buffer_c=args.buffer)
 
     ns = mech.n_species
     iH2, iO2, iN2 = (mech.species_index(s) for s in ("H2", "O2", "N2"))
@@ -105,17 +125,32 @@ def main():
     step = jax.jit(lambda s: amr.step(s, dt)[0])
     xs = np.asarray(X).squeeze()
     dx_f = mesh.dx / r
+
+    def deepest(node, lvl, x_base, dxl):
+        """(deepest fine HighSpeedState, its x origin, its dx, its solver)."""
+        x_base = x_base + int(node.offset) * dxl
+        dxf = dxl / lvl.ratio if 0 in lvl.axes else dxl
+        if lvl.child is None:
+            return node.fine, x_base, dxf, lvl.fine
+        return deepest(node.fine, lvl.child, x_base, dxf)
+
     front_t, front_x = [], []
     t_wall = time.perf_counter()
     for i in range(n_steps):
         ps = step(ps)
         if (i + 1) % out_every == 0:
-            # front from the FINE patch (fine resolution position)
-            _, _, p_f, T_f, _ = amr.fine.primitives(ps.fine)
+            # front from the DEEPEST fine patch (finest-resolution position)
+            if args.levels >= 2:
+                sf_deep, x0f, dxf, fsol = deepest(ps, amr, 0.0, mesh.dx)
+            else:
+                sf_deep, x0f, dxf, fsol = (ps.fine,
+                                           int(ps.offset) * mesh.dx,
+                                           dx_f, amr.fine)
+            _, _, p_f, T_f, _ = fsol.primitives(sf_deep)
             p_f = np.asarray(p_f).squeeze()
             off = int(ps.offset)
             ixf = int(np.argmax(p_f))
-            x_front = (off * mesh.dx) + (ixf + 0.5) * dx_f
+            x_front = x0f + (ixf + 0.5) * dxf
             front_t.append(float(ps.coarse.time))
             front_x.append(x_front)
             print(f"t={float(ps.coarse.time)*1e6:8.2f} us  "
@@ -132,7 +167,12 @@ def main():
         print(f"\nDetonation speed: {v:.1f} m/s  (CJ anchor 1979.33 +- 1%)")
         print(f"deviation: {100 * (v - 1979.33) / 1979.33:+.2f}%")
     cu_uniform = n_c * r * r
-    cu_patch = n_c + args.patch_cells * r * r
+    if args.levels >= 2:
+        # coarse + each level's fine array x substeps per coarse dt
+        cu_patch = n_c + sum(args.patch_cells * 2 * 2 ** (l + 1)
+                             for l in range(args.levels))
+    else:
+        cu_patch = n_c + args.patch_cells * r * r
     print(f"cell-updates per coarse dt: {cu_patch} vs uniform-fine "
           f"{cu_uniform} ({cu_uniform / cu_patch:.1f}x saving)")
     print(f"wall time: {time.perf_counter() - t_wall:.1f}s for {n_steps} steps")

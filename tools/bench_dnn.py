@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 matmuls with f32 accumulation (the "
                          "reference device chemistry runs fp16)")
+    ap.add_argument("--mech",
+                    default="/root/reference/mechanisms/H2/H2_Li.yaml",
+                    help="e.g. /root/reference/mechanisms/CH4/drm19/"
+                         "drm19.yaml for the 21-species crossover bench")
+    ap.add_argument("--stiff", action="store_true",
+                    help="bench the STIFF tier instead (same config/mech) "
+                         "for the DNN-vs-stiff crossover table")
     args = ap.parse_args()
     from deepflame_tpu.runtime.platform import configure
     configure(args.platform, "f32")
@@ -48,17 +55,19 @@ def main():
 
     n = args.n
     dt = 2.5e-7
-    solver, state = _build_3d_les(n=n, dtype=jnp.float32)
+    solver, state = _build_3d_les(n=n, dtype=jnp.float32,
+                                  mech_path=args.mech)
     th, kin = solver.combustion.thermo, solver.combustion.kinetics
     ns = state.Y.shape[0]
-    net = DFODENet(
-        nets=init_params(jax.random.PRNGKey(0), ns),
-        x_mean=jnp.zeros(ns + 2), x_std=jnp.ones(ns + 2),
-        y_mean=jnp.zeros(ns - 1), y_std=jnp.full(ns - 1, 1e-12),
-        delta_t=dt, frozen_T=700.0,
-        compute_dtype=jnp.bfloat16 if args.bf16 else None)
-    comb = DNNChemistry(th, kin, net=net)
-    solver = dataclasses.replace(solver, combustion=comb)
+    if not args.stiff:
+        net = DFODENet(
+            nets=init_params(jax.random.PRNGKey(0), ns),
+            x_mean=jnp.zeros(ns + 2), x_std=jnp.ones(ns + 2),
+            y_mean=jnp.zeros(ns - 1), y_std=jnp.full(ns - 1, 1e-12),
+            delta_t=dt, frozen_T=700.0,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None)
+        comb = DNNChemistry(th, kin, net=net)
+        solver = dataclasses.replace(solver, combustion=comb)
 
     step = jax.jit(lambda s: solver.step(s, dt)[0])
     t0 = time.perf_counter()
@@ -77,15 +86,18 @@ def main():
                                     zip(sizes[:-1], sizes[1:]))
     mlp_flops = cells * flops_cell
     mfu = mlp_flops / wall / V5E_PEAK_BF16
+    mname = os.path.basename(args.mech).split(".")[0]
     out = {
         "n": n, "cells": cells, "step_ms": wall * 1e3,
         "cell_updates_per_s": cells / wall,
         "mlp_flops_per_step": mlp_flops,
         "mlp_mfu_vs_bf16_peak": mfu,
-        "bf16": args.bf16,
+        "bf16": args.bf16, "mech": mname, "ns": ns, "stiff": args.stiff,
         "compile_s": compile_s,
     }
-    print(f"| {n}^3 | DNN chemistry (DF-ODENet in-loop) | "
+    mode = ("stiff tier (rtol 1e-4)" if args.stiff
+            else "DNN chemistry (DF-ODENet in-loop)")
+    print(f"| {n}^3 | {mname} ({ns} sp) | {mode} | "
           f"{wall * 1e3:.1f} ms | {cells / wall / 1e6:.2f} M cu/s | "
           f"MLP {mlp_flops / 1e12:.1f} TFLOP/step -> "
           f"{mfu * 100:.0f}% of bf16 peak |", flush=True)
