@@ -311,6 +311,11 @@ class SprayCloud:
     mass_first: bool = False
     Sc_gas: float = 0.7
     Pr_gas: float = 0.7
+    # film-temperature blend weight on the DROPLET temperature: the
+    # standard 1/3-2/3 rule is 2/3 (T_film = (2 Tp + Tg)/3). Exposed for
+    # the aachenBomb station-2 sensitivity falsification (VERDICT r4
+    # item 4c: evaporative-cooling placement)
+    film_w: float = 2.0 / 3.0
     # ReitzDiwakar coefficients (the aachenBomb submodel defaults)
     Cbag: float = 6.0
     Cb: float = 0.785
@@ -363,7 +368,7 @@ class SprayCloud:
         # physical vapor diffusivity at film conditions (2/3 rule) — the
         # 1/p dependence is essential in pressurized chambers; the old
         # mu/(rho Sc) estimate is ~p/1atm too fast there
-        T_film = (2.0 * Tp + T_g) / 3.0
+        T_film = self.film_w * Tp + (1.0 - self.film_w) * T_g
         D_v = liq.D_vap(T_film, p_g)
         Sc_f = mu_g / jnp.maximum(rho_g * D_v, 1e-20)
         Sh = 2.0 + 0.6 * jnp.sqrt(jnp.maximum(Re, 0.0)) * Sc_f**(1/3)

@@ -64,6 +64,10 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--rtol", type=float, default=None)
     ap.add_argument("--out", default="postProcessing_aachen")
+    ap.add_argument("--film-w", type=float, default=2.0 / 3.0,
+                    help="film-T blend weight on droplet T (2/3 rule "
+                    "default; sensitivity knob for the station-2 "
+                    "falsification)")
     ap.add_argument("--mass-first", action="store_true",
                     help="v1.4 parcel update order: phase change before "
                          "drag (README.md:31)")
@@ -127,7 +131,7 @@ def main():
         parcels_per_step=50)                 # parcelsPerSecond 2e7 * dt
     rebound = tuple((ax, side, "rebound") for ax in (0, 1) for side in (0, 1))
     cloud = SprayCloud(mesh=mesh, liquid=liq, injector=inj,
-                       mass_first=args.mass_first,
+                       mass_first=args.mass_first, film_w=args.film_w,
                        max_parcels=32768, evaporation="Spalding",
                        breakup="ReitzDiwakar", wall_interaction=rebound)
     iF = mech.species_index("C7H16")

@@ -150,3 +150,81 @@ def test_fl_matches_structured_uniform_box(air):
                   - np.asarray(s_f.rhoE)).max() \
         / np.abs(np.asarray(s_s.rhoE)).max()
     assert relE < 5e-3, relE
+
+
+def test_fl_weno5_matches_structured_periodic(air):
+    """WENO5-Z on a plan (lattice) face-list mesh == structured WENO5 on a
+    fully periodic box (VERDICT r4 item 6: the WENOEXT arbitrary-fvMesh
+    role): with every axis cyclic the lattice rolls give exactly the
+    structured 5-cell stencils, so the two backends must agree to
+    roundoff."""
+    mech, th, kin = air
+    n = 64
+    mesh = StructuredMesh.box([1.0, 1e-2, 1e-2], [n, 1, 1])
+    bx = ((cyclic(), cyclic()), (empty(), empty()), (empty(), empty()))
+    cfg = HighSpeedConfig(flux="HLLC", rk_order=2, limiter="WENO5",
+                          chemistry="none")
+    sol_s = HighSpeedSolver(mesh=mesh, thermo=th, kinetics=kin, bcs_rho=bx,
+                            bcs_U=(bx, bx, bx), bcs_p=bx, bcs_Y=bx,
+                            config=cfg)
+    sol_f = _fl_solver(th, kin, mesh, bx, limiter="WENO5")
+    assert sol_f.m_rho.plan is not None
+    X, _, _ = mesh.cell_centers()
+    x = jnp.ravel(X)
+    W = mech.molecular_weights[0]
+    rho0 = 1.0 + 0.3 * np.sin(2 * np.pi * np.asarray(x))
+    p0 = 1e5 * (1.0 + 0.1 * np.cos(4 * np.pi * np.asarray(x)))
+    T0 = p0 * W / (rho0 * GAS_CONSTANT)
+    s_s = sol_s.initial_state(jnp.asarray(p0).reshape(mesh.shape),
+                              jnp.asarray(T0).reshape(mesh.shape),
+                              jnp.ones((1,) + mesh.shape))
+    s_f = sol_f.initial_state(jnp.asarray(p0), jnp.asarray(T0),
+                              jnp.ones((n, 1)))
+    dt = 0.3 * mesh.dx / 500.0
+    step_s = jax.jit(lambda s: sol_s.step(s, dt)[0])
+    step_f = jax.jit(lambda s: sol_f.step(s, dt)[0])
+    for _ in range(20):
+        s_s = step_s(s_s)
+        s_f = step_f(s_f)
+    for name in ("rho", "rhoE"):
+        a = np.asarray(getattr(s_s, name)).ravel()
+        b = np.asarray(getattr(s_f, name)).ravel()
+        rel = np.abs(a - b).max() / np.abs(a).max()
+        assert rel < 1e-11, (name, rel)
+
+
+def test_fl_weno5_sod_boundary_fallback(air):
+    """WENO5 on a plan mesh with PHYSICAL x boundaries: boundary-adjacent
+    faces fall back to MUSCL; the Sod star region still matches the exact
+    plateaus (same anchors as the structured WENO run)."""
+    mech, th, kin = air
+    n = 400
+    mesh = StructuredMesh.box([1.0, 1e-2, 1e-2], [n, 1, 1])
+    bcs = ((zero_gradient(), zero_gradient()),
+           (empty(), empty()), (empty(), empty()))
+    solver = _fl_solver(th, kin, mesh, bcs, limiter="WENO5")
+    X, _, _ = mesh.cell_centers()
+    x = jnp.ravel(X)
+    pL, pR = 1e5, 1e4
+    rhoL, rhoR = 1.0, 0.125
+    W = mech.molecular_weights[0]
+    TL = pL * W / (rhoL * GAS_CONSTANT)
+    TR = pR * W / (rhoR * GAS_CONSTANT)
+    T = jnp.where(x < 0.5, TL, TR)
+    p = jnp.where(x < 0.5, pL, pR)
+    s = solver.initial_state(p, T, jnp.ones((n, 1)))
+    a0 = float(jnp.sqrt(1.4 * pL / rhoL))
+    dt = 0.3 * mesh.dx / (a0 * 2.2)
+    step = jax.jit(lambda st: solver.step(st, dt)[0])
+    t_end = 1.2e-3
+    for _ in range(int(t_end / dt)):
+        s = step(s)
+    rho = np.asarray(s.rho)
+    p_arr = np.asarray(solver.primitives(s)[2])
+    # exact star-state values for this Sod setup (gamma = 1.4)
+    p_star, rho_star_L = 30313.0, 0.4263
+    xs = np.asarray(x)
+    star = (xs > 0.55) & (xs < 0.65)
+    assert abs(np.median(p_arr[star]) - p_star) / p_star < 0.03
+    assert abs(np.median(rho[star]) - rho_star_L) / rho_star_L < 0.03
+    assert np.all(np.isfinite(rho))
