@@ -616,10 +616,15 @@ class SprayCloud:
                                    self.d_min)
             tau = jnp.where(strip, tau_strip, tau_bag)
             breaking = We > self.Cbag
-            frac = jnp.where(breaking, 1.0 - jnp.exp(
-                -dt / jnp.maximum(tau, 1e-12)), 0.0)
-            d_broken = jnp.maximum(d_new - frac * (d_new - d_stable),
-                                   jnp.minimum(d_stable, d_new))
+            # OpenFOAM-7 ReitzDiwakar::update relaxation is the IMPLICIT
+            # form d = (f dStable + d)/(1 + f) with f = dt/tau — NOT
+            # exp(-dt/tau): at f ~ 1 the exponential form removes 63% of
+            # (d - dStable) per step vs 50%, over-fragmenting the spray and
+            # shortening liquid penetration (the term the aachenBomb
+            # station-2 falsification chain pinned; round 5)
+            f_rel = jnp.where(breaking, dt / jnp.maximum(tau, 1e-12), 0.0)
+            d_broken = (f_rel * d_stable + d_new) / (1.0 + f_rel)
+            d_broken = jnp.maximum(d_broken, jnp.minimum(d_stable, d_new))
             # conserve parcel liquid mass: n d^3 = const
             n_part = n_part * (d_new / jnp.maximum(d_broken, 1e-9)) ** 3
             d_new = d_broken

@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--rtol", type=float, default=None)
     ap.add_argument("--out", default="postProcessing_aachen")
+    ap.add_argument("--breakup", default="ReitzDiwakar",
+                    help="ReitzDiwakar (case dict) | KHRT | none — "
+                    "penetration-sensitivity falsification knob")
     ap.add_argument("--film-w", type=float, default=2.0 / 3.0,
                     help="film-T blend weight on droplet T (2/3 rule "
                     "default; sensitivity knob for the station-2 "
@@ -133,7 +136,7 @@ def main():
     cloud = SprayCloud(mesh=mesh, liquid=liq, injector=inj,
                        mass_first=args.mass_first, film_w=args.film_w,
                        max_parcels=32768, evaporation="Spalding",
-                       breakup="ReitzDiwakar", wall_interaction=rebound)
+                       breakup=args.breakup, wall_interaction=rebound)
     iF = mech.species_index("C7H16")
     solver = SpraySolver(gas_solver=gas_solver, cloud=cloud, fuel_index=iF)
 
