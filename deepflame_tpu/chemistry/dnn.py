@@ -143,8 +143,10 @@ class DFODENet:
         for d in lead:
             B *= d
         xf = x.reshape(B, F)
+        import os as _os
         if (jax.devices()[0].platform == "tpu"
-                and len(self.nets[0]) == 4 and x.dtype.itemsize <= 4):
+                and len(self.nets[0]) == 4 and x.dtype.itemsize <= 4
+                and not _os.environ.get("DEEPFLAME_NO_MLP_PALLAS")):
             from ..ops.pallas_kernels import mlp_fused_lanes
             Ws = [jnp.stack([net[l][0] for net in self.nets])
                   for l in range(4)]

@@ -38,6 +38,7 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     cd = compute_dtype
     f32 = jnp.float32
     h = x_ref[:].astype(cd)
+    sp = pl.program_id(0)
     for w_ref, b_ref, last in ((w1_ref, b1_ref, False),
                                (w2_ref, b2_ref, False),
                                (w3_ref, b3_ref, False),
@@ -45,10 +46,24 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
         W = w_ref[0].astype(cd)                       # (in, out)
         h = jax.lax.dot_general(h, W, (((1,), (0,)), ((), ())),
                                 preferred_element_type=f32)
-        h = h + b_ref[0].astype(f32)[None, :]
+        # biases arrive UNBLOCKED (full (S, o) in VMEM, species row read by
+        # program id): a (1, o) block fails Mosaic's tiling rule whenever o
+        # is not lane-aligned AND S != 1 (drm19's S = 20 surfaced it)
+        h = h + b_ref[sp].astype(f32)[None, :]
         if not last:
-            h = jax.nn.gelu(h, approximate=False).astype(cd)
-    out_ref[0, :] = h[:, 0].astype(out_ref.dtype)
+            # erf-GELU with erf evaluated by the Abramowitz-Stegun 7.1.26
+            # rational polynomial (|err| <= 1.5e-7 — below f32 activation
+            # noise): Mosaic implements neither erf nor erfc, so
+            # jax.nn.gelu(approximate=False)/lax.erf cannot lower here
+            z = h * jnp.asarray(0.7071067811865476, f32)
+            az = jnp.abs(z)
+            t = 1.0 / (1.0 + 0.3275911 * az)
+            poly = t * (0.254829592 + t * (-0.284496736 + t * (
+                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+            erf_abs = 1.0 - poly * jnp.exp(-az * az)
+            erf_z = jnp.sign(z) * erf_abs
+            h = (0.5 * h * (1.0 + erf_z)).astype(cd)
+    out_ref[0, 0, :] = h[:, 0].astype(out_ref.dtype)
 
 
 def mlp_fused_lanes(x: jax.Array, Ws, bs, compute_dtype=jnp.bfloat16,
@@ -75,16 +90,20 @@ def mlp_fused_lanes(x: jax.Array, Ws, bs, compute_dtype=jnp.bfloat16,
     in_specs = [bs_spec((block, F), lambda i, j: (j, 0))]
     for W, b in zip(Ws, bs):
         in_specs.append(bs_spec((1,) + W.shape[1:], lambda i, j: (i, 0, 0)))
-        in_specs.append(bs_spec((1,) + b.shape[1:], lambda i, j: (i, 0)))
+        in_specs.append(bs_spec(b.shape, lambda i, j: (0, 0)))
+    # out is (S, 1, Bp): a (1, 1, block) block's LAST TWO dims are
+    # (1, block) == (overall middle, lane-aligned) — the 2D (S, Bp) form's
+    # (1, block) block violates Mosaic's tiling rule whenever S > 8
+    # (drm19's 20 species surfaced it; H2's 8 fit one sublane tile)
     out = pl.pallas_call(
         kern,
         grid=(S, Bp // block),
         in_specs=in_specs,
-        out_specs=bs_spec((1, block), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((S, Bp), x.dtype),
+        out_specs=bs_spec((1, 1, block), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((S, 1, Bp), x.dtype),
         interpret=interpret,
     )(xp, *[a for Wb in zip(Ws, bs) for a in Wb])
-    return out[:, :B].T
+    return out[:, 0, :B].T
 
 
 def ell_matvec(x: jax.Array, diag: jax.Array, nbr: jax.Array,

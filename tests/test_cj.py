@@ -12,6 +12,7 @@ from deepflame_tpu.chemistry import load_mechanism, make_thermo, make_kinetics
 from deepflame_tpu.utils.cj import cj_speed
 
 
+@pytest.mark.slow   # ~60 s on 1 CPU (full CJ Newton iteration in f64)
 def test_cj_h2_air():
     mech = load_mechanism("/root/reference/mechanisms/H2/H2_Li.yaml")
     th = make_thermo(mech)

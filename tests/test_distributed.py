@@ -78,6 +78,7 @@ def test_pad_field_processor_parity(bc_pair, mode):
         assert _rel(Pl[j], want) == 0.0, f"shard {j} mode {mode}"
 
 
+@pytest.mark.smoke
 def test_fvm_matvec_processor_parity():
     """A(x) and rhs() of a composed convection-diffusion FvMatrix match the
     global operator exactly on every shard (TVD deferred correction included
@@ -181,6 +182,9 @@ def _build_solver(nx=16, ny=8, case="cyclic", chemistry=True):
 
 
 @pytest.mark.smoke
+@pytest.mark.slow   # ~270 s/case on 1 CPU: full-step 8-shard parity —
+# kept out of the <10-min smoke tier (pytest -m "smoke and not slow");
+# the matvec/pad processor-parity tests below cover the halo machinery
 @pytest.mark.parametrize("case", ["cyclic", "walls"])
 def test_step_distributed_matches_single(case):
     """Two full PIMPLE steps with chemistry ON: shard_map over 8 devices ==
@@ -244,6 +248,7 @@ def test_chemistry_binning_per_shard():
 
 
 @pytest.mark.smoke
+@pytest.mark.slow   # ~420 s on 1 CPU (see note above)
 def test_step_distributed_2x2x2_matches_single():
     """Multi-axis domain decomposition (VERDICT r3 item 7): a (2, 2, 2)
     device grid over a 3D box — per-axis ppermute halos on x, y AND z —

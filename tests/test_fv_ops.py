@@ -166,6 +166,8 @@ def test_upwind_advection_step():
     assert 0.37 < com - 10 * dt * 0 and com > com0 + 0.5 * 10 * dt * u / 1.0 - 0.05
 
 
+@pytest.mark.slow   # ~110 s on 1 CPU; the core limiters are covered by
+# the convection-scheme tests above
 def test_extended_limiter_family():
     """minmod/MUSCL/superBee/QUICK/vanAlbada/OSPRE convection schemes:
     (a) all are TVD on a 1D advected step (no new extrema), (b) all

@@ -124,6 +124,7 @@ def test_three_level_build_and_step(air):
     assert hasattr(ps.fine, "offset") and hasattr(ps.fine.fine, "offset")
 
 
+@pytest.mark.slow   # ~50 s on 1 CPU; 1D/2D nest tests cover the cascade
 def test_isotropic_3d_refinement(air):
     """hexRef8-style cube split: fine patch refines x, y AND z."""
     mech, th, kin = air

@@ -150,3 +150,35 @@ def test_stencil_apply_tiled_matches_roll():
         xb, Db, *lob, *hib)
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
                                rtol=2e-6, atol=1e-6)
+
+
+def test_mlp_fused_lanes_matches_xla():
+    """Fused MLP kernel (interpret) == the XLA stacked-einsum reference,
+    including the in-kernel Abramowitz-Stegun erf-GELU (|err| <= 1.5e-7)
+    and the drm19-shaped species count (S = 20 > one sublane tile — the
+    layout that surfaced the Mosaic tiling-rule failures, round 5)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from deepflame_tpu.ops.pallas_kernels import mlp_fused_lanes
+
+    rng = np.random.default_rng(9)
+    S, F, B = 20, 23, 1024
+    sizes = (F, 64, 32, 16, 1)
+    Ws = [jnp.asarray(rng.normal(scale=0.3, size=(S, a, b)), jnp.float32)
+          for a, b in zip(sizes[:-1], sizes[1:])]
+    bs = [jnp.asarray(rng.normal(scale=0.1, size=(S, b)), jnp.float32)
+          for b in sizes[1:]]
+    x = jnp.asarray(rng.normal(size=(B, F)), jnp.float32)
+
+    def ref():
+        h = jnp.einsum("bi,sio->sbo", x, Ws[0]) + bs[0][:, None, :]
+        for l in range(1, 4):
+            h = jax.nn.gelu(h, approximate=False)
+            h = jnp.einsum("sbi,sio->sbo", h, Ws[l]) + bs[l][:, None, :]
+        return h[..., 0].T                                   # (B, S)
+
+    out = mlp_fused_lanes(x, Ws, bs, compute_dtype=jnp.float32, block=512,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref()),
+                               rtol=2e-5, atol=2e-5)
