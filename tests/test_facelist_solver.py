@@ -87,19 +87,24 @@ def test_periodic_reacting_parity():
     # different order than the structured backend's shift-adds, and the
     # adaptive stiff integrator's accept/reject branches amplify that f64
     # roundoff over 5 reacting steps (the inert duct test below still holds
-    # 1e-8; op-level agreement is ~1e-13, tests/test_facelist.py)
+    # 1e-8; op-level agreement is ~1e-13, tests/test_facelist.py).
+    # Bounds derived from the RECORDED max deviations of this exact case
+    # (round 5, 5 steps, f64): T 2.07e-7, p 5.88e-9, rho 1.35e-7,
+    # U 1.82e-6, Y(abs) 7.11e-9 — each bound sits 5-10x above its
+    # recorded value (advisor r3 item 3).
+    bounds = {"T": 1e-6, "p": 6e-8, "rho": 1e-6}
     for name, a, b_ in (("T", s_s.T, s_f.T), ("p", s_s.p, s_f.p),
                         ("rho", s_s.rho, s_f.rho)):
         rel = np.abs(_flat(a) - np.asarray(b_)).max() \
             / np.abs(np.asarray(b_)).max()
-        assert rel < 1e-6, (name, rel)
+        assert rel < bounds[name], (name, rel)
     relU = np.abs(np.stack([_flat(s_s.U[c]) for c in range(3)], 1)
                   - np.asarray(s_f.U)).max() \
         / max(np.abs(np.asarray(s_f.U)).max(), 1e-10)
     assert relU < 1e-5, relU
     relY = np.abs(np.asarray(s_s.Y).reshape(ns, -1).T
                   - np.asarray(s_f.Y)).max()
-    assert relY < 1e-7, relY
+    assert relY < 7e-8, relY
 
 
 def test_duct_physical_bcs_parity():
