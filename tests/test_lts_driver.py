@@ -133,3 +133,95 @@ def test_driver_warm_restart(tmp_path):
     # write schedule stayed on the global grid: checkpoints at 5e-5 and 1e-4
     from deepflame_tpu.runtime import latest_time
     assert latest_time(ck) == pytest.approx(1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Face-list LTS (setRDeltaT on arbitrary connectivity — dfLowMachFoam.C:255,
+# dfHighSpeedFoam.C:182; closes the structured-only gap, VERDICT r4 item 6)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.smoke
+def test_r_delta_t_fl_structured_parity():
+    """FL convective rDeltaT == structured rDeltaT on the same cyclic box
+    (surfaceSum(|phi| magSf)/(2 maxCo V rho) reduces to the structured
+    per-axis form exactly on a uniform grid)."""
+    from deepflame_tpu.mesh.facelist import (from_structured,
+                                             structured_face_maps)
+    from deepflame_tpu.ops.lts import set_r_delta_t_fl
+
+    n = 32
+    mesh = StructuredMesh.box([1.0, 1.0 / n, 1.0 / n], [n, 1, 1])
+    b = ((cyclic(), cyclic()), (empty(), empty()), (empty(), empty()))
+    rho = jnp.ones(mesh.shape)
+    phi_x = jnp.zeros((n + 1, 1, 1)).at[n // 2 - 2:n // 2 + 2].set(10.0)
+    phi = (phi_x, jnp.zeros((n, 2, 1)), jnp.zeros((n, 1, 2)))
+    rdt_s = set_r_delta_t(phi, rho, b, mesh, max_co=0.5, max_dt=1.0)
+
+    fl = from_structured(mesh, b)
+    per_axis, _ = structured_face_maps(mesh, b)
+    phi_fl = jnp.ravel(phi_x)[per_axis[0]]
+    rdt_fl = set_r_delta_t_fl(fl, phi_fl, jnp.ones(n),
+                              max_co=0.5, max_dt=1.0)
+    np.testing.assert_allclose(np.asarray(rdt_fl),
+                               np.asarray(rdt_s).ravel(), rtol=1e-12)
+    # damping parity
+    rdt_s2 = set_r_delta_t(phi, rho, b, mesh, max_co=0.5, max_dt=1.0,
+                           r_delta_t_old=jnp.full(mesh.shape, 100.0),
+                           damping=0.1)
+    rdt_fl2 = set_r_delta_t_fl(fl, phi_fl, jnp.ones(n), max_co=0.5,
+                               max_dt=1.0,
+                               r_delta_t_old=jnp.full((n,), 100.0),
+                               damping=0.1)
+    np.testing.assert_allclose(np.asarray(rdt_fl2),
+                               np.asarray(rdt_s2).ravel(), rtol=1e-12)
+
+
+@pytest.mark.smoke
+def test_lts_step_high_speed_fl():
+    """FL density-based solver marches with a per-cell acoustic-LTS dt
+    field: fields stay finite, the clock advances by min(dt) (pseudo-time
+    steady-state marching, dfHighSpeedFoam LTS mode)."""
+    import os
+    from deepflame_tpu.chemistry import (load_mechanism, make_thermo,
+                                         make_kinetics)
+    from deepflame_tpu.mesh import zero_gradient
+    from deepflame_tpu.mesh.facelist import from_structured
+    from deepflame_tpu.ops.lts import set_r_delta_t_acoustic_fl
+    from deepflame_tpu.solvers.high_speed import HighSpeedConfig
+    from deepflame_tpu.solvers.high_speed_fl import HighSpeedSolverFL
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    mech = load_mechanism(os.path.join(data, "air.yaml"))
+    th, kin = make_thermo(mech), make_kinetics(mech)
+    n = 128
+    mesh = StructuredMesh.box([1.0, 1e-2, 1e-2], [n, 1, 1])
+    bcs = ((zero_gradient(), zero_gradient()),
+           (empty(), empty()), (empty(), empty()))
+    fl = from_structured(mesh, bcs)
+    cfg = HighSpeedConfig(flux="HLLC", rk_order=1, limiter="vanLeer",
+                          chemistry="none")
+    solver = HighSpeedSolverFL(m_rho=fl, m_p=fl, m_Y=fl, m_U=(fl, fl, fl),
+                               thermo=th, kinetics=kin, config=cfg)
+    X, _, _ = mesh.cell_centers()
+    x = jnp.ravel(X)
+    from deepflame_tpu.chemistry.mechanism import GAS_CONSTANT
+    W = mech.molecular_weights[0]
+    p = jnp.where(x < 0.5, 1e5, 1e4)
+    rho0 = jnp.where(x < 0.5, 1.0, 0.125)
+    T = p * W / (rho0 * GAS_CONSTANT)
+    Y = jnp.ones((n, 1))
+    s = solver.initial_state(p, T, Y)
+    rho, U, p_, T_, _ = solver.primitives(s)
+    c = solver.thermo.sound_speed(T_, Y)
+    un = jnp.zeros_like(fl.mag_sf)
+    rdt = set_r_delta_t_acoustic_fl(fl, un, c, max_co=0.4, max_dt=1.0)
+    dt_field = 1.0 / rdt
+    assert dt_field.shape == (n,)
+    t0 = float(s.time)
+    for _ in range(3):
+        s, diag = jax.jit(solver.step)(s, dt_field)
+    assert np.isfinite(float(diag["T_max"]))
+    assert np.isfinite(float(diag["p_max"]))
+    # clock advanced by 3 * min(dt)
+    np.testing.assert_allclose(float(s.time) - t0,
+                               3.0 * float(jnp.min(dt_field)), rtol=1e-6)
