@@ -21,8 +21,48 @@ from ..mesh.structured import StructuredMesh
 __all__ = ["FieldMinMax", "Probes", "LineSample", "FieldAverage",
            "FunctionObjectSet", "Histogram", "FieldCalculus",
            "VolFieldValue", "SurfaceFieldValue", "FieldValueDelta",
+           "PatchFieldValue",
            "total_pressure", "pressure_coefficient",
            "write_cell_centres", "write_cell_volumes"]
+
+
+# --- mesh-backend dispatch -------------------------------------------------
+# The classes below serve BOTH backends (the reference's functionObjects
+# run on any fvMesh): StructuredMesh exposes cell_centers()/volume;
+# FaceListMesh carries flat centers (n,3) + per-cell volumes. Fields are
+# (nx,ny,nz)-shaped on the former, (n_cells,)-flat on the latter — every
+# reduction below is shape-agnostic once the centers match the field shape.
+
+def _is_facelist(mesh) -> bool:
+    return hasattr(mesh, "owner") and not hasattr(mesh, "cell_centers")
+
+
+def _cell_xyz(mesh):
+    """(X, Y, Z) cell-center arrays matching the backend's field shape."""
+    if _is_facelist(mesh):
+        c = np.asarray(mesh.centers)
+        return c[:, 0], c[:, 1], c[:, 2]
+    return tuple(np.asarray(a) for a in mesh.cell_centers())
+
+
+def _cell_volumes(mesh):
+    """Per-cell volume array (scalar broadcast on uniform structured)."""
+    if _is_facelist(mesh):
+        return np.asarray(mesh.volumes)
+    return np.asarray(mesh.volume)
+
+
+def _nearest_cell(mesh, point):
+    """Index of the cell whose center is nearest `point` — structured:
+    (i,j,k); face-list: flat int (probes/sample nearest-cell semantics)."""
+    if _is_facelist(mesh):
+        c = np.asarray(mesh.centers)
+        d = c - np.asarray(point, c.dtype)[None, :]
+        return int(np.argmin(np.einsum("ij,ij->i", d, d)))
+    i = int(np.clip((point[0] - mesh.x0) / mesh.dx, 0, mesh.nx - 1))
+    j = int(np.clip((point[1] - mesh.y0) / mesh.dy, 0, mesh.ny - 1))
+    k = int(np.clip((point[2] - mesh.z0) / mesh.dz, 0, mesh.nz - 1))
+    return (i, j, k)
 
 
 class FieldMinMax:
@@ -37,7 +77,7 @@ class FieldMinMax:
         self.rows: list[tuple] = []
 
     def __call__(self, time: float, fields: dict):
-        X, Y, Z = (np.asarray(a) for a in self.mesh.cell_centers())
+        X, Y, Z = _cell_xyz(self.mesh)
         row = [time]
         for name in self.fields:
             f = np.asarray(fields[name])
@@ -66,12 +106,7 @@ class Probes:
         self.mesh = mesh
         self.fields = tuple(fields)
         self.out_dir = out_dir
-        self.idx = []
-        for (x, y, z) in points:
-            i = int(np.clip((x - mesh.x0) / mesh.dx, 0, mesh.nx - 1))
-            j = int(np.clip((y - mesh.y0) / mesh.dy, 0, mesh.ny - 1))
-            k = int(np.clip((z - mesh.z0) / mesh.dz, 0, mesh.nz - 1))
-            self.idx.append((i, j, k))
+        self.idx = [_nearest_cell(mesh, p) for p in points]
         self.rows: list[tuple] = []
 
     def __call__(self, time: float, fields: dict):
@@ -94,20 +129,51 @@ class LineSample:
     produces the station profiles corrtest asserts on)."""
 
     def __init__(self, mesh: StructuredMesh, axis: int, through: tuple,
-                 fields: Sequence[str], out_dir: str = "postProcessing/sample"):
+                 fields: Sequence[str], out_dir: str = "postProcessing/sample",
+                 tol: float | None = None):
         self.mesh = mesh
         self.axis = axis
         self.fields = tuple(fields)
         self.out_dir = out_dir
-        j = int(np.clip((through[1] - mesh.y0) / mesh.dy, 0, mesh.ny - 1))
-        k = int(np.clip((through[2] - mesh.z0) / mesh.dz, 0, mesh.nz - 1))
-        i = int(np.clip((through[0] - mesh.x0) / mesh.dx, 0, mesh.nx - 1))
-        self.fixed = (i, j, k)
         self.snapshots: dict[float, np.ndarray] = {}
+        if _is_facelist(mesh):
+            # cells whose centers lie within tol of the line through
+            # `through` along `axis` (sample `sets` nearest-cell role on
+            # general meshes — the wedge-axis station extraction the
+            # examples did ad hoc). tol default: half the local cell size.
+            c = np.asarray(mesh.centers)
+            if tol is None:
+                tol_arr = 0.51 * np.asarray(mesh.volumes) ** (1.0 / 3.0)
+            else:
+                tol_arr = np.full(c.shape[0], tol)
+            off = [a for a in range(3) if a != axis]
+            mask = np.ones(c.shape[0], bool)
+            for a in off:
+                mask &= np.abs(c[:, a] - through[a]) <= tol_arr
+            sel = np.nonzero(mask)[0]
+            if sel.size == 0:       # fall back to the single nearest cell
+                sel = np.asarray([_nearest_cell(mesh, through)])
+            self.sel = sel[np.argsort(c[sel, axis])]
+            self.coord = c[self.sel, axis]
+            self.fixed = None
+        else:
+            j = int(np.clip((through[1] - mesh.y0) / mesh.dy,
+                            0, mesh.ny - 1))
+            k = int(np.clip((through[2] - mesh.z0) / mesh.dz,
+                            0, mesh.nz - 1))
+            i = int(np.clip((through[0] - mesh.x0) / mesh.dx,
+                            0, mesh.nx - 1))
+            self.fixed = (i, j, k)
 
     def __call__(self, time: float, fields: dict):
         cols = []
         m = self.mesh
+        if self.fixed is None:          # face-list backend
+            cols.append(self.coord)
+            for name in self.fields:
+                cols.append(np.asarray(fields[name])[self.sel])
+            self.snapshots[time] = np.stack(cols, axis=1)
+            return
         n = m.shape[self.axis]
         coord = {0: m.x0 + (np.arange(n) + 0.5) * m.dx,
                  1: m.y0 + (np.arange(n) + 0.5) * m.dy,
@@ -271,18 +337,20 @@ class VolFieldValue:
             self.mask = None
         else:
             (x0, x1), (y0, y1), (z0, z1) = box
-            X, Y, Z = (np.asarray(a) for a in mesh.cell_centers())
+            X, Y, Z = _cell_xyz(mesh)
             self.mask = ((X >= x0) & (X <= x1) & (Y >= y0) & (Y <= y1)
                          & (Z >= z0) & (Z <= z1))
 
-    def _reduce(self, op: str, f: np.ndarray) -> float:
-        v = self.mesh.volume
+    def _reduce(self, op: str, f: np.ndarray, v) -> float:
         if op == "sum":
             return float(f.sum())
         if op == "volIntegrate":
             return float((f * v).sum())
-        if op in ("average", "volAverage"):
+        if op == "average":
             return float(f.mean())
+        if op == "volAverage":
+            # sum(f V)/sum(V) — equals f.mean() on uniform cells
+            return float((f * v).sum() / np.sum(v * np.ones_like(f)))
         if op == "min":
             return float(f.min())
         if op == "max":
@@ -294,11 +362,15 @@ class VolFieldValue:
 
     def __call__(self, time: float, fields: dict):
         row = [time]
+        vols = _cell_volumes(self.mesh)
         for name in self.fields:
             f = np.asarray(fields[name])
+            v = vols
             if self.mask is not None:
                 f = f[self.mask]
-            row += [self._reduce(op, f) for op in self.ops]
+                if np.ndim(vols) > 0:
+                    v = vols[self.mask.ravel()]
+            row += [self._reduce(op, f, v) for op in self.ops]
         self.rows.append(tuple(row))
 
     def write(self):
@@ -359,6 +431,62 @@ class SurfaceFieldValue:
         hdr = ["time"] + [f"{op}({name})" for name in self.fields
                           for op in self.ops]
         path = os.path.join(self.out_dir, "surfaceFieldValue.dat")
+        np.savetxt(path, np.asarray(self.rows), header=" ".join(hdr))
+        return path
+
+
+class PatchFieldValue:
+    """surfaceFieldValue on a named boundary PATCH of a FaceListMesh
+    (the reference's `surfaceFieldValue { regionType patch; }` mode —
+    outlet mass flow, patch-averaged T, etc. on arbitrary meshes).
+
+    Reduces owner-cell values of named cell fields over the patch with
+    areaAverage / areaIntegrate / sum / min / max; an optional weight
+    field name (e.g. the boundary mass flux) turns areaIntegrate into
+    a flux integral sum(w f A)."""
+
+    def __init__(self, mesh, patch: str, fields: Sequence[str],
+                 ops: Sequence[str] = ("areaAverage",),
+                 weight_field: str | None = None,
+                 out_dir: str = "postProcessing/patchFieldValue"):
+        names = [p.name for p in mesh.patches]
+        self.patch = mesh.patches[names.index(patch)]
+        self.fields = tuple(fields)
+        self.ops = tuple(ops)
+        self.weight_field = weight_field
+        self.out_dir = out_dir
+        self.rows: list[tuple] = []
+
+    def _reduce(self, op: str, f: np.ndarray, a: np.ndarray,
+                w: np.ndarray) -> float:
+        if op == "areaAverage":
+            return float((f * a).sum() / a.sum())
+        if op == "areaIntegrate":
+            return float((w * f * a).sum())
+        if op == "sum":
+            return float(f.sum())
+        if op == "min":
+            return float(f.min())
+        if op == "max":
+            return float(f.max())
+        raise ValueError(op)
+
+    def __call__(self, time: float, fields: dict):
+        own = np.asarray(self.patch.owner)
+        a = np.asarray(self.patch.mag_sf)
+        w = (np.asarray(fields[self.weight_field])[own]
+             if self.weight_field is not None else np.ones_like(a))
+        row = [time]
+        for name in self.fields:
+            f = np.asarray(fields[name])[own]
+            row += [self._reduce(op, f, a, w) for op in self.ops]
+        self.rows.append(tuple(row))
+
+    def write(self):
+        os.makedirs(self.out_dir, exist_ok=True)
+        hdr = ["time"] + [f"{op}({name})" for name in self.fields
+                          for op in self.ops]
+        path = os.path.join(self.out_dir, "patchFieldValue.dat")
         np.savetxt(path, np.asarray(self.rows), header=" ".join(hdr))
         return path
 
