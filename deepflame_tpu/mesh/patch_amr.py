@@ -67,17 +67,24 @@ class MovingPatchAMR:
     ratio: int
     pc: int                          # patch extent in coarse cells
     buffer_c: int = 4                # buffer width in coarse cells (per side)
+    # Berger-Colella refluxing: replace the coarse flux at the two
+    # coarse-fine interface planes by the substep-averaged fine flux in
+    # the update of the adjacent OUTSIDE coarse cells, making the
+    # restriction coupling flux-telescoping (the conservative refinement
+    # role of dfDynamicRefineFvMesh's mapped fluxes, H:85-90). Costs one
+    # extra flux evaluation per RK stage (step_with_flux_x).
+    reflux: bool = False
 
     @staticmethod
     def build(coarse: HighSpeedSolver, pc: int, ratio: int = 4,
-              buffer_c: int = 4) -> "MovingPatchAMR":
+              buffer_c: int = 4, reflux: bool = False) -> "MovingPatchAMR":
         m = coarse.mesh
         fine_mesh = StructuredMesh(pc * ratio, m.ny, m.nz,
                                    m.dx / ratio, m.dy, m.dz,
                                    m.x0, m.y0, m.z0)
         fine = dataclasses.replace(coarse, mesh=fine_mesh)
         return MovingPatchAMR(coarse=coarse, fine=fine, ratio=ratio, pc=pc,
-                              buffer_c=buffer_c)
+                              buffer_c=buffer_c, reflux=reflux)
 
     # ------------------------------------------------------------ plumbing
     def _cons(self, s: HighSpeedState):
@@ -122,7 +129,10 @@ class MovingPatchAMR:
         sc, sf, off = ps
 
         # 1. coarse step over the whole domain
-        sc2, diag_c = self.coarse.step(sc, dt)
+        if self.reflux:
+            sc2, diag_c, fx_c = self.coarse.step_with_flux_x(sc, dt)
+        else:
+            sc2, diag_c = self.coarse.step(sc, dt)
 
         # 2. re-seed the fine buffer zones from the coarse state (start-of-
         #    step values; the buffer absorbs the time-lag error)
@@ -139,10 +149,38 @@ class MovingPatchAMR:
         sf = self._with(sf, seeded)
 
         # 3. fine substeps (CFL-matched: dx/r at dt/r)
-        def sub(s, _):
-            s2, _ = self.fine.step(s, dt / r)
-            return s2, None
-        sf2, _ = jax.lax.scan(sub, sf, None, length=r)
+        keys = ("rho", "rhoU", "rhoE", "rhoY")
+        if self.reflux:
+            # accumulate the fine interface-plane fluxes (x-faces b*r and
+            # (pc-b)*r — STATIC indices) across the r substeps
+            iL, iR = b * r, (pc - b) * r
+
+            def plane_f(F, i):
+                return jax.lax.index_in_dim(F, i, axis=F.ndim - 3,
+                                            keepdims=True)
+
+            def sub(carry, _):
+                s, acc = carry
+                s2, _, fx = self.fine.step_with_flux_x(s, dt / r)
+                acc2 = {k: (acc[k][0] + plane_f(fx[k], iL),
+                            acc[k][1] + plane_f(fx[k], iR)) for k in keys}
+                return (s2, acc2), None
+
+            ny, nz = self.fine.mesh.ny, self.fine.mesh.nz
+            ns = sf.rhoY.shape[0]
+            dt_ = sf.rho.dtype
+            zplane = {"rho": jnp.zeros((1, ny, nz), dt_),
+                      "rhoU": jnp.zeros((3, 1, ny, nz), dt_),
+                      "rhoE": jnp.zeros((1, ny, nz), dt_),
+                      "rhoY": jnp.zeros((ns, 1, ny, nz), dt_)}
+            zero_acc = {k: (zplane[k], zplane[k]) for k in keys}
+            (sf2, acc), _ = jax.lax.scan(sub, (sf, zero_acc), None, length=r)
+            ff = {k: (acc[k][0] / r, acc[k][1] / r) for k in keys}
+        else:
+            def sub(s, _):
+                s2, _ = self.fine.step(s, dt / r)
+                return s2, None
+            sf2, _ = jax.lax.scan(sub, sf, None, length=r)
 
         # 4. conservative restriction of the fine INTERIOR onto the coarse
         restricted = []
@@ -151,6 +189,25 @@ class MovingPatchAMR:
             inner = self._slice_c(qr, b, pc - 2 * b) if b > 0 else qr
             restricted.append(self._insert_c(qc, inner, off + b))
         sc2 = self._with(sc2, restricted)
+
+        # 4b. refluxing: the outside cells adjacent to the interfaces were
+        # updated with the COARSE flux at those planes; replace it by the
+        # substep-averaged FINE flux so the coupling telescopes (total of
+        # each conserved variable changes only through domain boundaries)
+        if self.reflux:
+            hx = self.coarse.mesh.dx
+            fixed = []
+            for k, qc in zip(keys, self._cons(sc2)[:4]):
+                fcL = self._slice_c(fx_c[k], off + b, 1)
+                fcR = self._slice_c(fx_c[k], off + pc - b, 1)
+                cL = self._slice_c(qc, off + b - 1, 1)
+                cR = self._slice_c(qc, off + pc - b, 1)
+                cL = cL - (dt / hx) * (ff[k][0] - fcL)
+                cR = cR + (dt / hx) * (ff[k][1] - fcR)
+                qc = self._insert_c(qc, cL, off + b - 1)
+                qc = self._insert_c(qc, cR, off + pc - b)
+                fixed.append(qc)
+            sc2 = self._with(sc2, tuple(fixed) + (self._cons(sc2)[4],))
         # re-derive coarse T under the patch from the conserved variables
         _, _, _, T_new, _ = self.coarse.primitives(sc2)
         sc2 = sc2._replace(T=T_new)

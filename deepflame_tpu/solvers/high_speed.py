@@ -135,11 +135,18 @@ class HighSpeedSolver:
         return qL, qR
 
     # ------------------------------------------------------------ RHS L(U)
-    def _flux_divergence(self, s: HighSpeedState):
-        """-div of Riemann fluxes for all conservative variables."""
+    def _flux_divergence(self, s: HighSpeedState, want_flux_x: bool = False):
+        """-div of Riemann fluxes for all conservative variables.
+
+        want_flux_x also returns the raw x-face flux arrays (per unit
+        area), keyed like the state fields with the x-face axis at -3:
+        rho (nfx,ny,nz), rhoU (3,nfx,ny,nz), rhoE (nfx,ny,nz),
+        rhoY (ns,nfx,ny,nz) — the Berger-Colella refluxing input
+        (patch_amr coarse-fine interface correction)."""
         rho, U, p, T, Y = self.primitives(s)
         flux_fn = FLUX_SCHEMES[self.config.flux]
         ns = Y.shape[0]
+        flux_x = None
         d_rho = 0.0
         d_rhoU = [0.0, 0.0, 0.0]
         d_rhoE = 0.0
@@ -179,6 +186,11 @@ class HighSpeedSolver:
             Lst = face_state(rhoL, uL, vL, wL, pL, YL)
             Rst = face_state(rhoR, uR, vR, wR, pR, YR)
             mass, momn, momt1, momt2, ener, Yflux = flux_fn(Lst, Rst)
+            if want_flux_x and ax == 0:
+                flux_x = dict(rho=mass,
+                              rhoU=jnp.stack([momn, momt1, momt2]),
+                              rhoE=ener,
+                              rhoY=jnp.moveaxis(Yflux, -1, 0))
             h = self.mesh.spacing[ax]
             d_rho = d_rho - _face_diff(mass, ax) / h
             d_rhoU[ax] = d_rhoU[ax] - _face_diff(momn, ax) / h
@@ -199,6 +211,8 @@ class HighSpeedSolver:
             mask = (T > self.config.T_threshold)[..., None]
             RR = jnp.moveaxis(jnp.where(mask, wdot * self.kinetics.W, 0.0), -1, 0)
             L["rhoY"] = L["rhoY"] + RR
+        if want_flux_x:
+            return L, flux_x
         return L
 
     def _apply(self, s: HighSpeedState, L, coef_old, coef_new, dt,
@@ -243,6 +257,43 @@ class HighSpeedSolver:
         diag = dict(T_max=jnp.max(T), p_max=jnp.max(p),
                     u_max=jnp.max(jnp.abs(U)))
         return s, diag
+
+    def step_with_flux_x(self, s: HighSpeedState, dt):
+        """step() that ALSO returns the RK-effective x-face fluxes —
+        the per-area fluxes F such that the transport update is exactly
+        q^{n+1} = q^n - dt (F_{i+1} - F_i)/dx (+ y/z terms): the time-
+        integrated interface flux Berger-Colella refluxing needs.
+        SSP weights: rk1 [1]; rk2 [1/2,1/2]; rk3 [1/6,1/6,2/3]."""
+        cfg = self.config
+        s0 = s
+        if cfg.rk_order == 1:
+            L0, F0 = self._flux_divergence(s, True)
+            s = self._apply(s, L0, 0.0, 1.0, dt, s0)
+            Fx = F0
+        elif cfg.rk_order == 2:
+            L0, F0 = self._flux_divergence(s, True)
+            s1 = self._apply(s, L0, 0.0, 1.0, dt, s0)
+            L1, F1 = self._flux_divergence(s1, True)
+            s = self._apply(s1, L1, 0.5, 0.5, dt, s0)
+            Fx = {k: 0.5 * (F0[k] + F1[k]) for k in F0}
+        elif cfg.rk_order == 3:
+            L0, F0 = self._flux_divergence(s, True)
+            s1 = self._apply(s, L0, 0.0, 1.0, dt, s0)
+            L1, F1 = self._flux_divergence(s1, True)
+            s2 = self._apply(s1, L1, 0.75, 0.25, dt, s0)
+            L2, F2 = self._flux_divergence(s2, True)
+            s = self._apply(s2, L2, 1.0 / 3.0, 2.0 / 3.0, dt, s0)
+            Fx = {k: (F0[k] + F1[k] + 4.0 * F2[k]) / 6.0 for k in F0}
+        else:
+            raise ValueError(cfg.rk_order)
+        if cfg.chemistry == "ode":
+            s = self._chemistry_split(s, dt)
+        rho, U, p, T, Y = self.primitives(s)
+        dt_clock = jnp.min(jnp.asarray(dt)) if jnp.ndim(dt) > 0 else dt
+        s = s._replace(T=T, time=s.time + dt_clock)
+        diag = dict(T_max=jnp.max(T), p_max=jnp.max(p),
+                    u_max=jnp.max(jnp.abs(U)))
+        return s, diag, Fx
 
     def _chemistry_split(self, s: HighSpeedState, dt):
         rho, U, p, T, Y = self.primitives(s)

@@ -190,3 +190,67 @@ def test_front_shaped_2d_freestream():
                                np.asarray(ps.coarse.rho).flat[0], rtol=1e-12)
     np.testing.assert_allclose(np.asarray(ps.fine.rho),
                                np.asarray(ps.coarse.rho).flat[0], rtol=1e-12)
+
+
+def test_step_with_flux_x_identity():
+    """step_with_flux_x returns the same state as step, and in 1D the
+    RK-effective fluxes reproduce the update exactly:
+    q^{n+1} - q^n == -dt (F_{i+1}-F_i)/dx."""
+    mech, coarse, _ = _make(n_c=32)
+    sh = coarse.mesh.shape
+    Xc, _, _ = coarse.mesh.cell_centers(jnp.float64)
+    p = jnp.where(Xc < 0.5, 2.0 * 101325.0, 101325.0)
+    T = jnp.full(sh, 300.0)
+    Y = jnp.ones((1,) + sh)
+    s0 = coarse.initial_state(p, T, Y)
+    dt = 2e-6
+    s_a, _ = jax.jit(coarse.step)(s0, dt)
+    s_b, _, fx = jax.jit(coarse.step_with_flux_x)(s0, dt)
+    np.testing.assert_allclose(np.asarray(s_a.rho), np.asarray(s_b.rho),
+                               rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(s_a.rhoE), np.asarray(s_b.rhoE),
+                               rtol=1e-14)
+    h = coarse.mesh.dx
+    for name, q0, q1 in (("rho", s0.rho, s_b.rho),
+                         ("rhoE", s0.rhoE, s_b.rhoE)):
+        upd = -dt * np.diff(np.asarray(fx[name]), axis=0) / h
+        np.testing.assert_allclose(np.asarray(q1 - q0), upd,
+                                   rtol=1e-10, atol=1e-10 * float(
+                                       np.abs(np.asarray(q0)).max()),
+                                   err_msg=name)
+
+
+def test_reflux_conserves_mass_energy():
+    """With reflux=True the patch coupling telescopes: total mass and
+    energy change only through domain boundaries (zero here: u=0 at the
+    far ends), so drift is round-off; overwrite-only coupling drifts
+    measurably while the wave system crosses the patch edge."""
+    n_c, ratio, pc, b = 64, 2, 24, 3
+    mech, coarse, _ = _make(n_c=n_c, ratio=ratio, pc=pc, buffer_c=b)
+    amr_r = MovingPatchAMR.build(coarse, pc=pc, ratio=ratio, buffer_c=b,
+                                 reflux=True)
+    amr_o = MovingPatchAMR.build(coarse, pc=pc, ratio=ratio, buffer_c=b)
+    sh = coarse.mesh.shape
+    Xc, _, _ = coarse.mesh.cell_centers(jnp.float64)
+    p = jnp.where(jnp.abs(Xc - 0.5) < 0.05, 4.0 * 101325.0, 101325.0)
+    T = jnp.full(sh, 300.0)
+    Y = jnp.ones((1,) + sh)
+    dt, n_steps = 2e-6, 15
+
+    def run(amr):
+        ps = amr.initial_state(p, T, Y, offset=n_c // 2 - pc // 2)
+        m0 = float(jnp.sum(ps.coarse.rho))
+        e0 = float(jnp.sum(ps.coarse.rhoE))
+        step = jax.jit(amr.step)
+        for _ in range(n_steps):
+            ps, _ = step(ps, dt)
+        return (abs(float(jnp.sum(ps.coarse.rho)) - m0) / m0,
+                abs(float(jnp.sum(ps.coarse.rhoE)) - e0) / e0)
+
+    dm_r, de_r = run(amr_r)
+    dm_o, de_o = run(amr_o)
+    # refluxed: conservation to round-off (f64)
+    assert dm_r < 1e-12, dm_r
+    assert de_r < 1e-12, de_r
+    # overwrite-only: measurable drift (the gap refluxing closes)
+    assert dm_o > 10.0 * max(dm_r, 1e-15), (dm_o, dm_r)
