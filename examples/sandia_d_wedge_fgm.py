@@ -286,6 +286,27 @@ def main():
                  cvar=np.asarray(s.cvar), p=np.asarray(s.p))
         print("dumped", os.environ["SANDIA_DUMP"])
 
+    # function-object outputs on the FL mesh (sample sets +
+    # surfaceFieldValue{regionType patch} parity — the same postProcessing
+    # layout the structured cases get; replaces this script's former
+    # ad-hoc-only extraction)
+    from deepflame_tpu.runtime import LineSample, PatchFieldValue
+    p0 = ctr_np[axis_sel][np.argmin(z_axis)]
+    axis_line = LineSample(gm, 2, (float(p0[0]), float(p0[1]), 0.0),
+                           ["T", "Z", "c"],
+                           out_dir=os.path.join(args.out, "sample"),
+                           tol=6e-4)
+    axis_line(float(s.time), {"T": np.asarray(s.T), "Z": np.asarray(s.Z),
+                              "c": np.asarray(s.c)})
+    axis_line.write()
+    outlet_T = PatchFieldValue(gm, "outlet", ["T"],
+                               ops=("areaAverage", "max"),
+                               out_dir=os.path.join(args.out,
+                                                    "patchFieldValue"))
+    outlet_T(float(s.time), {"T": np.asarray(s.T)})
+    print("outlet areaAverage(T), max(T):", outlet_T.rows[0][1:])
+    outlet_T.write()
+
     # reference-matched sampling: 11 points on the axis (x=0) z in [0, 0.5]
     # (system/sample lineUniform), from the first (axis) cell column
     T_st = station_T(s)
