@@ -218,13 +218,19 @@ class MovingPatchAMR:
         i_front = jnp.argmax(g).astype(jnp.int32)
         nxc = self.coarse.mesh.nx
         off_new = jnp.clip(i_front - pc // 2, 0, nxc - pc).astype(jnp.int32)
-        # shift fine data; newly exposed cells take the coarse prolongation
+        # shift fine data; newly exposed cells take the coarse prolongation.
+        # Cells whose roll-SOURCE lies in the old buffer zones also take
+        # the prolongation: buffer data was seeded+advanced but never
+        # restricted, so its block means do not match the coarse — rolling
+        # it into the interior is a one-time conservation leak (caught by
+        # test_reflux_conserves_mass_energy with a moving window).
         shift_f = (off_new - off) * r
         fresh = self.prolong(sc2, off_new)
         shifted = []
         nxf = pc * r
         ix = jnp.arange(nxf)
-        valid = (ix + shift_f >= 0) & (ix + shift_f < nxf)
+        src = ix + shift_f
+        valid = (src >= b * r) & (src < nxf - b * r)
         for qf, qp in zip(self._cons(sf2), self._cons(fresh)):
             rolled = jnp.roll(qf, -shift_f, axis=-3)
             shape = [1] * qf.ndim
@@ -495,11 +501,21 @@ class NestedPatchAMR:
     # multi-criteria window targeting (the multiCritRefinement role,
     # dfDynamicRefineFvMesh.H:116-160) — the window recenters on the
     # CENTROID of the marked-cell field instead of max|grad rho|
+    # Berger-Colella refluxing at every level's x-interfaces (see
+    # MovingPatchAMR.reflux); transverse axes refine full-extent so x is
+    # the only coarse-fine interface direction in this design.
+    reflux: bool = False
+    # window clamp (in THIS level's coarse x-cells): a child window must
+    # stay out of its parent's seeded buffer zone — child data there is
+    # overwritten every parent step, and a child restriction straddling
+    # the parent's interface plane silently moves mass across it (breaks
+    # the reflux telescoping). Set by the parent at build time.
+    x_margin: int = 0
 
     @staticmethod
     def build(coarse: HighSpeedSolver, pcs, ratio: int = 2,
               buffer_c: int = 2, isotropic: bool = True,
-              criteria=None) -> "NestedPatchAMR":
+              criteria=None, reflux: bool = False) -> "NestedPatchAMR":
         """pcs: per-level patch extents, each in the PARENT level's x-cells
         (e.g. (16, 8) = two levels). isotropic refines every non-degenerate
         axis (hexRef8 role); False refines x only (hexRef2 role).
@@ -519,11 +535,14 @@ class NestedPatchAMR:
                                    sp[0], sp[1], sp[2], m.x0, m.y0, m.z0)
         fine = dataclasses.replace(coarse, mesh=fine_mesh)
         child = (NestedPatchAMR.build(fine, pcs[1:], ratio, buffer_c,
-                                      isotropic, criteria)
+                                      isotropic, criteria, reflux)
                  if len(pcs) > 1 else None)
+        if child is not None:
+            rx = ratio if 0 in axes else 1
+            child = dataclasses.replace(child, x_margin=buffer_c * rx)
         return NestedPatchAMR(coarse=coarse, fine=fine, child=child,
                               ratio=ratio, pc=pc, buffer_c=buffer_c,
-                              axes=axes, criteria=criteria)
+                              axes=axes, criteria=criteria, reflux=reflux)
 
     # ------------------------------------------------------------ plumbing
     def _cons(self, s):
@@ -555,8 +574,9 @@ class NestedPatchAMR:
     def initial_fine(self, sc, offset: int = 0) -> PatchState:
         off = jnp.asarray(offset, jnp.int32)
         sf = self.prolong(sc, off)
-        fine = (self.child.initial_fine(sf, 0) if self.child is not None
-                else sf)
+        fine = (self.child.initial_fine(
+            sf, (self.fine.mesh.nx - self.child.pc) // 2)
+            if self.child is not None else sf)
         return PatchState(coarse=sc, fine=fine, offset=off)
 
     def initial_state(self, p, T, Y, U=None, time=0.0,
@@ -573,7 +593,7 @@ class NestedPatchAMR:
                 else base)
 
     # ---------------------------------------------------------------- step
-    def step(self, ps: PatchState, dt):
+    def step(self, ps: PatchState, dt, want_flux_x: bool = False):
         r = self.ratio
         b = self.buffer_c
         pc = self.pc
@@ -581,7 +601,11 @@ class NestedPatchAMR:
         sf = self._base(fine)
 
         # 1. this level's (coarse) step over its whole extent
-        sc2, diag_c = self.coarse.step(sc, dt)
+        fx_c = None
+        if self.reflux or want_flux_x:
+            sc2, diag_c, fx_c = self.coarse.step_with_flux_x(sc, dt)
+        else:
+            sc2, diag_c = self.coarse.step(sc, dt)
 
         # 2. seed fine x-buffer zones from the start-of-step coarse state
         seeded = []
@@ -597,15 +621,55 @@ class NestedPatchAMR:
         fine = self._set_base(fine, self._with(sf, seeded))
 
         # 3. fine substeps (recursive through deeper levels)
-        if self.child is None:
-            def sub(s, _):
-                s2, _ = self.fine.step(s, dt / r)
-                return s2, None
+        keys = ("rho", "rhoU", "rhoE", "rhoY")
+        rx_ = r if 0 in self.axes else 1
+        if self.reflux:
+            # accumulate this level's fine fluxes at its two x-interface
+            # planes (static fine-face indices); deeper levels reflux
+            # themselves inside child.step
+            iL, iR = b * rx_, (pc - b) * rx_
+
+            def plane_f(F, i):
+                return jax.lax.index_in_dim(F, i, axis=F.ndim - 3,
+                                            keepdims=True)
+
+            def fine_step_fx(s, dt_f):
+                if self.child is None:
+                    return self.fine.step_with_flux_x(s, dt_f)
+                s2, dg, fx = self.child.step(s, dt_f, want_flux_x=True)
+                return s2, dg, fx
+
+            fm = self.fine.mesh
+            ns = sf.rhoY.shape[0]
+            dt_y = sf.rho.dtype
+            zp = {"rho": jnp.zeros((1, fm.ny, fm.nz), dt_y),
+                  "rhoU": jnp.zeros((3, 1, fm.ny, fm.nz), dt_y),
+                  "rhoE": jnp.zeros((1, fm.ny, fm.nz), dt_y),
+                  "rhoY": jnp.zeros((ns, 1, fm.ny, fm.nz), dt_y)}
+            zero_acc = {k: (zp[k], zp[k]) for k in keys}
+
+            def sub(carry, _):
+                s, acc = carry
+                s2, _, fx = fine_step_fx(s, dt / r)
+                acc2 = {k: (acc[k][0] + plane_f(fx[k], iL),
+                            acc[k][1] + plane_f(fx[k], iR)) for k in keys}
+                return (s2, acc2), None
+
+            (fine2, acc), _ = jax.lax.scan(sub, (fine, zero_acc), None,
+                                           length=r)
+            t_ax = [a for a in self.axes if a != 0]
+            ff = {k: (_mean_axes(acc[k][0] / r, r, t_ax),
+                      _mean_axes(acc[k][1] / r, r, t_ax)) for k in keys}
         else:
-            def sub(cs, _):
-                cs2, _ = self.child.step(cs, dt / r)
-                return cs2, None
-        fine2, _ = jax.lax.scan(sub, fine, None, length=r)
+            if self.child is None:
+                def sub(s, _):
+                    s2, _ = self.fine.step(s, dt / r)
+                    return s2, None
+            else:
+                def sub(cs, _):
+                    cs2, _ = self.child.step(cs, dt / r)
+                    return cs2, None
+            fine2, _ = jax.lax.scan(sub, fine, None, length=r)
         sf2 = self._base(fine2)
 
         # 4. conservative restriction of the fine INTERIOR onto the coarse
@@ -615,6 +679,24 @@ class NestedPatchAMR:
             inner = self._slice_c(qr, b, pc - 2 * b) if b > 0 else qr
             restricted.append(self._insert_c(qc, inner, off + b))
         sc2 = self._with(sc2, restricted)
+
+        # 4b. refluxing (see MovingPatchAMR.step 4b): substep-averaged,
+        # transverse-restricted fine fluxes replace the coarse flux in the
+        # outside cells adjacent to the interfaces
+        if self.reflux:
+            hx = self.coarse.mesh.dx
+            fixed = []
+            for k, qc in zip(keys, self._cons(sc2)[:4]):
+                fcL = self._slice_c(fx_c[k], off + b, 1)
+                fcR = self._slice_c(fx_c[k], off + pc - b, 1)
+                cL = self._slice_c(qc, off + b - 1, 1)
+                cR = self._slice_c(qc, off + pc - b, 1)
+                cL = cL - (dt / hx) * (ff[k][0] - fcL)
+                cR = cR + (dt / hx) * (ff[k][1] - fcR)
+                qc = self._insert_c(qc, cL, off + b - 1)
+                qc = self._insert_c(qc, cR, off + pc - b)
+                fixed.append(qc)
+            sc2 = self._with(sc2, tuple(fixed) + (self._cons(sc2)[4],))
         _, _, _, T_new, _ = self.coarse.primitives(sc2)
         sc2 = sc2._replace(T=T_new)
 
@@ -646,13 +728,17 @@ class NestedPatchAMR:
             g = jnp.abs(jnp.diff(sc2.rho, axis=0)).max(
                 axis=tuple(range(1, sc2.rho.ndim)))
             i_front = jnp.argmax(g).astype(jnp.int32)
-        off_new = jnp.clip(i_front - pc // 2, 0, nxc - pc).astype(jnp.int32)
+        off_new = jnp.clip(i_front - pc // 2, self.x_margin,
+                           nxc - pc - self.x_margin).astype(jnp.int32)
         fine2 = self._reframe(fine2, sc2, off, off_new)
 
         diag = dict(diag_c)
         diag["patch_offset"] = off_new
         diag["T_max"] = jnp.maximum(diag_c["T_max"], jnp.max(sf2.T))
-        return PatchState(coarse=sc2, fine=fine2, offset=off_new), diag
+        ps2 = PatchState(coarse=sc2, fine=fine2, offset=off_new)
+        if want_flux_x:
+            return ps2, diag, fx_c
+        return ps2, diag
 
     def _reframe(self, fine, base_new, off_data, off_new):
         """Re-anchor this level's fine structure from window position
@@ -669,7 +755,12 @@ class NestedPatchAMR:
         fresh = self.prolong(base_new, off_new)
         nxf = self.pc * rx
         ix = jnp.arange(nxf)
-        valid = (ix + shift_f >= 0) & (ix + shift_f < nxf)
+        # exclude roll-sources in the old buffer zones (never restricted:
+        # their block means do not match the coarse — see MovingPatchAMR
+        # step 5's conservation note)
+        src = ix + shift_f
+        valid = (src >= self.buffer_c * rx) & (src < nxf
+                                               - self.buffer_c * rx)
         shifted = []
         for qf, qp in zip(self._cons(sf), self._cons(fresh)):
             rolled = jnp.roll(qf, -shift_f, axis=-3)
@@ -681,6 +772,8 @@ class NestedPatchAMR:
             return sf_new
         # child data anchor expressed in THIS level's new frame
         a_child = fine.offset - shift_f
-        c_new = jnp.clip(a_child, 0, nxf - self.child.pc).astype(jnp.int32)
+        c_new = jnp.clip(a_child, self.child.x_margin,
+                         nxf - self.child.pc
+                         - self.child.x_margin).astype(jnp.int32)
         child_fine = self.child._reframe(fine.fine, sf_new, a_child, c_new)
         return PatchState(coarse=sf_new, fine=child_fine, offset=c_new)

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--t-end", type=float, default=9.5e-4)
     ap.add_argument("--dtype", default="f64")
     ap.add_argument("--flux", default="HLLC")
+    ap.add_argument("--reflux", action="store_true",
+                    help="Berger-Colella conservative interface coupling")
     ap.add_argument("--cfl", type=float, default=0.3)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -97,11 +99,12 @@ def main():
             n_buffer=2)
         amr = NestedPatchAMR.build(coarse, pcs=(args.patch_cells,) * args.levels,
                                    ratio=2, buffer_c=args.buffer,
-                                   isotropic=False, criteria=crit)
+                                   isotropic=False, criteria=crit,
+                                   reflux=args.reflux)
         r = 2 ** args.levels                     # effective ratio for output
     else:
         amr = MovingPatchAMR.build(coarse, pc=args.patch_cells, ratio=r,
-                                   buffer_c=args.buffer)
+                                   buffer_c=args.buffer, reflux=args.reflux)
 
     ns = mech.n_species
     iH2, iO2, iN2 = (mech.species_index(s) for s in ("H2", "O2", "N2"))

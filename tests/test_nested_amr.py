@@ -141,3 +141,36 @@ def test_isotropic_3d_refinement(air):
         ps = step(ps)
     assert bool(jnp.all(jnp.isfinite(ps.coarse.rhoE)))
     assert bool(jnp.all(jnp.isfinite(ps.fine.rhoE)))
+
+
+def test_nested_reflux_conserves(air):
+    """2-level nest with reflux=True: total mass/energy conserved to
+    round-off through a pressure-pulse transient (every level's interface
+    coupling telescopes); overwrite-only drifts measurably."""
+    mech, th, kin = air
+    mesh = StructuredMesh.box([1.0, 1e-2, 1e-2], [64, 1, 1])
+    sol = _solver(th, kin, mesh)
+    X, _, _ = mesh.cell_centers()
+    p = jnp.where(jnp.abs(X - 0.5) < 0.06, 4e5, 1e5)
+    W = mech.molecular_weights[0]
+    T = jnp.full(mesh.shape, 300.0)
+    Y = jnp.ones((1,) + mesh.shape)
+    dt, n_steps = 2e-6, 12
+
+    def run(reflux):
+        amr = NestedPatchAMR.build(sol, pcs=(24, 24), ratio=2, buffer_c=3,
+                                   reflux=reflux)
+        ps = amr.initial_state(p, T, Y, offset=32 - 12)
+        m0 = float(jnp.sum(ps.coarse.rho))
+        e0 = float(jnp.sum(ps.coarse.rhoE))
+        step = jax.jit(amr.step)
+        for _ in range(n_steps):
+            ps, _ = step(ps, dt)
+        return (abs(float(jnp.sum(ps.coarse.rho)) - m0) / m0,
+                abs(float(jnp.sum(ps.coarse.rhoE)) - e0) / e0)
+
+    dm_r, de_r = run(True)
+    dm_o, de_o = run(False)
+    assert dm_r < 1e-12, dm_r
+    assert de_r < 1e-12, de_r
+    assert dm_o > 10.0 * max(dm_r, 1e-15), (dm_o, dm_r)
