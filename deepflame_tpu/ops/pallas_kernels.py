@@ -67,7 +67,7 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
 
 
 def mlp_fused_lanes(x: jax.Array, Ws, bs, compute_dtype=jnp.bfloat16,
-                    block: int = 512, interpret: bool = False) -> jax.Array:
+                    block: int = 256, interpret: bool = False) -> jax.Array:
     """Fused stacked-species MLP: x (B, F) through S parallel [F, 1600,
     800, 400, 1] nets -> (B, S).
 
@@ -77,7 +77,12 @@ def mlp_fused_lanes(x: jax.Array, Ws, bs, compute_dtype=jnp.bfloat16,
     weights are fetched into VMEM once and stay resident across every
     lane block (weight traffic = S x 3.2 MB total, not per block).
     Replaces the lax.map-chunked XLA path whose inter-layer activations
-    round-trip HBM (~3x the matmul time at 96^3)."""
+    round-trip HBM (~3x the matmul time at 96^3).
+
+    block=256 keeps the per-step scoped VMEM under the 16 MB limit:
+    double-buffered blocks (W2 alone is 5.1 MB f32) + the f32 hidden
+    activations put block=512 at ~16.8 MB — the "intermittent" axon
+    remote-compile 500s on full-step graphs were this stack OOM."""
     B, F = x.shape
     S = Ws[0].shape[0]
     pad = (-B) % block
